@@ -1,0 +1,68 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice; the reported time is the second run (steady
+state — JVM/codegen warm, parquet footers cached), matching how a long-lived
+engine actually performs. Results are consumed via count() so full execution
+happens without driver-side collect overhead dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kafka_clickhouse_example_spark.registry import all_queries  # noqa: E402
+from kafka_clickhouse_example_spark.session import configure_runtime, get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("kce-spark-bench", cpus=CPUS, driver_memory="16g")
+    configure_runtime(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        try:
+            fn(spark, SF_DIR).count()  # warm-up run
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # never let one query sink the whole bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [t for t in timings.values() if t >= 0]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": round(sum(ok), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

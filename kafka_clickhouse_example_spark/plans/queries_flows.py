@@ -1,0 +1,103 @@
+"""Reference-parity queries (SURVEY.md §2.1-2.2, §2.6, §2.8) as registry
+entries with DuckDB oracles.
+
+These run the *whole* reference hot path on driver data: events rows are
+serialized to NetObserv-shaped JSON (plans.flows.events_to_flow_json), pushed
+through decode_flows/normalize_flows (P1-P4), then queried with the README
+verification query (F1-F4, L2). The oracle computes the same result directly
+in SQL — if defaults, casts, or epoch conversions diverge from the reference
+semantics anywhere in the pipeline, the hash mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.normalize import flows_from_json
+from kafka_clickhouse_example_spark.plans.flows import (
+    events_to_flow_json,
+    probe_query,
+    readme_verification,
+)
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+# Shared SQL fragment: the deterministic events->flows mapping (must stay in
+# lockstep with plans.flows.events_to_flow_json).
+FLOWS_FROM_EVENTS_SQL = """
+SELECT
+  CAST(epoch_ms(ts) AS DOUBLE)                                         AS start,
+  CAST(epoch_ms(ts) + floor(value * 1000) AS DOUBLE)                   AS "end",
+  '10.0.' || (user_id % 256) || '.1'                                   AS src_ip,
+  '10.0.' || (CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT) % 256) || '.2'
+                                                                       AS dst_ip,
+  'user-' || user_id                                                   AS src_name,
+  event_type                                                           AS dst_name,
+  'Pod'                                                                AS src_kind,
+  'Service'                                                            AS dst_kind,
+  CASE WHEN event_type = 'error' THEN '' ELSE 'ns-' || (user_id % 10) END
+                                                                       AS src_namespace,
+  event_type                                                           AS dst_namespace,
+  CAST(floor(value * 100) AS BIGINT)                                   AS bytes,
+  CAST(floor(value) AS BIGINT)                                         AS packets
+FROM events
+"""
+
+
+def _flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    events = load_table(spark, sf_dir, "events")
+    return flows_from_json(events_to_flow_json(events))
+
+
+@register(
+    "flows_readme_verify",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL})
+SELECT
+  make_timestamp(CAST(floor(start / 1000) AS BIGINT) * 1000000)  AS start_ts,
+  make_timestamp(CAST(floor("end" / 1000) AS BIGINT) * 1000000)  AS end_ts,
+  src_ip, dst_ip, src_name, dst_name, src_kind, dst_kind,
+  src_namespace, dst_namespace, bytes, packets
+FROM flows
+ORDER BY start_ts, end_ts, src_ip, dst_ip, src_name, dst_name, src_kind,
+         dst_kind, src_namespace, dst_namespace, bytes, packets
+LIMIT 100
+""",
+)
+def flows_readme_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:91-107 verification query over the full decode->normalize
+    pipeline (F1 intDiv, F2 fromUnixTimestamp, F4 aliasing, L2 LIMIT)."""
+    return readme_verification(_flows(spark, sf_dir), limit=100)
+
+
+@register(
+    "flows_full_table",
+    oracle=f"""
+SELECT * FROM ({FLOWS_FROM_EVENTS_SQL}) flows
+""",
+)
+def flows_full_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized flows relation itself (P1-P3 end to end, no LIMIT) —
+    the strongest parity check: every row, every default, every cast."""
+    return _flows(spark, sf_dir)
+
+
+@register(
+    "flows_probe",
+    oracle="""
+SELECT name, uuid_str FROM (
+  SELECT event_type AS name, CAST(event_id AS VARCHAR) AS uuid_str FROM events
+) t
+ORDER BY name, uuid_str
+LIMIT 5
+""",
+)
+def flows_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connect.go:52 probe shape: projection + cast-to-string (F3) + LIMIT 5
+    (L1), aimed at the events table standing in for system.tables."""
+    configure_runtime(spark)
+    events = load_table(spark, sf_dir, "events")
+    return probe_query(events, "event_type", "event_id", limit=5)

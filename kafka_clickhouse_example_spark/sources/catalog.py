@@ -1,0 +1,60 @@
+"""Batch table catalog over the driver-provided parquet directories.
+
+``/root/testdata/sf*/`` holds one parquet file per table (TESTDATA.md).
+Reads are plain ``spark.read.parquet`` — Catalyst handles column pruning and
+predicate pushdown into the scan, which is the whole point at 100 TB: a query
+touching 2 of lineitem's 11 columns reads 2 column chunks, not the table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver-generated parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects outright. We read nanos as LongType (legacy conf, set in
+# session.configure_runtime) and convert to TimestampType here — `div 1000` is
+# exact integer math (a double division would lose precision at 1.7e18 ns).
+TIMESTAMP_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in TIMESTAMP_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view so queries can use spark.sql."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,76 @@
+"""Golden tests for the decode+normalize core, mirroring the reference edge
+cases (FIXTURES.md §1: happy path, missing fields, malformed message, extra
+unknown fields)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from kafka_clickhouse_example_spark.operators.normalize import flows_from_json
+from kafka_clickhouse_example_spark.schemas import FLOWS_COLUMNS
+
+FULL_FLOW = {
+    "TimeFlowStartMs": 1704067200000.0,
+    "TimeFlowEndMs": 1704067201500.0,
+    "SrcAddr": "10.0.0.1",
+    "DstAddr": "10.0.0.2",
+    "SrcK8S_Name": "pod-a",
+    "DstK8S_Name": "pod-b",
+    "SrcK8S_Type": "Pod",
+    "DstK8S_Type": "Service",
+    "SrcK8S_Namespace": "ns-a",
+    "DstK8S_Namespace": "ns-b",
+    "Bytes": 1234.0,
+    "Packets": 7.0,
+}
+
+
+def _run(spark, messages):
+    raw = spark.createDataFrame([Row(value=m) for m in messages])
+    return flows_from_json(raw).collect()
+
+
+def test_happy_path(spark):
+    [row] = _run(spark, [json.dumps(FULL_FLOW)])
+    assert row.start == 1704067200000.0
+    assert row["end"] == 1704067201500.0
+    assert row.src_ip == "10.0.0.1"
+    assert row.dst_kind == "Service"
+    assert row.bytes == 1234 and isinstance(row.bytes, int)
+    assert row.packets == 7
+    assert list(row.asDict().keys()) == FLOWS_COLUMNS
+
+
+def test_missing_fields_default_to_zero_values(spark):
+    # Node-flow shape: no K8S identity at all (README.md:115-117), and a row
+    # missing the counters (export_clickhouse.go:45-80 zero-value semantics).
+    no_k8s = {k: v for k, v in FULL_FLOW.items() if not k.startswith(("Src", "Dst"))}
+    no_counters = {k: v for k, v in FULL_FLOW.items() if k not in ("Bytes", "Packets")}
+    rows = _run(spark, [json.dumps(no_k8s), json.dumps(no_counters)])
+    by_bytes = sorted(rows, key=lambda r: r.bytes)
+    assert by_bytes[0].bytes == 0 and by_bytes[0].packets == 0
+    assert by_bytes[0].src_ip == "10.0.0.1" or by_bytes[0].src_ip == ""
+    node_row = [r for r in rows if r.src_name == ""][0]
+    assert node_row.src_namespace == "" and node_row.dst_kind == ""
+    assert node_row.bytes == 1234  # non-missing fields untouched
+
+
+def test_malformed_message_dropped(spark):
+    rows = _run(spark, ["{not json", json.dumps(FULL_FLOW), ""])
+    assert len(rows) == 1
+    assert rows[0].src_ip == "10.0.0.1"
+
+
+def test_extra_unknown_fields_ignored(spark):
+    extra = dict(FULL_FLOW, SomethingNew=42, Nested={"a": 1})
+    [row] = _run(spark, [json.dumps(extra)])
+    assert row.bytes == 1234
+    assert list(row.asDict().keys()) == FLOWS_COLUMNS
+
+
+def test_float_narrowing_truncates(spark):
+    msg = dict(FULL_FLOW, Bytes=99.9, Packets=3.7)
+    [row] = _run(spark, [json.dumps(msg)])
+    assert row.bytes == 99 and row.packets == 3
