@@ -1,0 +1,567 @@
+"""The analytics layer (SURVEY.md §2.3-2.7, §7 Phase 3).
+
+The reference delegates every analytical SELECT to ClickHouse and implements
+no joins/aggregations/windows/set-ops itself; this module provides them as
+engine-native DataFrame plans, each with a DuckDB oracle.
+
+Determinism rules (driver hash gate):
+- Money aggregates are summed as DECIMAL — exact integer arithmetic, so the
+  result is independent of partial-aggregation order across partitions.
+  Doubles summed across 32 (or 100,000) partitions would drift in the last
+  bits and flake the hash.
+- Averages: exact decimal sum -> cast double -> divide by count -> round —
+  one deterministic double op instead of an order-dependent running mean.
+- Every top-k has a total ORDER BY (unique tiebreak column included).
+
+Scale design (100 TB):
+- Dimension joins (region/nation/supplier/part) are broadcast explicitly —
+  they stay KB..MB at any SF, so no shuffle of the fact side's join key.
+- Fact-fact joins (orders⋈lineitem, customer⋈orders) are left to
+  sort-merge + AQE (skew-split). At 100 TB these tables would be bucketed by
+  orderkey on disk, making these joins shuffle-free; the plan shape here is
+  unchanged by that storage decision.
+- Aggregations are partial (map-side combine) by construction — groupBy over
+  low-cardinality keys (returnflag, status) reduces before shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_tables
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    configure_runtime(spark)
+    return load_tables(spark, sf_dir, list(names))
+
+
+# Exact decimal arithmetic for money expressions: cast each 2-decimal FACTOR
+# to decimal, then multiply. Casting the double *product* instead would hit
+# engine-divergent rounding at x.xxxx5 boundaries (Spark rounds the shortest
+# decimal repr, DuckDB the binary value) — with per-factor casts every
+# subsequent op is exact integer math, identical on any engine and any
+# partial-aggregation order.
+def _disc_price():
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    return price * one_minus_disc
+
+
+def _charge():
+    one_plus_tax = (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+    return _disc_price() * one_plus_tax
+
+
+DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+)
+CHARGE_SQL = f"{DISC_PRICE_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+
+
+# --- Aggregation: TPC-H Q1 shape (pricing summary) -------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(CAST(l_quantity AS DECIMAL(18,2)))                                AS sum_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2)))                           AS sum_base_price,
+  sum({DISC_PRICE_SQL})                                                 AS sum_disc_price,
+  sum({CHARGE_SQL})                                                     AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)     AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  count(*)                                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY aggregation with partial (map-side) combine; 6 aggregates.
+
+    Low-cardinality group keys (~6 groups) mean the shuffle moves a few
+    hundred bytes per input partition regardless of table size — this plan
+    is the same at sf0.01 and at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    sum_qty = F.sum(F.col("l_quantity").cast(DEC))
+    sum_base = F.sum(F.col("l_extendedprice").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            sum_base.alias("sum_base_price"),
+            F.sum(_disc_price()).alias("sum_disc_price"),
+            F.sum(_charge()).alias("sum_charge"),
+            (sum_qty.cast("double") / F.count("*")).alias("avg_qty"),
+            (sum_base.cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Join + agg + top-k: TPC-H Q3 shape (shipping priority) ----------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT
+  l.l_orderkey,
+  sum({DISC_PRICE_SQL}) AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈orders⋈lineitem, filtered, aggregated, top-10 by revenue.
+
+    The mktsegment filter prunes customer before the join (Catalyst pushes
+    it into the scan). customer⋈orders and orders⋈lineitem stay sort-merge:
+    both sides are fact-scale at 100 TB, and AQE handles orderkey skew.
+    TakeOrderedAndProject handles the top-10 without a global sort.
+    """
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Multi-way join: TPC-H Q5 shape (regional supplier volume) -------------
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT
+  n.n_name,
+  sum({DISC_PRICE_SQL}) AS revenue,
+  count(*) AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join tree with explicit broadcasts for the dimensions.
+
+    region/nation/supplier are broadcast (KB-scale at any SF) — the big
+    fact tables never shuffle on those keys. The only real shuffles are
+    customer⋈orders and orders⋈lineitem, as in Q3.
+    """
+    t = _t(spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --- Semi / anti joins ------------------------------------------------------
+
+
+@register(
+    "q4_priority_with_big_items",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q4_priority_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one big line item.
+
+    Semi join ships only the join key of the filtered probe side; the
+    quantity filter lands in the parquet scan as a pushed predicate.
+    """
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    big = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customers_without_big_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+ORDER BY c.c_custkey
+""",
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no six-figure order."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Window functions -------------------------------------------------------
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group: row_number over (custkey, price desc).
+
+    One shuffle on o_custkey. At 100 TB this is the canonical per-key top-k;
+    if custkey were skewed, pre-aggregation with a grouped top-k
+    (min_by/collect+slice) would replace the window, but row_number keeps
+    exact ties deterministic via the orderkey tiebreak.
+    """
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "customer_order_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (cumulative spend per customer over time).
+
+    DECIMAL accumulation keeps the running sum exact; the frame is ROWS (not
+    RANGE) with a unique orderkey tiebreak so every prefix is deterministic.
+    """
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --- Time-series over events ------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming hourly
+    rollup): time-bucket + type, with an exact distinct-user count.
+
+    At 100 TB the same plan runs under Structured Streaming as
+    ``window(ts, '1 hour')`` + watermark; count(DISTINCT) would become
+    approx_count_distinct (oracle-incompatible, hence exact here).
+    """
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@register(
+    "top_talkers",
+    oracle="""
+SELECT user_id,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+)
+def top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The natural flows analysis the reference schema implies (SURVEY.md §7
+    Phase 3): heaviest users by total value — groupBy+sum+orderBy+limit."""
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --- Set operations ---------------------------------------------------------
+
+
+@register(
+    "purchase_days_without_errors",
+    oracle="""
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'error'
+ORDER BY user_id, day
+""",
+)
+def purchase_days_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): (user, day) pairs with a purchase
+    but no error. ``subtract`` is Spark's EXCEPT DISTINCT."""
+    events = _t(spark, sf_dir, "events")["events"]
+
+    def days(etype: str) -> DataFrame:
+        return events.filter(F.col("event_type") == etype).select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+
+    return days("purchase").subtract(days("error")).orderBy("user_id", "day")
+
+
+@register(
+    "signup_and_purchase_users",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+""",
+)
+def signup_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    events = _t(spark, sf_dir, "events")["events"]
+    a = events.filter(F.col("event_type") == "signup").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+@register(
+    "high_value_union",
+    oracle="""
+SELECT * FROM (
+  SELECT 'big_purchase' AS kind, event_id, user_id, value FROM events
+  WHERE event_type = 'purchase' AND value > 250
+  UNION ALL
+  SELECT 'big_error' AS kind, event_id, user_id, value FROM events
+  WHERE event_type = 'error' AND value > 250
+) t
+ORDER BY kind, event_id
+""",
+)
+def high_value_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered branches with a discriminator column."""
+    events = _t(spark, sf_dir, "events")["events"]
+
+    def branch(etype: str, kind: str) -> DataFrame:
+        return (
+            events.filter((F.col("event_type") == etype) & (F.col("value") > 250))
+            .select(
+                F.lit(kind).alias("kind"),
+                "event_id",
+                "user_id",
+                "value",
+            )
+        )
+
+    return (
+        branch("purchase", "big_purchase")
+        .unionAll(branch("error", "big_error"))
+        .orderBy("kind", "event_id")
+    )
+
+
+# --- Grouping sets / rollup --------------------------------------------------
+
+
+@register(
+    "orders_status_priority_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def orders_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) -> (status) -> grand total."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --- Scalar function surface (F1-F4 generalized) -----------------------------
+
+
+@register(
+    "scalar_function_showcase",
+    oracle="""
+SELECT
+  event_id,
+  upper(event_type)                                    AS type_upper,
+  substr(event_type, 1, 3)                             AS type_prefix,
+  length(event_type)                                   AS type_len,
+  concat(event_type, ':', CAST(user_id AS VARCHAR))    AS type_user,
+  value / 10.0                                         AS value_tenth,
+  CAST(floor(value) AS BIGINT)                         AS value_floor,
+  abs(value - 250.0)                                   AS value_dist,
+  year(ts)                                             AS y,
+  month(ts)                                            AS m,
+  dayofmonth(ts)                                       AS d,
+  hour(ts)                                             AS h,
+  CAST(epoch_ms(ts) AS BIGINT)                         AS epoch_millis,
+  CASE WHEN value >= 250 THEN 'high' ELSE 'low' END    AS value_band
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface (generalizing §2.8 F1-F4): every
+    expression is a JVM-side built-in inside whole-stage codegen."""
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.select(
+            "event_id",
+            F.upper("event_type").alias("type_upper"),
+            F.substring("event_type", 1, 3).alias("type_prefix"),
+            F.length("event_type").alias("type_len"),
+            F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+            # raw IEEE division (no round()): the same double op on the same
+            # input is bit-identical in any engine; round() is not.
+            (F.col("value") / 10.0).alias("value_tenth"),
+            F.floor("value").cast("long").alias("value_floor"),
+            F.abs(F.col("value") - 250.0).alias("value_dist"),
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.unix_millis("ts").alias("epoch_millis"),
+            F.when(F.col("value") >= 250, "high").otherwise("low").alias("value_band"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 import glob
 import math
 import os
-from datetime import datetime
+from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
@@ -27,19 +27,21 @@ def _duckdb_conn(sf_dir: str):
 
 def _norm_cell(v):
     if v is None:
-        return None
+        return ("none", "")
     if isinstance(v, Decimal):
-        return ("num", round(float(v), 6))
+        return ("num", "%.12g" % float(v))
     if isinstance(v, bool):
         return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
             return ("num", "nan")
-        return ("num", round(v, 6))
+        return ("num", "%.12g" % v)
     if isinstance(v, int):
-        return ("num", round(float(v), 6))
+        return ("num", "%.12g" % float(v))
     if isinstance(v, datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("ts", datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, (list, tuple)):
         return ("list", tuple(_norm_cell(x) for x in v))
     return ("s", str(v))
