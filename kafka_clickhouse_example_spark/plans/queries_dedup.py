@@ -1,0 +1,171 @@
+"""Dedup queries over documents, with DuckDB oracles that recompute the same
+md5-derived shingle/minhash/simhash math.
+
+The synthetic corpus contains planted near-duplicates (pairs sharing 40-90+
+3-gram shingles), so the Jaccard/LSH queries return real pairs, not empty
+sets — the oracle checks the pair lists AND the jaccard values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import dedup as D
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+JACCARD_THRESHOLD = 0.3
+
+# --- SQL building blocks (lockstep with operators/dedup.py) -----------------
+
+TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+# range(1, len-1) is end-exclusive => i in 1..len-2, matching Spark's
+# sequence(1, size-2) inclusive.
+SHINGLES_SQL = f"""
+list_distinct(
+  CASE WHEN len({TOKENS_SQL}) >= 3 THEN
+    list_transform(range(1, len({TOKENS_SQL}) - 1),
+      i -> {TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1] || ' ' || {TOKENS_SQL}[i+2])
+  ELSE [] END)
+"""
+
+
+def _perm_hash_sql(perm: int, var: str = "s") -> str:
+    return f"('0x' || substr(md5('{perm}:' || {var}), 1, 15))::BIGINT"
+
+
+def _minhash_sql(perm: int) -> str:
+    return f"list_aggregate(list_transform(sh, s -> {_perm_hash_sql(perm)}), 'min')"
+
+
+def _band_keys_sql() -> str:
+    keys = []
+    for b in range(D.MINHASH_PERMS // D.LSH_BAND_ROWS):
+        parts = [f"'{b}'"]
+        for r in range(D.LSH_BAND_ROWS):
+            parts.append(f"CAST(mh[{b * D.LSH_BAND_ROWS + r + 1}] AS VARCHAR)")
+        keys.append(" || '|' || ".join(parts))
+    return "[" + ", ".join(keys) + "]"
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_md5
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one canonical id per distinct
+    text. Shuffles 16-byte hashes, not document bodies — O(rows) at 100 TB."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(docs).orderBy("content_md5")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE len({SHINGLES_SQL}) > 0
+),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id1, c.id2, c.n_common,
+       len(s1.sh) AS n_sh1, len(s2.sh) AS n_sh2,
+       CAST(c.n_common AS DOUBLE)
+         / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sh s1 ON s1.doc_id = c.id1
+JOIN sh s2 ON s2.doc_id = c.id2
+WHERE CAST(c.n_common AS DOUBLE)
+      / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY id1, id2
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (inverted-index self-join)."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE len({SHINGLES_SQL}) > 0
+),
+sigs AS (
+  SELECT doc_id, sh,
+         [{", ".join(_minhash_sql(p) for p in range(D.MINHASH_PERMS))}] AS mh
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, unnest({_band_keys_sql()}) AS bk FROM sigs
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+       len(list_intersect(s1.sh, s2.sh)) AS n_common,
+       CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         AS jaccard
+FROM candidates c
+JOIN sh s1 ON s1.doc_id = c.id1
+JOIN sh s2 ON s2.doc_id = c.id2
+WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY id1, id2
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands of 2) candidates, exact-verified.
+
+    The scale path for near-dup at 100 TB: fixed-size signatures, band-key
+    shuffle, verify only candidates. The oracle recomputes the identical
+    signatures in SQL, so candidate generation itself is checked — not just
+    the final pair list.
+    """
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       (
+         {" + ".join(
+             f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             f"list_transform({TOKENS_SQL}, t -> "
+             f"CASE WHEN ({_perm_hash_sql(0, 't')} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), "
+             f"(acc, x) -> acc + x) >= 0 THEN {2 ** i} ELSE 0 END)"
+             for i in range(16)
+         )}
+       ) AS simhash
+FROM documents
+ORDER BY doc_id
+""",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (frequency-weighted token hashing)."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash")).orderBy("doc_id")

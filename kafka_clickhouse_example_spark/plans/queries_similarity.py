@@ -1,0 +1,144 @@
+"""Similarity-search queries over the embeddings table, with DuckDB oracles
+that mirror the left-fold dot-product kernel exactly (same summation order,
+same normalization formula) so cosine values are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import similarity as S
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+TOP_K = 10
+NEARDUP_COSINE = 0.4
+N_QUERIES = 5  # query set: vec_id < 5
+
+# DuckDB mirror of operators/similarity.dot(): element-order left fold over
+# the zipped product, starting from 0.0 — same IEEE op sequence as Spark's
+# aggregate(zip_with(...)).
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+_BUCKET_SQL_TMPL = " + ".join(
+    f"(CASE WHEN {{v}}[{d + 1}] >= 0 THEN {2 ** d} ELSE 0 END)" for d in range(S.LSH_BITS)
+)
+
+
+def _bucket_sql(v: str) -> str:
+    return "(" + _BUCKET_SQL_TMPL.format(v=v) + ")"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {_cosine_sql("e.v", "q.qv")} AS cosine_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine_sim, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, single
+    corpus scan, per-query partial top-k. The baseline ANN answers are
+    measured against."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.topk_bruteforce(emb, queries, TOP_K).orderBy("qid", "rank")
+
+
+@register(
+    "sim_lsh_cosine_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {_cosine_sql("a.v", "b.v")} AS cosine_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_sql("a.v", "b.v")} >= {NEARDUP_COSINE}
+ORDER BY id1, id2
+""",
+)
+def sim_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-bit LSH buckets + exact cosine
+    verify — the candidate-pruned scale path (see operators.similarity)."""
+    emb = _emb(spark, sf_dir)
+    return S.lsh_bucket_pairs(emb, NEARDUP_COSINE).orderBy("id1", "id2")
+
+
+@register(
+    "sim_norm_stats",
+    oracle=f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT label,
+       count(*) AS n_vectors,
+       min(sqrt({_dot_sql("v", "v")})) AS min_norm,
+       max(sqrt({_dot_sql("v", "v")})) AS max_norm
+FROM e
+GROUP BY label
+ORDER BY label
+""",
+)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm stats. min/max only — they are order-independent
+    over identical double sets, unlike a sum/avg of doubles."""
+    emb = _emb(spark, sf_dir)
+    norm = S.l2_norm(S.as_double(F.col("embedding")))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min(norm).alias("min_norm"),
+            F.max(norm).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("sim_topk_pandas")  # rows-only: BLAS summation order != fold kernel
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force top-k — the throughput kernel (10-100x the
+    fold kernel). Validated against sim_topk_bruteforce in
+    tests/test_similarity.py to 1e-9; no SQL oracle because BLAS summation
+    order is not reproducible in SQL."""
+    emb = _emb(spark, sf_dir)
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    return S.topk_bruteforce_pandas(emb, queries_pdf, TOP_K).orderBy("qid", "rank")

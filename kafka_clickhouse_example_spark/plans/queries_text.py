@@ -1,0 +1,152 @@
+"""Text-analysis queries over the documents table, with DuckDB oracles.
+
+The oracle SQL mirrors operators/text.py expression-for-expression (same
+tokenizer regex, same md5-based hashes, same CASE ladder), so a hash match
+certifies the operator semantics, not just the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import text as T
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# SQL building blocks mirroring operators/text.py exactly.
+TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _stop_count_sql(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({TOKENS_SQL}, t -> t IN ({inlist})))"
+
+
+TOKEN_HASH_SQL = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+FINGERPRINT_SQL = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform({TOKENS_SQL}, t -> {TOKEN_HASH_SQL})), "
+    f"(acc, x) -> (acc * 31 + x) % {T.FINGERPRINT_MOD})"
+)
+
+
+def _lang_case_sql() -> str:
+    s = {lang: _stop_count_sql(words) for lang, words in T.STOPWORDS.items()}
+    branches = []
+    prio = T.LANG_PRIORITY
+    for i, lang in enumerate(prio[:-1]):
+        conds = " AND ".join(f"{s[lang]} >= {s[later]}" for later in prio[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{prio[-1]}' END"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT
+  doc_id,
+  len({TOKENS_SQL})                                        AS n_tokens,
+  length(text)                                             AS n_chars,
+  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))       AS n_alpha,
+  {_stop_count_sql(T.STOPWORDS["en"])}                     AS n_stopwords
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char-class counts per doc."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        T.alpha_char_count(t).alias("n_alpha"),
+        T.stopword_count(t, T.STOPWORDS["en"]).alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+SELECT
+  doc_id,
+  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE)                               AS alpha_ratio,
+  CAST({_stop_count_sql(T.STOPWORDS["en"])} AS DOUBLE)
+    / CAST(len({TOKENS_SQL}) AS DOUBLE)                          AS stopword_ratio,
+  0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE))
+  + 0.4 * least((CAST({_stop_count_sql(T.STOPWORDS["en"])} AS DOUBLE)
+                 / CAST(len({TOKENS_SQL}) AS DOUBLE)) * 5, 1.0)
+  + 0.2 * least(CAST(len({TOKENS_SQL}) AS DOUBLE) / 100, 1.0)    AS quality_score
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alpha ratio, stopword ratio, composite score."""
+    docs = _docs(spark, sf_dir)
+    m = T.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["quality_score"].alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id_accuracy",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN ({_lang_case_sql()}) = lang THEN 1 ELSE 0 END) AS n_correct
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-count argmax) scored against the
+    labeled lang column, aggregated per language."""
+    docs = _docs(spark, sf_dir)
+    predicted = T.lang_id(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(predicted == F.col("lang"), 1).otherwise(0)).alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       md5(text)          AS content_md5,
+       {FINGERPRINT_SQL}  AS rolling_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content md5 + order-sensitive rolling hash
+    over md5-derived token hashes (mod 1e9+7)."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(t.cast("binary")).alias("content_md5"),
+        T.doc_fingerprint(t).alias("rolling_fp"),
+    ).orderBy("doc_id")
