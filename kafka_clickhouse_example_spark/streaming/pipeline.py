@@ -1,0 +1,216 @@
+"""The streaming application: source -> decode/normalize -> sink, the Spark
+equivalent of the reference's entire process (cmd/main.go:16-42).
+
+Parity mapping (SURVEY.md §3.1-3.2):
+
+- sink selection on empty -clickhouseurl (cmd/main.go:37-41, S6) ->
+  ``build_pipeline(sink=...)`` branch.
+- unbuffered channel backpressure (cmd/main.go:34, T5) -> micro-batch flow
+  control; bound per-batch work with maxOffsetsPerTrigger/maxFilesPerTrigger.
+- graceful shutdown on SIGINT/SIGTERM (pkg/utils/exit.go:28-37, T4) ->
+  ``run_until_signal``: signal handler calls ``query.stop()``; checkpoint
+  resume replaces the reference's lossy async-commit restart (T1).
+
+Beyond parity, this module carries the event-time operators the reference
+lacks entirely (SURVEY §2.9 "—" row): watermarked tumbling-window
+aggregation, streaming dedup within a watermark, and a custom stateful
+operator (per-conversation flow session accumulation) via
+``applyInPandasWithState`` — the three building blocks a flow-analytics
+pipeline actually needs at scale.
+
+Scale notes: every transform here is identical in batch and streaming (same
+column expressions), state stores are keyed by (src_ip, dst_ip) whose
+cardinality is bounded by the active host set (not row count), and the
+watermark bounds state size — without it, streaming aggregation state grows
+forever at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import signal
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafka_clickhouse_example_spark.operators.normalize import flows_from_json
+
+
+def normalized_stream(raw: DataFrame) -> DataFrame:
+    """Raw message frame (``value`` column) -> 12-column flows stream.
+
+    The exact same expression tree as the batch path — one transform
+    definition, two execution modes; this is the core Spark-first win over
+    the reference's hand-rolled goroutine pipeline.
+    """
+    return flows_from_json(raw)
+
+
+def with_event_time(flows: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Attach an event-time column (epoch-ms double -> timestamp) + watermark.
+
+    The reference carries times as opaque doubles (connect.go:73 "TODO: use
+    DateTime"); event-time semantics require a real timestamp column.
+    """
+    return flows.withColumn(
+        "event_time", F.timestamp_millis(F.col("start").cast("long"))
+    ).withWatermark("event_time", watermark)
+
+
+def windowed_traffic(flows_with_time: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Tumbling-window per-namespace-pair traffic rollup (bytes/packets/flows).
+
+    Watermark + append output: a window finalizes when the watermark passes
+    its end, so state is bounded and late flows beyond the watermark drop —
+    the documented late-data policy the reference never had.
+    """
+    return (
+        flows_with_time.groupBy(
+            F.window("event_time", window).alias("w"),
+            "src_namespace",
+            "dst_namespace",
+        )
+        .agg(
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum("packets").alias("sum_packets"),
+            F.count("*").alias("n_flows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "src_namespace",
+            "dst_namespace",
+            "sum_bytes",
+            "sum_packets",
+            "n_flows",
+        )
+    )
+
+
+def dedup_flows_stream(flows_with_time: DataFrame, key_cols: Iterable[str] | None = None) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon.
+
+    Drops redelivered flows (the reference's at-least-once Kafka redelivery
+    produces duplicates it never removed — T1). State per key is evicted
+    once the watermark passes, so memory is bounded by the horizon's key
+    cardinality, not the stream's.
+    """
+    keys = list(key_cols or ["start", "end", "src_ip", "dst_ip", "bytes", "packets"])
+    return flows_with_time.dropDuplicatesWithinWatermark(keys + ["event_time"])
+
+
+# --- custom stateful operator: flow-conversation sessions -------------------
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_flows", LongType()),
+        StructField("sum_bytes", LongType()),
+        StructField("sum_packets", LongType()),
+        StructField("first_ms", DoubleType()),
+        StructField("last_ms", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("src_ip", StringType()),
+        StructField("dst_ip", StringType()),
+        StructField("n_flows", LongType()),
+        StructField("sum_bytes", LongType()),
+        StructField("sum_packets", LongType()),
+        StructField("first_ms", DoubleType()),
+        StructField("last_ms", DoubleType()),
+        StructField("closed", StringType()),  # 'timeout' | 'update'
+    ]
+)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate per-(src_ip, dst_ip) conversation totals; emit a snapshot
+    per batch and a final row on event-time timeout.
+
+    Arrow-batched (pandas in, pandas out); state is one fixed-width tuple per
+    active conversation — O(active pairs), never O(rows).
+    """
+    src_ip, dst_ip = key
+    if state.hasTimedOut:
+        n, b, p, fm, lm = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "src_ip": src_ip, "dst_ip": dst_ip,
+                    "n_flows": n, "sum_bytes": b, "sum_packets": p,
+                    "first_ms": fm, "last_ms": lm, "closed": "timeout",
+                }
+            ]
+        )
+        return
+    n = b = p = 0
+    fm = float("inf")
+    lm = float("-inf")
+    if state.exists:
+        n, b, p, fm, lm = state.get
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        b += int(pdf["bytes"].sum())
+        p += int(pdf["packets"].sum())
+        fm = min(fm, float(pdf["start"].min()))
+        lm = max(lm, float(pdf["end"].max()))
+    state.update((n, b, p, fm, lm))
+    state.setTimeoutTimestamp(int(lm) + 60_000)  # close 60s after last flow
+    yield pd.DataFrame(
+        [
+            {
+                "src_ip": src_ip, "dst_ip": dst_ip,
+                "n_flows": n, "sum_bytes": b, "sum_packets": p,
+                "first_ms": fm, "last_ms": lm, "closed": "update",
+            }
+        ]
+    )
+
+
+def conversation_sessions(flows_with_time: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-(src_ip, dst_ip) conversation rollup
+    with 60s event-time session close — ``applyInPandasWithState``, the
+    pattern the mandate names for operators Spark's built-ins can't express
+    (running session state with custom close semantics)."""
+    return flows_with_time.groupBy("src_ip", "dst_ip").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --- process parity: sink selection + graceful shutdown ---------------------
+
+def run_until_signal(query) -> None:
+    """T4: SIGINT/SIGTERM -> query.stop() -> awaitTermination returns.
+
+    The reference's exit-channel dance (utils/exit.go:15-37) collapses to a
+    two-line signal handler because checkpointing makes stop/restart safe.
+    """
+
+    def _stop(signum, frame):
+        query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    query.awaitTermination()

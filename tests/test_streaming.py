@@ -1,0 +1,192 @@
+"""Streaming-spine tests: file-source micro-batches standing in for Kafka
+(no broker in CI), memory/foreachBatch sinks, checkpointed availableNow runs.
+
+Covers SURVEY.md §2.1 S3-S6, §2.9 T1/T4, and the event-time extensions
+(windowed agg, streaming dedup, applyInPandasWithState sessions).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.normalize import flows_from_json
+from kafka_clickhouse_example_spark.sinks import clickhouse as ch
+from kafka_clickhouse_example_spark.sources.kafka import read_file_flows
+from kafka_clickhouse_example_spark.streaming import pipeline as P
+
+BASE_MS = 1_700_000_000_000  # fixed epoch anchor; arbitrary but deterministic
+
+
+def _flow(i: int, *, src="10.0.0.1", dst="10.0.0.2", bytes_=100, packets=2, start=None, end=None):
+    start = BASE_MS + i * 1000 if start is None else start
+    return {
+        "TimeFlowStartMs": float(start),
+        "TimeFlowEndMs": float(start + 500 if end is None else end),
+        "SrcAddr": src,
+        "DstAddr": dst,
+        "SrcK8S_Name": f"pod-{i}",
+        "DstK8S_Name": "svc",
+        "SrcK8S_Type": "Pod",
+        "DstK8S_Type": "Service",
+        "SrcK8S_Namespace": "ns-a",
+        "DstK8S_Namespace": "ns-b",
+        "Bytes": float(bytes_),
+        "Packets": float(packets),
+    }
+
+
+def _write_lines(path, rows):
+    path.write_text("\n".join(json.dumps(r) if isinstance(r, dict) else r for r in rows))
+
+
+@pytest.fixture()
+def flow_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return d
+
+
+def _run_available_now(stream_df, sink_builder):
+    q = sink_builder(stream_df)
+    q.awaitTermination(120)
+    assert not q.isActive, "availableNow query did not finish"
+    return q
+
+
+def test_stream_normalize_matches_batch(spark, flow_dir, tmp_path):
+    """The streaming decode+normalize path is byte-identical to batch on the
+    same inputs; malformed lines are dropped (P4), missing keys default (P2)."""
+    rows = [_flow(i) for i in range(10)]
+    partial = {"TimeFlowStartMs": float(BASE_MS), "SrcAddr": "10.9.9.9"}  # missing most keys
+    _write_lines(flow_dir / "a.json", [*rows[:5], "{not json", partial])
+    _write_lines(flow_dir / "b.json", rows[5:])
+
+    stream = P.normalized_stream(read_file_flows(spark, str(flow_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("norm_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("norm_stream").collect()}
+
+    batch = flows_from_json(spark.read.text(str(flow_dir)))
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) == 11  # 10 full + 1 partial; malformed dropped
+    defaulted = [r for r in got if r[2] == "10.9.9.9"][0]
+    assert defaulted[3] == "" and defaulted[10] == 0  # dst_ip "" / bytes 0 defaults
+
+
+def test_clickhouse_foreachbatch_sink(spark, flow_dir, tmp_path):
+    """S3/S4: foreachBatch invokes the writer once per micro-batch with the
+    normalized frame + batch_id; offsets commit after the writer returns."""
+    _write_lines(flow_dir / "a.json", [_flow(i) for i in range(3)])
+    _write_lines(flow_dir / "b.json", [_flow(i) for i in range(3, 6)])
+
+    captured: list[tuple[int, int]] = []
+
+    def recorder(df, batch_id):
+        captured.append((batch_id, df.count()))
+
+    stream = P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=1))
+    q = ch.start_clickhouse_export(
+        stream,
+        str(tmp_path / "ckpt"),
+        recorder,
+        with_batch_id=True,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(captured) == [(0, 3), (1, 3)]
+
+
+def test_ddl_bootstrap_non_destructive_and_parity(spark):
+    """S8: default bootstrap is CREATE-only (the reference's DROP-on-start
+    race is deliberately not reproduced); parity mode adds the DROP."""
+    ran: list[str] = []
+    ch.setup_table(ran.append)
+    assert len(ran) == 1 and ran[0].strip().startswith("CREATE TABLE IF NOT EXISTS flows")
+    ran.clear()
+    ch.setup_table(ran.append, drop_first=True)
+    assert ran[0] == ch.DROP_DDL and ran[1].strip().startswith("CREATE TABLE")
+
+
+def test_windowed_traffic_append_with_watermark(spark, flow_dir, tmp_path):
+    """Watermarked tumbling windows emit finalized rows once the watermark
+    passes; the late sentinel batch flushes the earlier windows."""
+    # minute 0: two flows; minute 1: one flow; sentinel 30 min later.
+    rows1 = [
+        _flow(0, bytes_=100, packets=1),
+        _flow(1, bytes_=200, packets=2),
+        _flow(0, bytes_=50, packets=1, start=BASE_MS + 60_000),
+    ]
+    sentinel = [_flow(0, start=BASE_MS + 30 * 60_000)]
+    _write_lines(flow_dir / "a.json", rows1)
+
+    stream = P.windowed_traffic(P.with_event_time(P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=None))))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_lines(flow_dir / "b.json", sentinel)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window_start"].isoformat(), r["sum_bytes"], r["sum_packets"], r["n_flows"])
+        for r in spark.table("win_stream").collect()
+    }
+    # BASE_MS = 2023-11-14T22:13:20 UTC -> minute floor :13:00 and :14:00
+    assert ("2023-11-14T22:13:00", 300, 3, 2) in got
+    assert ("2023-11-14T22:14:00", 50, 1, 1) in got
+
+
+def test_streaming_dedup_within_watermark(spark, flow_dir, tmp_path):
+    """Redelivered duplicates (T1's failure mode) are dropped by
+    dropDuplicatesWithinWatermark on the flow identity key."""
+    rows = [_flow(0), _flow(1)]
+    _write_lines(flow_dir / "a.json", rows + rows)  # exact redelivery
+    stream = P.dedup_flows_stream(P.with_event_time(P.normalized_stream(read_file_flows(spark, str(flow_dir)))))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dedup_stream").count() == 2
+
+
+def test_conversation_sessions_stateful(spark, flow_dir, tmp_path):
+    """applyInPandasWithState accumulates per-(src,dst) totals across
+    micro-batches and emits running snapshots."""
+    _write_lines(flow_dir / "a.json", [_flow(0, bytes_=10), _flow(1, bytes_=20)])
+    _write_lines(flow_dir / "b.json", [_flow(2, bytes_=30, dst="10.0.0.9")])
+
+    stream = P.conversation_sessions(P.with_event_time(P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=None))))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["src_ip"], r["dst_ip"]): (r["n_flows"], r["sum_bytes"]) for r in spark.table("sess_stream").collect()}
+    assert rows[("10.0.0.1", "10.0.0.2")] == (2, 30)
+    assert rows[("10.0.0.1", "10.0.0.9")] == (1, 30)
