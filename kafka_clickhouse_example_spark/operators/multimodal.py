@@ -1,0 +1,169 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, plus decode / feature-extract / resize / frame-sample
+operators (driver extension mandate).
+
+Design for 100 TB of media:
+
+- A media row is (media_id, kind, payload: binary, meta: struct). The payload
+  is opaque to Spark — only the Pandas-UDF decode boundary interprets it —
+  so scans that touch metadata alone never read payload bytes (parquet
+  column pruning on the binary column is the single biggest IO lever).
+- Decode/feature-extract run as ``mapInPandas`` over Arrow batches: one
+  Python roundtrip per ~10k rows, not per row. The UDF signature, batch
+  shape, schema, and partitioning are real and tested; only the pixel/sample
+  decode itself is stubbed (this container has no PIL/ffmpeg — see
+  ``decode_payload``), per the mandate.
+- Frame sampling and header-derived features are pure column expressions —
+  no Python at all — because they only slice bytes, and ``substring`` works
+  on BinaryType JVM-side.
+
+The deterministic fake decode derives dimensions from the payload's md5, so
+every derived feature is reproducible in the DuckDB oracle: a hash match
+certifies the whole Arrow round-trip, not just the happy path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ["image", "audio", "video"]
+FRAME_SIZE = 256  # bytes per fake "frame" for frame sampling
+MAX_FRAMES = 8
+
+# Arrow/pandas output schema of the decode UDF (DDL form, used by mapInPandas).
+DECODE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, payload_md5 string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media corpus from the documents table: payload
+    = utf-8 bytes of the text, kind = round-robin by id, typed metadata.
+
+    Stands in for real object-store media at test time; the operator surface
+    downstream is identical for real payloads.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(payload_md5: str) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: dimensions from md5 nibbles.
+
+    width  = 16 + (first 4 hex digits mod 4080)
+    height = 16 + (next 4 hex digits mod 4080)
+    duration_ms = (next 6 hex digits mod 600000)
+    Mirrored 1:1 in oracle SQL — see plans/queries_multimodal.py.
+    """
+    w = 16 + int(payload_md5[0:4], 16) % 4080
+    h = 16 + int(payload_md5[4:8], 16) % 4080
+    d = int(payload_md5[8:14], 16) % 600_000
+    return w, h, d
+
+
+def decode_payload(kind: str, payload: bytes) -> tuple[int, int, int]:
+    """Decode one payload's (width, height, duration_ms).
+
+    REAL DECODE IS STUBBED: this container ships no image/audio/video codecs
+    (no PIL, no ffmpeg). A production build replaces the body below with
+    ``PIL.Image.open(io.BytesIO(payload)).size`` etc.; the deterministic
+    md5-derived fake keeps every downstream feature testable and
+    oracle-checkable. Raise for unknown kinds so bad data fails loudly.
+    """
+    if kind not in MEDIA_KINDS:
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    return _fake_dims(hashlib.md5(payload).hexdigest())
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched payload -> per-item features.
+
+    The hot path at scale: batches arrive as pandas DataFrames (zero-copy
+    Arrow for the binary column), the UDF emits a narrow typed frame, and
+    Spark plans it as a single narrow map stage — no shuffle.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            dims = [_fake_dims(m) for m in md5s]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_md5": md5s,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "duration_ms": [d[2] for d in dims],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(decode, DECODE_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator — plumbing only.
+
+    REAL RESIZE IS STUBBED (no PIL in this container): calling this raises
+    ``NotImplementedError`` from the executor. The signature, schema, and
+    mapInPandas wiring are the production shape.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "resize requires an image codec (PIL) not present in this build"
+        )
+        yield  # pragma: no cover - makes this a generator
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize, "media_id long, payload binary"
+    )
+
+
+def frame_offsets(payload: Column, frame_size: int = FRAME_SIZE, max_frames: int = MAX_FRAMES) -> Column:
+    """Byte offsets of sampled frames: evenly spaced ``frame_size`` strides,
+    capped at ``max_frames``. Pure column math — runs JVM-side."""
+    n_frames = F.least(F.floor(F.length(payload) / frame_size), F.lit(max_frames)).cast("int")
+    offs = F.transform(
+        F.sequence(F.lit(0), n_frames - 1), lambda i: (i * frame_size).cast("long")
+    )
+    # Guard: sequence(0, -1) would produce a *descending* sequence, not empty.
+    return F.when(n_frames > 0, offs).otherwise(F.array().cast("array<long>"))
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sample video payloads: one output row per sampled frame with its
+    byte slice. ``substring`` on BinaryType slices JVM-side; the explode is
+    the only row expansion and carries just (id, offset, frame bytes)."""
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.posexplode(frame_offsets(F.col("payload"))).alias("frame_no", "offset"),
+        F.col("payload"),
+    )
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "offset",
+        F.substring(F.col("payload"), F.col("offset").cast("int") + 1, FRAME_SIZE).alias("frame"),
+    )

@@ -1,0 +1,110 @@
+"""Multimodal queries over a deterministic media corpus derived from the
+documents table, with DuckDB oracles that recompute the payload bytes, md5s,
+and md5-derived fake-decode dimensions — so the oracle certifies the whole
+Arrow mapInPandas round-trip (schema, batching, binary transfer), not just
+column plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import multimodal as M
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+# DuckDB mirrors of operators/multimodal._fake_dims (md5 of the utf-8 text
+# bytes == md5 of the payload, since payload = encode(text)).
+_MD5 = "md5(text)"
+_WIDTH = f"(16 + ('0x' || substr({_MD5}, 1, 4))::INT % 4080)"
+_HEIGHT = f"(16 + ('0x' || substr({_MD5}, 5, 4))::INT % 4080)"
+_DURATION = f"(('0x' || substr({_MD5}, 9, 6))::INT % 600000)"
+_KIND = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+_NBYTES = "octet_length(encode(text))"  # encode() is UTF-8-safe, ::BLOB is not
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return M.attach_media(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       {_KIND}   AS kind,
+       {_NBYTES} AS n_bytes,
+       {_MD5}    AS payload_md5,
+       {_WIDTH}  AS width,
+       {_HEIGHT} AS height,
+       {_DURATION} AS duration_ms
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode of binary payloads into typed
+    features (stubbed codec, real plumbing — operators/multimodal.py)."""
+    return M.decode_media(_media(spark, sf_dir)).orderBy("media_id")
+
+
+@register(
+    "mm_kind_stats",
+    oracle=f"""
+SELECT {_KIND} AS kind,
+       count(*) AS n_items,
+       sum({_NBYTES}) AS total_bytes,
+       min({_WIDTH}) AS min_width,
+       max({_HEIGHT}) AS max_height
+FROM documents
+GROUP BY 1
+ORDER BY kind
+""",
+)
+def mm_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup per media kind. At scale this never touches the
+    payload column (parquet prunes it) — the decode features come from the
+    mapInPandas stage, here re-aggregated."""
+    decoded = M.decode_media(_media(spark, sf_dir))
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
+    "mm_frame_samples",
+    oracle=f"""
+WITH video AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS payload_hex,
+         least(({_NBYTES} // {M.FRAME_SIZE})::INT, {M.MAX_FRAMES}) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       i::INT AS frame_no,
+       (i * {M.FRAME_SIZE})::BIGINT AS "offset",
+       substr(payload_hex, i * {M.FRAME_SIZE * 2} + 1, {M.FRAME_SIZE * 2}) AS frame_hex
+FROM video, unnest(range(0, n_frames)) AS t(i)
+ORDER BY media_id, frame_no
+""",
+)
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: JVM-side byte slicing
+    (substring on BinaryType), one row per sampled frame; frames reported as
+    hex so the oracle compares the exact bytes (DuckDB's md5 is VARCHAR-only
+    and its bracket slicing rejects BLOBs — hex-space slicing is byte-exact)."""
+    frames = M.sample_frames(_media(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "offset",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    ).orderBy("media_id", "frame_no")

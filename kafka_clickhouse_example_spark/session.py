@@ -16,11 +16,57 @@ config here is chosen to also hold on a 1000-executor cluster at ~100 TB:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def _package_zip() -> str:
+    """Zip this package (content-addressed name, rebuilt only on change).
+
+    Python UDF closures that call module-level helpers are pickled *by
+    reference* to this package; executor Python workers must be able to
+    import it no matter what cwd/sys.path the harness driver uses. Shipping
+    the zip via ``addPyFile`` is the same mechanism spark-submit --py-files
+    uses on a real cluster.
+    """
+    entries = []
+    for root, _dirs, files in os.walk(_PKG_DIR):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((full, os.path.relpath(full, os.path.dirname(_PKG_DIR))))
+    h = hashlib.md5()
+    for full, rel in sorted(entries, key=lambda e: e[1]):
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    path = os.path.join("/tmp", f"kce_spark_pkg_{h.hexdigest()[:16]}.zip")
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in entries:
+                zf.write(full, rel)
+        os.replace(tmp, path)
+    return path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers (idempotent:
+    re-adding an identical file is a no-op)."""
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # e.g. Spark Connect sessions without an SC; UDFs then rely on cwd
 
 
 def get_spark(
@@ -67,4 +113,5 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # some confs may be static on older builds; never fail a query over it
+    ship_package(spark)
     return spark

@@ -1,0 +1,73 @@
+"""Multimodal operator tests: Arrow round-trip, stubbed decode contract,
+frame slicing edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "x" * 1000),  # image
+            (1, "y" * 100),  # audio
+            (2, "z" * 700),  # video: floor(700/256)=2 frames
+            (5, "w" * 100),  # video: 0 frames (payload < FRAME_SIZE)
+        ],
+        "doc_id long, text string",
+    )
+    return M.attach_media(docs)
+
+
+def test_attach_media_schema_and_kinds(media):
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio"
+    assert rows[2]["kind"] == "video" and rows[5]["kind"] == "video"
+    assert rows[0]["meta"]["n_bytes"] == 1000
+    assert bytes(rows[1]["payload"]) == b"y" * 100
+
+
+def test_decode_media_matches_python_reference(media):
+    decoded = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    for mid, text in [(0, b"x" * 1000), (2, b"z" * 700)]:
+        md5 = hashlib.md5(text).hexdigest()
+        w, h, d = M._fake_dims(md5)
+        r = decoded[mid]
+        assert (r["payload_md5"], r["width"], r["height"], r["duration_ms"]) == (md5, w, h, d)
+        assert r["n_bytes"] == len(text)
+
+
+def test_decode_payload_unknown_kind_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_payload("hologram", b"\x00")
+
+
+def test_resize_is_stubbed(media, spark):
+    with pytest.raises(Exception, match="resize requires an image codec"):
+        M.resize_image(media, 64, 64).collect()
+
+
+def test_sample_frames_slices_and_caps(media):
+    frames = M.sample_frames(media).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {2}  # only video with >= 1 full frame
+    f2 = sorted(by_id[2], key=lambda r: r["frame_no"])
+    assert [(r["frame_no"], r["offset"]) for r in f2] == [(0, 0), (1, 256)]
+    assert all(len(bytes(r["frame"])) == 256 for r in f2)
+    assert bytes(f2[1]["frame"]) == b"z" * 256
+
+
+def test_frame_cap_at_max_frames(spark):
+    docs = spark.createDataFrame([(2, "a" * (M.FRAME_SIZE * 20))], "doc_id long, text string")
+    frames = M.sample_frames(M.attach_media(docs)).collect()
+    assert len(frames) == M.MAX_FRAMES
