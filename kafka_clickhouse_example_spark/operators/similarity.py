@@ -121,6 +121,52 @@ def lsh_bucket_pairs(
     )
 
 
+def topk_lsh_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """IVF-style ANN top-k: probe only the query's bucket.
+
+    The corpus is coarsely quantized into 2^bits cells (sign-bit LSH here;
+    a k-means IVF has the identical plan shape — swap ``sign_bucket`` for a
+    nearest-centroid assignment). A query scores only its own cell:
+    candidate volume drops ~2^bits-fold vs brute force, trading recall for
+    a bucket-key equi-join that shuffles just the small query side.
+    Approximate by construction; `topk_bruteforce` is its exact baseline.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_cv"),
+        sign_bucket(as_double(F.col(vec_col)), bits).alias("_cb"),
+    )
+    q = queries.select(
+        F.col(qid_col),
+        as_double(F.col(qvec_col)).alias("_qv"),
+        sign_bucket(as_double(F.col(qvec_col)), bits).alias("_qb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_cb") == F.col("_qb"))
+        .filter(F.col(qid_col) != F.col(id_col))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            cosine(F.col("_cv"), F.col("_qv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def topk_bruteforce_pandas(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -41,6 +41,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+# — the coarse split BPE vocabularies apply before merges. Supported
+# identically by Spark's and DuckDB's regex engines (no lookarounds).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """array<string> of BPE-style word pieces (regexp_extract_all)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def stopword_count(text: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
 

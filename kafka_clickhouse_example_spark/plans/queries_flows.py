@@ -86,6 +86,69 @@ def flows_full_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flows_windowed_traffic",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL})
+SELECT
+  make_timestamp((CAST(start AS BIGINT) // 60000) * 60000000)           AS window_start,
+  make_timestamp(((CAST(start AS BIGINT) // 60000) + 1) * 60000000)     AS window_end,
+  src_namespace, dst_namespace,
+  sum(bytes)    AS sum_bytes,
+  sum(packets)  AS sum_packets,
+  count(*)      AS n_flows
+FROM flows
+GROUP BY 1, 2, 3, 4
+ORDER BY window_start, src_namespace, dst_namespace
+""",
+)
+def flows_windowed_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the *streaming* tumbling-window rollup
+    (streaming.pipeline.windowed_traffic): the identical expression tree
+    executes in both modes, so this oracle certifies the streaming
+    operator's semantics, not a reimplementation."""
+    from kafka_clickhouse_example_spark.streaming.pipeline import windowed_traffic
+
+    flows = _flows(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_millis(F.col("start").cast("long"))
+    )
+    return windowed_traffic(flows).orderBy("window_start", "src_namespace", "dst_namespace")
+
+
+@register(
+    "flows_conversation_totals",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL})
+SELECT src_ip, dst_ip,
+       count(*)     AS n_flows,
+       sum(bytes)   AS sum_bytes,
+       sum(packets) AS sum_packets,
+       min(start)   AS first_ms,
+       max("end")   AS last_ms
+FROM flows
+GROUP BY src_ip, dst_ip
+ORDER BY src_ip, dst_ip
+""",
+)
+def flows_conversation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ground truth for the stateful conversation-session operator
+    (streaming.pipeline.conversation_sessions): per-(src,dst) totals equal
+    the final accumulated state when every conversation is driven to
+    completion."""
+    flows = _flows(spark, sf_dir)
+    return (
+        flows.groupBy("src_ip", "dst_ip")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum("packets").alias("sum_packets"),
+            F.min("start").alias("first_ms"),
+            F.max("end").alias("last_ms"),
+        )
+        .orderBy("src_ip", "dst_ip")
+    )
+
+
+@register(
     "flows_probe",
     oracle="""
 SELECT name, uuid_str FROM (

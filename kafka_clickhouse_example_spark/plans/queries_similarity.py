@@ -129,6 +129,42 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_topk_lsh_probe",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id, {_cosine_sql("e.v", "q.qv")} AS cosine_sim
+  FROM e JOIN q ON e.bucket = q.qb
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine_sim, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+""",
+)
+def sim_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: quantize the corpus into sign-bit cells, probe only the
+    query's cell — the candidate-pruned scale path whose exact baseline is
+    sim_topk_bruteforce. The oracle recomputes cell assignment AND scoring,
+    so the pruning itself is verified."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.topk_lsh_probe(emb, queries, TOP_K).orderBy("qid", "rank")
+
+
 @register("sim_topk_pandas")  # rows-only: BLAS summation order != fold kernel
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force top-k — the throughput kernel (10-100x the

@@ -75,6 +75,31 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_stats",
+    oracle=f"""
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '{T.BPE_PATTERN}'))                    AS n_bpe_tokens,
+  len(list_distinct(regexp_extract_all(text, '{T.BPE_PATTERN}')))     AS n_distinct_pieces,
+  len({TOKENS_SQL})                                                   AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter/digit runs + single symbols) next to
+    the whitespace count — the two tokenizers the mandate names."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(T.bpe_tokens(t))).alias("n_distinct_pieces"),
+        T.token_count(t).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_quality_scores",
     oracle=f"""
 SELECT
