@@ -15,11 +15,25 @@ Scale design (100 TB corpus):
   regardless of doc length), candidate generation shuffles on band keys
   (bounded fan-out), and only candidates pay the exact-verify cost. This is
   the shape that survives 100 TB; the exact join is the oracle for it.
-- Everything is column expressions (codegen'd); no Python in any hot path.
+- Everything is column expressions; no Python in any hot path.
 
-Determinism: all hashes derive from md5 (stable across engines/versions);
-permutations are md5("<perm>:"+shingle) rather than seeded RNG, so the DuckDB
-oracle can reproduce signatures exactly.
+Expression-evaluation discipline (the performance lesson measured on this
+module's first version): higher-order array functions (transform/aggregate)
+run *interpreted*, outside whole-stage codegen, and Catalyst does NOT
+common-subexpression-eliminate a repeated subtree inside one projection. A
+signature expression that inlines ``split(text)`` is therefore re-split for
+every band × perm × element — a combinatorial re-evaluation blowup (measured:
+one sf0.1 task pinned a core for >10 min). Every operator here materializes
+each intermediate (tokens -> shingles -> hashes -> signature -> band keys) as
+its own projection step with ``withColumn``, so each evaluates exactly once
+per row; CollapseProject keeps multiply-referenced non-trivial aliases
+un-inlined.
+
+Hash budget: one md5 per shingle/token. MinHash permutations use
+Kirsch-Mitzenmacher double hashing — perm_p(s) = (h1(s) + p*h2(s)) mod P —
+with h1/h2 the two 56-bit halves of a single md5. Determinism: md5-derived
+values are bit-stable across engines, so the DuckDB oracle reproduces
+signatures exactly.
 """
 
 from __future__ import annotations
@@ -30,19 +44,21 @@ from pyspark.sql import functions as F
 NGRAM_DEFAULT = 3
 MINHASH_PERMS = 8
 LSH_BAND_ROWS = 2  # 8 perms / 2 rows => 4 bands
+HASH_PRIME = 72057594037927931  # largest prime < 2^56; keeps p*h2 overflow-free
 
 
 def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def shingles(text: Column, n: int = NGRAM_DEFAULT) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+def shingles_from_tokens(toks: Column, n: int = NGRAM_DEFAULT) -> Column:
+    """Distinct word n-gram shingles as an array<string>, from a
+    *materialized* token-array column (evaluate ``_tokens`` once per row —
+    see module docstring).
 
     Guarded so docs with < n tokens yield an empty array (Spark's
     ``sequence(1, 0)`` would otherwise produce a *descending* sequence).
     """
-    toks = _tokens(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -50,38 +66,70 @@ def shingles(text: Column, n: int = NGRAM_DEFAULT) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
 
 
-def perm_hash(shingle: Column, perm: int) -> Column:
-    """Deterministic per-permutation shingle hash: 60 bits of
-    md5('<perm>:' + shingle). Mirrors DuckDB
-    ('0x' || substr(md5(perm || ':' || s), 1, 15))::BIGINT."""
-    payload = F.concat(F.lit(f"{perm}:"), shingle)
-    return F.conv(F.substring(F.md5(payload.cast("binary")), 1, 15), 16, 10).cast("long")
-
-
-def _perm_hasher(perm: int):
-    # A real closure, NOT `lambda s, p=p:` — PySpark counts default params
-    # when inferring lambda arity, so a defaulted second param silently turns
-    # the lambda into transform's (element, index) form.
-    def f(s: Column) -> Column:
-        return perm_hash(s, perm)
-
-    return f
-
-
-def minhash_signature(text: Column, num_perms: int = MINHASH_PERMS) -> Column:
-    """array<long> of length ``num_perms``: min over shingles of each
-    permuted hash. Empty shingle set -> NULL entries (filtered by callers)."""
-    sh = shingles(text)
-    return F.array(
-        *[F.array_min(F.transform(sh, _perm_hasher(p))) for p in range(num_perms)]
+def md5_half(s: Column, which: int) -> Column:
+    """56-bit integer from half of md5(s): hex chars 1-14 (which=0) or 15-28
+    (which=1). Mirrors DuckDB ('0x' || substr(md5(s), start, 14))::BIGINT."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1 + which * 14, 14), 16, 10).cast(
+        "long"
     )
+
+
+def perm_hash_from_halves(h1: Column, h2: Column, perm: int) -> Column:
+    """Kirsch-Mitzenmacher permutation p: (h1 + p*h2) mod P. With h1,h2 <
+    2^56 and p < 16 the product stays < 2^60 — no 64-bit overflow in Spark
+    or DuckDB (DuckDB *errors* on BIGINT overflow rather than wrapping)."""
+    return (h1 + F.lit(perm) * h2) % F.lit(HASH_PRIME)
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out: str = "sh"
+) -> DataFrame:
+    """(id, shingle-array) with empty-shingle docs dropped; single split and
+    single shingle materialization per row."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .withColumn("_toks", _tokens(F.col("_text")))
+        .withColumn(out, shingles_from_tokens(F.col("_toks")))
+        .filter(F.size(out) > 0)
+        .select("doc_id", out)
+    )
+
+
+def with_minhash_signature(
+    shingled: DataFrame, sh_col: str = "sh", num_perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """Adds ``mh``: array<long> minhash signature.
+
+    Two md5-half arrays are materialized once; each permutation is then a
+    cheap integer zip_with + array_min over them — num_perms scans, one md5
+    per shingle total.
+    """
+    out = (
+        shingled.withColumn("_h1", F.transform(F.col(sh_col), lambda s: md5_half(s, 0)))
+        .withColumn("_h2", F.transform(F.col(sh_col), lambda s: md5_half(s, 1)))
+        .withColumn(
+            "mh",
+            F.array(
+                *[
+                    F.array_min(
+                        F.zip_with(
+                            "_h1", "_h2", lambda a, b: perm_hash_from_halves(a, b, p)
+                        )
+                    )
+                    for p in range(num_perms)
+                ]
+            ),
+        )
+    )
+    return out.drop("_h1", "_h2")
 
 
 def band_keys(signature: Column, band_rows: int = LSH_BAND_ROWS) -> Column:
     """array<string> of LSH band keys: '<band>|mh_i|mh_i+1|...'.
 
     Two docs collide on a band iff that band's rows agree exactly — the
-    classic banding construction (prob of candidacy 1-(1-j^r)^b).
+    classic banding construction (prob of candidacy 1-(1-j^r)^b). Call on a
+    *materialized* signature column only.
     """
     num_bands = MINHASH_PERMS // band_rows
     keys = []
@@ -116,9 +164,7 @@ def jaccard_pairs(
     j(a,b) = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|), computed from integer
     counts (the division is a single double op — deterministic).
     """
-    with_sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    with_sh = with_shingles(df, text_col, id_col)
     sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
     inverted = with_sh.select("doc_id", F.explode("sh").alias("shingle"))
     if max_shingle_freq is not None:
@@ -169,14 +215,12 @@ def minhash_lsh_pairs(
     signatures and band keys are fixed-size per doc, and the band join's
     fan-out is bounded by bucket sizes, not corpus size.
     """
-    with_sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    banded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(band_keys(minhash_signature(F.col(text_col)))).alias("bk"),
-    ).filter(F.col("bk").isNotNull())
+    with_sh = with_shingles(df, text_col, id_col)
+    banded = (
+        with_minhash_signature(with_sh)
+        .withColumn("bk", F.explode(band_keys(F.col("mh"))))
+        .select("doc_id", "bk")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -199,22 +243,39 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over (duplicated) tokens: bit i is the sign of the sum
-    of +-1 contributions from each token's hash bit i. Frequency-weighted by
-    construction (duplicate tokens contribute multiply)."""
-    toks = _tokens(text)
-    hashes = F.transform(toks, _perm_hasher(0))
+SIMHASH_BITS = 16
 
-    def bit_merger(i: int):
-        def f(s: Column, h: Column) -> Column:
-            return s + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
 
-        return f
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """16-bit SimHash per row: bit i is the sign of the sum of +-1
+    contributions from each token's hash bit i; frequency-weighted by
+    construction (duplicate tokens contribute multiply).
 
-    acc = None
-    for i in range(16):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_merger(i))
-        bit = F.when(contrib >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        acc = bit if acc is None else acc + bit
-    return acc.cast("long")
+    One md5 per token: the hash array is materialized once, then each bit's
+    +-1 fold scans the (cheap, integer) array — 16 folds over ~doc-length
+    ints, zero hash re-evaluation. (F.shiftright requires a literal shift
+    amount, which rules out a single fold with a transform-indexed
+    accumulator.)
+    """
+
+    def bit_count(i: int) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("_th"), F.lit(0).cast("long"), step)
+
+    fingerprint = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.element_at(F.col("_bits"), i + 1) >= 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return (
+        df.withColumn("_toks", _tokens(F.col(text_col)))
+        .withColumn("_th", F.transform(F.col("_toks"), lambda t: md5_half(t, 0)))
+        .withColumn("_bits", F.array(*[bit_count(i) for i in range(SIMHASH_BITS)]))
+        .withColumn(out, fingerprint.cast("long"))
+        .drop("_toks", "_th", "_bits")
+    )

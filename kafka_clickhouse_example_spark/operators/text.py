@@ -90,23 +90,45 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: stopword_count(text, words) for lang, words in STOPWORDS.items()}
 
 
-def lang_id(text: Column) -> Column:
-    """Stopword-count argmax with fixed priority tie-break (en>de>fr>es>zh).
+def lang_ladder(scores: dict[str, Column]) -> Column:
+    """Stopword-count argmax with fixed priority tie-break (en>de>fr>es>zh),
+    as a CASE ladder over *already-materialized* score columns.
 
-    Expressed as a CASE ladder so the oracle SQL is the literal same
-    decision procedure.
+    The ladder references each score up to |langs|-1 times; passing raw
+    ``stopword_count`` expressions here would re-split the text per
+    reference (interpreted, no CSE — see operators/dedup.py docstring).
     """
-    s = lang_scores(text)
     expr = F.lit(LANG_PRIORITY[-1])
     # Build the ladder bottom-up: es>=zh -> es, else zh; then fr>=both, ...
     for i in range(len(LANG_PRIORITY) - 2, -1, -1):
         lang = LANG_PRIORITY[i]
         cond = None
         for later in LANG_PRIORITY[i + 1 :]:
-            c = s[lang] >= s[later]
+            c = scores[lang] >= scores[later]
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def with_lang_id(df, text_col: str = "text", out: str = "predicted_lang"):
+    """Materialize per-language stopword counts (one tokenization), then the
+    argmax ladder over the count columns."""
+    toks = tokens(F.col(text_col))
+    scored = df.withColumn("_lt", toks)
+    for lang, words in STOPWORDS.items():
+        scored = scored.withColumn(
+            f"_ls_{lang}", F.size(F.filter(F.col("_lt"), lambda t: t.isin(*words)))
+        )
+    scores = {lang: F.col(f"_ls_{lang}") for lang in STOPWORDS}
+    return scored.withColumn(out, lang_ladder(scores)).drop(
+        "_lt", *[f"_ls_{lang}" for lang in STOPWORDS]
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Single-expression language ID (convenience; re-tokenizes per score —
+    prefer ``with_lang_id`` in hot paths)."""
+    return lang_ladder(lang_scores(text))
 
 
 def quality_metrics(text: Column) -> dict[str, Column]:
@@ -135,3 +157,28 @@ def quality_metrics(text: Column) -> dict[str, Column]:
         "stopword_ratio": stop_ratio,
         "quality_score": score,
     }
+
+
+def with_quality_metrics(df, text_col: str = "text"):
+    """Materialized quality metrics: one tokenization/regex pass per input
+    row, ratios and score computed from the count *columns*."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_chars", F.length(t))
+        .withColumn("n_alpha", alpha_char_count(t))
+        .withColumn("n_stopwords", stopword_count(t, STOPWORDS["en"]))
+        .withColumn(
+            "alpha_ratio", F.col("n_alpha").cast("double") / F.col("n_chars").cast("double")
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+    return out.withColumn(
+        "quality_score",
+        F.lit(0.4) * F.col("alpha_ratio")
+        + F.lit(0.4) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+        + F.lit(0.2) * F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)),
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_example_spark.operators import dedup as D
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_table
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
 
 JACCARD_THRESHOLD = 0.3
 
@@ -32,12 +32,17 @@ list_distinct(
 """
 
 
-def _perm_hash_sql(perm: int, var: str = "s") -> str:
-    return f"('0x' || substr(md5('{perm}:' || {var}), 1, 15))::BIGINT"
+def _md5_half_sql(var: str, which: int) -> str:
+    # operators/dedup.md5_half: 56-bit halves of one md5.
+    return f"('0x' || substr(md5({var}), {1 + which * 14}, 14))::BIGINT"
 
 
 def _minhash_sql(perm: int) -> str:
-    return f"list_aggregate(list_transform(sh, s -> {_perm_hash_sql(perm)}), 'min')"
+    # Kirsch-Mitzenmacher: (h1 + p*h2) mod P, min over shingles.
+    ph = (
+        f"({_md5_half_sql('s', 0)} + {perm} * {_md5_half_sql('s', 1)}) % {D.HASH_PRIME}"
+    )
+    return f"list_aggregate(list_transform(sh, s -> {ph}), 'min')"
 
 
 def _band_keys_sql() -> str:
@@ -65,7 +70,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one canonical id per distinct
     text. Shuffles 16-byte hashes, not document bodies — O(rows) at 100 TB."""
     configure_runtime(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_compute_table(spark, sf_dir, "documents")
     return D.exact_duplicate_groups(docs).orderBy("content_md5")
 
 
@@ -97,7 +102,7 @@ ORDER BY id1, id2
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-Jaccard near-dup pairs (inverted-index self-join)."""
     configure_runtime(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_compute_table(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
 
 
@@ -143,29 +148,38 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final pair list.
     """
     configure_runtime(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_compute_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
 
 
 @register(
     "dedup_simhash_fingerprints",
     oracle=f"""
-SELECT doc_id,
-       (
-         {" + ".join(
-             f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
-             f"list_transform({TOKENS_SQL}, t -> "
-             f"CASE WHEN ({_perm_hash_sql(0, 't')} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), "
-             f"(acc, x) -> acc + x) >= 0 THEN {2 ** i} ELSE 0 END)"
-             for i in range(16)
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents
+),
+h AS (SELECT doc_id, {_md5_half_sql('t', 0)} AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+         {", ".join(
+             f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+             for i in range(D.SIMHASH_BITS)
          )}
-       ) AS simhash
-FROM documents
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       ({" + ".join(f"(CASE WHEN b{i} >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(D.SIMHASH_BITS))})::BIGINT AS simhash
+FROM bits
 ORDER BY doc_id
 """,
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (frequency-weighted token hashing)."""
+    """16-bit SimHash per document (frequency-weighted token hashing).
+
+    The oracle computes the identical bit sums relationally (unnest +
+    grouped conditional sums) — a different plan shape proving the same
+    semantics, one md5 per token in both engines.
+    """
     configure_runtime(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash")).orderBy("doc_id")
+    docs = load_compute_table(spark, sf_dir, "documents")
+    return D.with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_example_spark.operators import multimodal as M
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_table
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
 
 # DuckDB mirrors of operators/multimodal._fake_dims (md5 of the utf-8 text
 # bytes == md5 of the payload, since payload = encode(text)).
@@ -27,7 +27,7 @@ _NBYTES = "octet_length(encode(text))"  # encode() is UTF-8-safe, ::BLOB is not
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
-    return M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.attach_media(load_compute_table(spark, sf_dir, "documents"))
 
 
 @register(

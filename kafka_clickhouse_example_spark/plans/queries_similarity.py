@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_example_spark.operators import similarity as S
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_table
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
 
 TOP_K = 10
 NEARDUP_COSINE = 0.4
@@ -43,7 +43,7 @@ def _bucket_sql(v: str) -> str:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
-    return load_table(spark, sf_dir, "embeddings")
+    return load_compute_table(spark, sf_dir, "embeddings")
 
 
 @register(

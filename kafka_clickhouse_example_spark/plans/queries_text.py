@@ -13,12 +13,12 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_example_spark.operators import text as T
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_table
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
-    return load_table(spark, sf_dir, "documents")
+    return load_compute_table(spark, sf_dir, "documents")
 
 
 # SQL building blocks mirroring operators/text.py exactly.
@@ -120,12 +120,8 @@ ORDER BY doc_id
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: alpha ratio, stopword ratio, composite score."""
     docs = _docs(spark, sf_dir)
-    m = T.quality_metrics(F.col("text"))
-    return docs.select(
-        "doc_id",
-        m["alpha_ratio"].alias("alpha_ratio"),
-        m["stopword_ratio"].alias("stopword_ratio"),
-        m["quality_score"].alias("quality_score"),
+    return T.with_quality_metrics(docs).select(
+        "doc_id", "alpha_ratio", "stopword_ratio", "quality_score"
     ).orderBy("doc_id")
 
 
@@ -143,13 +139,14 @@ ORDER BY lang
 def text_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-count argmax) scored against the
     labeled lang column, aggregated per language."""
-    docs = _docs(spark, sf_dir)
-    predicted = T.lang_id(F.col("text"))
+    docs = T.with_lang_id(_docs(spark, sf_dir))
     return (
         docs.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.when(predicted == F.col("lang"), 1).otherwise(0)).alias("n_correct"),
+            F.sum(
+                F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_correct"),
         )
         .orderBy("lang")
     )

@@ -39,13 +39,33 @@ TIMESTAMP_COLS: dict[str, list[str]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, min_partitions: int | None = None
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in TIMESTAMP_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if min_partitions:
+        # Per-row-expensive pipelines (hashing, vector math) ask for a floor
+        # on scan parallelism: the test corpus is one single-row-group file
+        # (=> a 1-task scan that starves every other core), while a real
+        # large table scans as thousands of splits and skips this branch —
+        # the repartition only ever fires when the scan is pathologically
+        # under-parallel, so the extra shuffle is a test-scale-only cost.
+        if df.rdd.getNumPartitions() < min_partitions:
+            df = df.repartition(min_partitions)
     return df
+
+
+def load_compute_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table with scan parallelism floored at the session's core count —
+    for operators whose per-row cost (md5 chains, 64-dim fold kernels)
+    dwarfs the scan itself."""
+    return load_table(
+        spark, sf_dir, name, min_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
 def load_tables(
