@@ -166,7 +166,13 @@ def jaccard_pairs(
     """
     with_sh = with_shingles(df, text_col, id_col)
     sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inverted = with_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # Invert on the 56-bit shingle *hash*, not the string: ~8x less shuffle
+    # IO, long-vs-long join keys. (Distinct strings already; a hash collision
+    # would merge two shingles — the oracle applies the identical hash, so
+    # both engines agree on the operator's defined semantics.)
+    inverted = with_sh.select(
+        "doc_id", F.explode(F.transform("sh", lambda s: md5_half(s, 0))).alias("shingle")
+    )
     if max_shingle_freq is not None:
         hot = (
             inverted.groupBy("shingle")
@@ -175,8 +181,12 @@ def jaccard_pairs(
             .select("shingle")
         )
         inverted = inverted.join(F.broadcast(hot), "shingle", "left_anti")
+    # The self-join must NOT broadcast: the inverted index is O(corpus) — at
+    # 100 TB broadcasting it is fatal, and even locally the build is a serial
+    # bottleneck (Spark underestimates post-explode cardinality). Shuffle
+    # hash join partitions both sides by shingle.
     a = inverted.alias("a")
-    b = inverted.alias("b")
+    b = inverted.hint("shuffle_hash").alias("b")
     common = (
         a.join(
             b,
@@ -221,7 +231,8 @@ def minhash_lsh_pairs(
         .withColumn("bk", F.explode(band_keys(F.col("mh"))))
         .select("doc_id", "bk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # Same rule as jaccard_pairs: never broadcast the O(corpus) banded side.
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     candidates = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))

@@ -106,6 +106,11 @@ def lsh_bucket_pairs(
         as_double(F.col(vec_col)).alias("v"),
         sign_bucket(as_double(F.col(vec_col)), bits).alias("bucket"),
     )
+    # No join hint: the scan's size stats are accurate here (no explode
+    # upstream, unlike dedup's inverted index), so Spark broadcasts while the
+    # corpus fits the threshold and switches to sort-merge beyond it — the
+    # right call at both test and 100 TB scale. Widen `bits` with corpus
+    # size so buckets stay balanced for the shuffled case.
     a1, a2 = b.alias("a1"), b.alias("a2")
     return (
         a1.join(

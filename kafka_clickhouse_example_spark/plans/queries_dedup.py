@@ -81,7 +81,10 @@ WITH sh AS (
   SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
   WHERE len({SHINGLES_SQL}) > 0
 ),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inv AS (
+  SELECT doc_id, unnest(list_transform(sh, s -> {_md5_half_sql('s', 0)})) AS shingle
+  FROM sh
+),
 common AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -150,6 +153,67 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     docs = load_compute_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
+
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+EMB_NEARDUP_COSINE = 0.4
+_EMB_BUCKET = " + ".join(
+    f"(CASE WHEN v[{d + 1}] >= 0 THEN {2 ** d} ELSE 0 END)" for d in range(4)
+)
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle=f"""
+WITH e0 AS (
+  SELECT d.doc_id, emb.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings emb ON emb.vec_id = d.doc_id
+),
+e AS (SELECT doc_id, v, ({_EMB_BUCKET}) AS bucket FROM e0)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       {_cos("a.v", "b.v")} AS cosine_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE {_cos("a.v", "b.v")} >= {EMB_NEARDUP_COSINE}
+ORDER BY id1, id2
+""",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate *document* pairs: docs joined to their
+    embedding vectors (vec_id = doc_id), LSH-cell candidate pruning, exact
+    fold-kernel cosine verify >= tau — the dedup-by-embedding entry of the
+    mandate, on the documents table. An all-pairs variant would be a
+    nested-loop cartesian (O(n^2) at any scale); the cell equi-join is the
+    shape that survives a large corpus.
+    """
+    from kafka_clickhouse_example_spark.operators.similarity import lsh_bucket_pairs
+
+    configure_runtime(spark)
+    # Plain load for the id-only docs side (no per-row compute to spread);
+    # broadcast it into the embedding scan so the join adds no shuffle.
+    from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_compute_table(spark, sf_dir, "embeddings")
+    e = emb.join(F.broadcast(docs), docs.doc_id == emb.vec_id).select(
+        "doc_id", "embedding"
+    )
+    return (
+        lsh_bucket_pairs(e, EMB_NEARDUP_COSINE, id_col="doc_id")
+        .orderBy("id1", "id2")
+    )
 
 
 @register(

@@ -22,7 +22,7 @@ from kafka_clickhouse_example_spark.plans.flows import (
 )
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_table
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
 
 # Shared SQL fragment: the deterministic events->flows mapping (must stay in
 # lockstep with plans.flows.events_to_flow_json).
@@ -48,7 +48,7 @@ FROM events
 
 def _flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = load_compute_table(spark, sf_dir, "events")
     return flows_from_json(events_to_flow_json(events))
 
 
@@ -162,5 +162,5 @@ def flows_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """connect.go:52 probe shape: projection + cast-to-string (F3) + LIMIT 5
     (L1), aimed at the events table standing in for system.tables."""
     configure_runtime(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = load_compute_table(spark, sf_dir, "events")
     return probe_query(events, "event_type", "event_id", limit=5)
