@@ -404,6 +404,89 @@ def top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "top_talkers_salted",
+    oracle="""
+SELECT user_id,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+)
+def top_talkers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_talkers via salted two-stage aggregation (operators/skew.py): the
+    skew-safe plan for heavy-hitter keys. Shares top_talkers' oracle —
+    salting spreads placement, never changes results (DECIMAL partials make
+    the two-stage sum exact)."""
+    from kafka_clickhouse_example_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")["events"]
+    agg = salted_agg(
+        events,
+        ["user_id"],
+        {
+            "total_value": ("value", lambda c: F.sum(F.col(c).cast(DEC)), F.sum),
+            "n_events": ("value", F.count, F.sum),
+        },
+        salt_col=F.col("event_id"),
+    )
+    return agg.select(
+        "user_id", "total_value", F.col("n_events").cast("long").alias("n_events")
+    ).orderBy(F.col("total_value").desc(), "user_id").limit(10)
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (sort-based `percentile`, linear
+    interpolation — same formula as DuckDB's quantile_cont). The approximate
+    scale path is percentile_approx (rows-only below)."""
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.9D)").alias("p90"),
+            F.expr("percentile(value, 0.99D)").alias("p99"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("events_value_percentiles_approx")  # rows-only: sketch != exact
+def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style sketch): constant memory per group at any
+    scale — the 100 TB path. No SQL oracle (sketch output is
+    engine-specific); sanity bound vs the exact query in tests."""
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- Set operations ---------------------------------------------------------
 
 

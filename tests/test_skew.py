@@ -1,0 +1,51 @@
+"""Salted aggregation/join invariance: salting changes placement, never
+results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_agg_equals_plain(spark):
+    # Deliberately skewed: 90% of rows share key 1.
+    rows = [(i, 1 if i % 10 else 2, float(i % 7)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "row_id long, k long, v double")
+    plain = {
+        (r["k"]): (str(r["total"]), r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("total"), F.count("v").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (str(r["total"]), r["n"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": ("v", lambda c: F.sum(F.col(c).cast("decimal(18,2)")), F.sum),
+                "n": ("v", F.count, F.sum),
+            },
+            salt_col=F.col("row_id"),
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.createDataFrame(
+        [(i, 1 if i % 5 else 2) for i in range(500)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, label string")
+    plain = {tuple(r) for r in big.join(small, "k").select("row_id", "label").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(big, small, "k", salt_col=F.col("row_id"), n_salts=8)
+        .select("row_id", "label")
+        .collect()
+    }
+    assert salted == plain
+    # inner join drops unmatched small-side keys either way
+    assert all(lbl in ("hot", "cold") for _, lbl in salted)

@@ -171,6 +171,31 @@ def test_streaming_dedup_within_watermark(spark, flow_dir, tmp_path):
     assert spark.table("dedup_stream").count() == 2
 
 
+def test_checkpoint_resume_no_reprocessing(spark, flow_dir, tmp_path):
+    """T1 fix: offsets live in the checkpoint, atomic with batch completion.
+    A stopped-and-restarted query resumes after the last committed batch —
+    old files are not re-delivered to the sink (the reference's async commit
+    could both lose and duplicate here)."""
+    _write_lines(flow_dir / "a.json", [_flow(i) for i in range(4)])
+    seen: list[tuple[int, int]] = []
+
+    def recorder(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    def run_once():
+        stream = P.normalized_stream(read_file_flows(spark, str(flow_dir)))
+        q = ch.start_clickhouse_export(
+            stream, str(tmp_path / "ckpt"), recorder, trigger_available_now=True
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert seen == [(0, 4)]
+    _write_lines(flow_dir / "b.json", [_flow(i) for i in range(4, 6)])
+    run_once()  # restart from checkpoint: only the new file arrives
+    assert seen == [(0, 4), (1, 2)]
+
+
 def test_conversation_sessions_stateful(spark, flow_dir, tmp_path):
     """applyInPandasWithState accumulates per-(src,dst) totals across
     micro-batches and emits running snapshots."""
