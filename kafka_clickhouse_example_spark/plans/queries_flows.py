@@ -86,6 +86,40 @@ def flows_full_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flows_readme_verify_sql",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL})
+SELECT
+  make_timestamp(CAST(floor(start / 1000) AS BIGINT) * 1000000)  AS start_ts,
+  make_timestamp(CAST(floor("end" / 1000) AS BIGINT) * 1000000)  AS end_ts,
+  src_ip, dst_ip, src_name, dst_name, src_kind, dst_kind,
+  src_namespace, dst_namespace, bytes, packets
+FROM flows
+ORDER BY start_ts, end_ts, src_ip, dst_ip, src_name, dst_name, src_kind,
+         dst_kind, src_namespace, dst_namespace, bytes, packets
+LIMIT 100
+""",
+)
+def flows_readme_verify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README verification query through the *SQL* interface
+    (spark.sql over a registered flows temp view) — same Catalyst plan as
+    the DataFrame form, proving the engine's second query surface."""
+    _flows(spark, sf_dir).createOrReplaceTempView("flows")
+    return spark.sql(
+        """
+        SELECT timestamp_seconds(CAST(floor(start / 1000) AS BIGINT))  AS start_ts,
+               timestamp_seconds(CAST(floor(`end` / 1000) AS BIGINT))  AS end_ts,
+               src_ip, dst_ip, src_name, dst_name, src_kind, dst_kind,
+               src_namespace, dst_namespace, bytes, packets
+        FROM flows
+        ORDER BY start_ts, end_ts, src_ip, dst_ip, src_name, dst_name,
+                 src_kind, dst_kind, src_namespace, dst_namespace, bytes, packets
+        LIMIT 100
+        """
+    )
+
+
+@register(
     "flows_windowed_traffic",
     oracle=f"""
 WITH flows AS ({FLOWS_FROM_EVENTS_SQL})

@@ -74,3 +74,16 @@ def test_float_narrowing_truncates(spark):
     msg = dict(FULL_FLOW, Bytes=99.9, Packets=3.7)
     [row] = _run(spark, [json.dumps(msg)])
     assert row.bytes == 99 and row.packets == 3
+
+
+def test_wrong_typed_field_behavior(spark):
+    """Where the reference PANICS the whole process on a wrong-typed value
+    (unguarded type assertion, export_clickhouse.go:52), we degrade per
+    record: a JSON string where a number is expected marks the record
+    corrupt -> dropped (the log-and-skip path, same as malformed JSON),
+    while a JSON number where a string is expected coerces to its text form
+    and the record survives. Documented deviation -- crash-per-record is not
+    an option for a 100 TB pipeline."""
+    assert _run(spark, [json.dumps(dict(FULL_FLOW, Bytes="not-a-number"))]) == []
+    [row] = _run(spark, [json.dumps(dict(FULL_FLOW, SrcAddr=12345))])
+    assert row.src_ip == "12345" and row.bytes == 1234

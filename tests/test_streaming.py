@@ -215,3 +215,27 @@ def test_conversation_sessions_stateful(spark, flow_dir, tmp_path):
     rows = {(r["src_ip"], r["dst_ip"]): (r["n_flows"], r["sum_bytes"]) for r in spark.table("sess_stream").collect()}
     assert rows[("10.0.0.1", "10.0.0.2")] == (2, 30)
     assert rows[("10.0.0.1", "10.0.0.9")] == (1, 30)
+
+
+def test_parquet_sink_day_partitioned(spark, flow_dir, tmp_path):
+    """S5-adjacent durable sink: day-partitioned parquet, readable back with
+    partition pruning on ingest_date."""
+    from kafka_clickhouse_example_spark.sinks.console import start_parquet
+
+    day2 = BASE_MS + 86_400_000
+    _write_lines(flow_dir / "a.json", [_flow(0), _flow(1, start=day2)])
+    stream = P.normalized_stream(read_file_flows(spark, str(flow_dir)))
+    q = start_parquet(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 2
+    days = {str(r["ingest_date"]) for r in back.select("ingest_date").distinct().collect()}
+    assert days == {"2023-11-14", "2023-11-15"}
+    # partition pruning: one day's predicate scans one partition directory
+    one = back.filter(F.col("ingest_date") == "2023-11-15")
+    assert one.count() == 1
