@@ -254,6 +254,63 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every member
+    labeled with its cluster's minimum doc id (the canonical survivor).
+
+    Iterative min-label propagation — each round, every node takes the min
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds. This is the standard large-scale CC shape (a handful of
+    join+groupBy rounds, each a bounded shuffle); a driver-side loop over
+    *rounds* is fine at any scale because the loop count is log-ish in
+    cluster size, never data size. Non-SQL-single-query by nature — the
+    DuckDB oracle uses a recursive CTE over the same pair list.
+
+    Input: (id1, id2) pairs (id1 < id2). Output: (doc_id, cluster_id) for
+    every node that appears in some pair, cluster_id = min id reachable.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            # Truncate lineage per round: without this the plan deepens by
+            # two joins per iteration (re-executed from scratch by both the
+            # convergence check and the next round).
+            .localCheckpoint()
+        )
+        # Convergence check: one small count per round (label sum decreases
+        # monotonically; equal row-set => fixed point).
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 SIMHASH_BITS = 16
 
 

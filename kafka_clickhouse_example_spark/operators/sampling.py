@@ -1,0 +1,57 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+Seed-based ``df.sample`` is engine- and partitioning-dependent — useless when
+a 100 TB corpus must be re-materializable bit-for-bit months later. The
+standard fix is *hash-based* selection: a row is in the sample iff
+``h(stable_key) mod D < k``. Properties:
+
+- reproducible on any engine/partitioning (md5 is md5 everywhere),
+- stable under corpus growth (existing rows never change buckets),
+- stratifiable by computing the threshold per stratum,
+- trivially auditable in SQL — hence fully oracle-checkable.
+
+The same construction assigns train/val/test splits: bucket = h(key) mod 100
+-> [0,80) train, [80,90) val, [90,100) test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 100
+
+
+def hash_bucket(key: Column, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): 56-bit md5 prefix mod buckets.
+    Mirrors DuckDB ('0x' || substr(md5(key), 1, 14))::BIGINT % buckets."""
+    h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 14), 16, 10).cast(
+        "long"
+    )
+    return (h % buckets).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, percent: int, buckets: int = SPLIT_BUCKETS
+) -> DataFrame:
+    """Keep ~percent% of rows, chosen by key hash — same rows every run,
+    every engine, every partitioning."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < percent)
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out: str = "split",
+) -> DataFrame:
+    """Assign 'train'/'val'/'test' by hash bucket. Disjoint, exhaustive,
+    stable under appends (a row's split never changes as the corpus grows)."""
+    b = hash_bucket(F.col(key_col))
+    return df.withColumn(
+        out,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

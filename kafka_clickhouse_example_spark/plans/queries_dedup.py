@@ -155,6 +155,62 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
 
 
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  WITH sh AS (
+    SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+    WHERE len({SHINGLES_SQL}) > 0
+  ),
+  inv AS (
+    SELECT doc_id, unnest(list_transform(sh, s -> {_md5_half_sql('s', 0)})) AS shingle
+    FROM sh
+  ),
+  common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT c.id1, c.id2
+  FROM common c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2
+  WHERE CAST(c.n_common AS DOUBLE)
+        / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+""",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    exact-Jaccard near-dup pair graph, each doc labeled with its cluster's
+    min id (the canonical survivor a dedup pipeline keeps).
+
+    Spark side: iterative min-label propagation (O(diameter) join rounds) —
+    the one genuinely iterative algorithm in the engine. Oracle: recursive
+    CTE transitive closure over the same pairs.
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, JACCARD_THRESHOLD).select("id1", "id2")
+    return D.duplicate_clusters(pairs).orderBy("doc_id")
+
+
 _DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "

@@ -1,0 +1,76 @@
+"""Deterministic-sampling queries over documents, with DuckDB oracles
+recomputing the identical md5 bucket assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import sampling as SP
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+_BUCKET = (
+    f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    f" % {SP.SPLIT_BUCKETS})"
+)
+
+SAMPLE_PCT = 10
+
+
+@register(
+    "sample_documents_10pct",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_BUCKET} < {SAMPLE_PCT}
+ORDER BY doc_id
+""",
+)
+def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample by doc_id hash: same rows on every engine,
+    partitioning, and re-run — the property seed-based sampling lacks. The
+    predicate is a pure row-local filter: no shuffle, scan-parallel at any
+    corpus size."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.deterministic_sample(docs, "doc_id", SAMPLE_PCT)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "split_documents_train_val_test",
+    oracle=f"""
+SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY split
+""",
+)
+def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment by key hash: disjoint,
+    exhaustive, append-stable (a doc's split never changes as the corpus
+    grows) — the split discipline a training pipeline needs for leakage-free
+    re-materialization."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.with_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

@@ -61,6 +61,10 @@ def _load_all() -> None:
         from kafka_clickhouse_example_spark.plans import queries_multimodal  # noqa: F401
     except ImportError:
         pass
+    try:
+        from kafka_clickhouse_example_spark.plans import queries_sampling  # noqa: F401
+    except ImportError:
+        pass
 
 
 _loaded = False
