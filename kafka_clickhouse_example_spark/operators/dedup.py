@@ -273,6 +273,9 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
+        # Materialize once: every propagation round joins `edges`, and
+        # without this each round re-derives the (expensive) pair graph.
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
