@@ -109,6 +109,56 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("id1", "id2")
 
 
+STOP_SHINGLE_FREQ = 20
+
+
+@register(
+    "dedup_jaccard_stopcut_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE len({SHINGLES_SQL}) > 0
+),
+inv0 AS (
+  SELECT doc_id, unnest(list_transform(sh, s -> {_md5_half_sql('s', 0)})) AS shingle
+  FROM sh
+),
+hot AS (
+  SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_FREQ}
+),
+inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id1, c.id2, c.n_common,
+       len(s1.sh) AS n_sh1, len(s2.sh) AS n_sh2,
+       CAST(c.n_common AS DOUBLE)
+         / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sh s1 ON s1.doc_id = c.id1
+JOIN sh s2 ON s2.doc_id = c.id2
+WHERE CAST(c.n_common AS DOUBLE)
+      / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY id1, id2
+""",
+)
+def dedup_jaccard_stopcut_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs with the stop-shingle cut (drop shingles in > N docs):
+    the mitigation that bounds the inverted-index join quadratically when a
+    corpus has stop-phrases. Jaccard denominators still use full shingle-set
+    sizes, so surviving pairs score identically to the uncut query; pairs
+    held together only by hot shingles drop (a recall trade documented on
+    the operator).
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(
+        docs, JACCARD_THRESHOLD, max_shingle_freq=STOP_SHINGLE_FREQ
+    ).orderBy("id1", "id2")
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""

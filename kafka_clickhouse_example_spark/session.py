@@ -60,11 +60,20 @@ def _package_zip() -> str:
     return path
 
 
+_shipped_apps: set[str] = set()
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers (idempotent:
-    re-adding an identical file is a no-op)."""
+    re-adding an identical file is a no-op). Memoized per SparkContext —
+    configure_runtime runs per query, and re-hashing the package tree every
+    call is measurable driver-side overhead across a 40-query bench."""
     try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _shipped_apps:
+            return
         spark.sparkContext.addPyFile(_package_zip())
+        _shipped_apps.add(app_id)
     except Exception:
         pass  # e.g. Spark Connect sessions without an SC; UDFs then rely on cwd
 

@@ -43,7 +43,8 @@ def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, min_partitions: int | None = None
 ) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for c in TIMESTAMP_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -54,7 +55,14 @@ def load_table(
         # large table scans as thousands of splits and skips this branch —
         # the repartition only ever fires when the scan is pathologically
         # under-parallel, so the extra shuffle is a test-scale-only cost.
-        if df.rdd.getNumPartitions() < min_partitions:
+        # Scan split count is estimated from file bytes (cheap, pure-Python)
+        # rather than df.rdd.getNumPartitions(), which materializes an RDD
+        # plan per call — measurable across a 40-query bench.
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        est_splits = max(1, os.path.getsize(path) // max_split)
+        if est_splits < min_partitions:
             df = df.repartition(min_partitions)
     return df
 
