@@ -49,7 +49,9 @@ FROM events
 def _flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     events = load_compute_table(spark, sf_dir, "events")
-    return flows_from_json(events_to_flow_json(events))
+    # Arrow decode: single vectorized parse per record, pushdown-proof; the
+    # from_json path (streaming parity) is equivalence-tested against it.
+    return flows_from_json(events_to_flow_json(events), use_arrow=True)
 
 
 @register(

@@ -87,3 +87,27 @@ def test_wrong_typed_field_behavior(spark):
     assert _run(spark, [json.dumps(dict(FULL_FLOW, Bytes="not-a-number"))]) == []
     [row] = _run(spark, [json.dumps(dict(FULL_FLOW, SrcAddr=12345))])
     assert row.src_ip == "12345" and row.bytes == 1234
+
+
+def test_arrow_decode_equals_jvm_decode(spark):
+    """decode_flows_arrow must match from_json PERMISSIVE semantics on every
+    edge case: happy path, missing fields, malformed, wrong-typed, number
+    coercion, extra fields."""
+    from kafka_clickhouse_example_spark.operators.normalize import flows_from_json as ffj
+
+    messages = [
+        json.dumps(FULL_FLOW),
+        json.dumps({"TimeFlowStartMs": 1.0, "SrcAddr": "10.9.9.9"}),  # missing keys
+        "{not json",
+        "",
+        json.dumps(dict(FULL_FLOW, Bytes="not-a-number")),  # wrong type -> drop
+        json.dumps(dict(FULL_FLOW, SrcAddr=12345)),  # number->string coercion
+        json.dumps(dict(FULL_FLOW, SomethingNew=42)),  # extra field ignored
+        "[1, 2, 3]",  # valid JSON, not an object
+    ]
+    df = spark.createDataFrame([(m,) for m in messages], "value string")
+    jvm = {tuple(r) for r in ffj(df, use_arrow=False).collect()}
+    arrow = {tuple(r) for r in ffj(df, use_arrow=True).collect()}
+    assert arrow == jvm
+    # full==extra-field (same 12 cols after projection) + partial + coerced
+    assert len(jvm) == 3
