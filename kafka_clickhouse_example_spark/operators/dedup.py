@@ -265,6 +265,10 @@ def jaccard_pairs(
         .select("doc_id", F.explode("_hs").alias("shingle"))
     )
     if max_shingle_freq is not None:
+        # Materialize once: the hot-shingle derivation and the anti-join
+        # probe would otherwise each re-run the shingle+hash UDF chain over
+        # the whole corpus (measured ~2x the query time at sf0.1).
+        inverted = inverted.localCheckpoint()
         hot = (
             inverted.groupBy("shingle")
             .agg(F.count("*").alias("freq"))
