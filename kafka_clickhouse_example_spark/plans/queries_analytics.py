@@ -566,6 +566,70 @@ def high_value_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via Spark's native
+    ``session_window`` — the dynamic-gap window Structured Streaming also
+    uses. The oracle derives identical sessions with the classic
+    gaps-and-islands construction (lag -> boundary flag -> running sum),
+    certifying Spark's merge semantics, not just row counts. session_window
+    end = last event + gap, mirrored as max(ts) + 30 min."""
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register("events_user_cardinality_approx")  # rows-only: HLL sketch is engine-specific
+def events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): constant-memory distinct
+    counting — at 100 TB the exact countDistinct's dedup shuffle is the
+    bottleneck, the sketch merges in fixed space. Sanity-bounded against the
+    exact count in tests; no SQL oracle (sketch estimates differ by engine)."""
+    events = _t(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- Grouping sets / rollup --------------------------------------------------
 
 

@@ -49,3 +49,23 @@ def test_salted_join_equals_plain(spark):
     assert salted == plain
     # inner join drops unmatched small-side keys either way
     assert all(lbl in ("hot", "cold") for _, lbl in salted)
+
+
+def test_approx_cardinality_within_bound(spark, sf_dir):
+    """HLL estimate within its configured 1% rsd (allow 5% slack) of exact."""
+    from pyspark.sql import functions as F
+    from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
