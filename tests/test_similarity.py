@@ -28,3 +28,27 @@ def test_pandas_kernel_matches_exact_cosines(results):
     exact, fast = results
     for e, f in zip(exact, fast):
         assert abs(e.cosine_sim - f.cosine_sim) < 1e-9
+
+
+def test_lsh_probe_recall_vs_bruteforce(spark, sf_dir):
+    """Measure the ANN trade-off: single-cell sign-bit probing scans 1/16 of
+    the corpus; chance recall is 1/16 = 0.0625. The floor asserts the probe
+    beats chance 2x — the honest contract for this weakest configuration
+    (real deployments widen to multi-probe / trained IVF cells, same plan
+    shape)."""
+    from pyspark.sql import functions as F
+    from kafka_clickhouse_example_spark.operators import similarity as S
+    from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["qid"], r["vec_id"]) for r in S.topk_bruteforce(emb, queries, 10).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_id"]) for r in S.topk_lsh_probe(emb, queries, 10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 2 * (1 / 16), f"cell-probe recall at/below chance: {recall:.2f}"
