@@ -12,6 +12,15 @@ Determinism rules (driver hash gate):
 - Averages: exact decimal sum -> cast double -> divide by count -> round —
   one deterministic double op instead of an order-dependent running mean.
 - Every top-k has a total ORDER BY (unique tiebreak column included).
+- FINAL OUTPUT TYPES are pinned on both engines (round-2 fix): the driver
+  compares Spark toPandas() against DuckDB .df() with per-cell str(), and
+  DuckDB's pandas conversion turns every DECIMAL and HUGEINT into float64.
+  A Spark Decimal('138014.00') then strs as '138014.00' vs DuckDB's
+  '138014.0' — value-identical, hash-dead. So every decimal aggregate is
+  cast to DOUBLE as the last step on BOTH sides (the *sum itself* stays
+  exact decimal; nearest-double of the same exact value is bit-identical in
+  any engine), and every integer sum gets CAST(... AS BIGINT) in the oracle
+  to kill DuckDB's sum(BIGINT)->HUGEINT->float64 promotion.
 
 Scale design (100 TB):
 - Dimension joins (region/nation/supplier/part) are broadcast explicitly —
@@ -74,10 +83,10 @@ CHARGE_SQL = f"{DISC_PRICE_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMA
 SELECT
   l_returnflag,
   l_linestatus,
-  sum(CAST(l_quantity AS DECIMAL(18,2)))                                AS sum_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2)))                           AS sum_base_price,
-  sum({DISC_PRICE_SQL})                                                 AS sum_disc_price,
-  sum({CHARGE_SQL})                                                     AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)                AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)           AS sum_base_price,
+  CAST(sum({DISC_PRICE_SQL}) AS DOUBLE)                                 AS sum_disc_price,
+  CAST(sum({CHARGE_SQL}) AS DOUBLE)                                     AS sum_charge,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)     AS avg_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
   count(*)                                                              AS count_order
@@ -101,10 +110,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty.alias("sum_qty"),
-            sum_base.alias("sum_base_price"),
-            F.sum(_disc_price()).alias("sum_disc_price"),
-            F.sum(_charge()).alias("sum_charge"),
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_base.cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
             (sum_qty.cast("double") / F.count("*")).alias("avg_qty"),
             (sum_base.cast("double") / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
@@ -121,7 +130,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT
   l.l_orderkey,
-  sum({DISC_PRICE_SQL}) AS revenue,
+  CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
   o.o_orderdate,
   o.o_orderpriority
 FROM customer c
@@ -152,7 +161,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price()).alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -167,7 +176,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT
   n.n_name,
-  sum({DISC_PRICE_SQL}) AS revenue,
+  CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
   count(*) AS n_items
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -207,7 +216,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"), F.count("*").alias("n_items"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -311,9 +320,9 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_order_running_total",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
@@ -334,7 +343,7 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
@@ -347,7 +356,7 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS bucket,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -370,7 +379,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("bucket", "event_type")
@@ -381,7 +390,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_talkers",
     oracle="""
 SELECT user_id,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        count(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -396,7 +405,7 @@ def top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
             F.count("*").alias("n_events"),
         )
         .orderBy(F.col("total_value").desc(), "user_id")
@@ -408,7 +417,7 @@ def top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_talkers_salted",
     oracle="""
 SELECT user_id,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        count(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -434,7 +443,9 @@ def top_talkers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col=F.col("event_id"),
     )
     return agg.select(
-        "user_id", "total_value", F.col("n_events").cast("long").alias("n_events")
+        "user_id",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n_events").cast("long").alias("n_events"),
     ).orderBy(F.col("total_value").desc(), "user_id").limit(10)
 
 
@@ -638,7 +649,7 @@ def events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -651,7 +662,7 @@ def orders_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),

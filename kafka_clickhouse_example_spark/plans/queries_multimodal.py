@@ -55,7 +55,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {_KIND} AS kind,
        count(*) AS n_items,
-       sum({_NBYTES}) AS total_bytes,
+       CAST(sum({_NBYTES}) AS BIGINT) AS total_bytes,
        min({_WIDTH}) AS min_width,
        max({_HEIGHT}) AS max_height
 FROM documents

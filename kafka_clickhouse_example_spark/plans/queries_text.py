@@ -130,7 +130,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(CASE WHEN ({_lang_case_sql()}) = lang THEN 1 ELSE 0 END) AS n_correct
+       CAST(sum(CASE WHEN ({_lang_case_sql()}) = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
 FROM documents
 GROUP BY lang
 ORDER BY lang

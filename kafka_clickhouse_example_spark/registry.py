@@ -38,33 +38,19 @@ def register(name: str, oracle: str | None = None):
 
 
 def _load_all() -> None:
-    # Import for side effects: each module registers its queries.
-    from kafka_clickhouse_example_spark.plans import queries_flows  # noqa: F401
-
-    try:
-        from kafka_clickhouse_example_spark.plans import queries_analytics  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from kafka_clickhouse_example_spark.plans import queries_text  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from kafka_clickhouse_example_spark.plans import queries_dedup  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from kafka_clickhouse_example_spark.plans import queries_similarity  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from kafka_clickhouse_example_spark.plans import queries_multimodal  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from kafka_clickhouse_example_spark.plans import queries_sampling  # noqa: F401
-    except ImportError:
-        pass
+    # Import for side effects: each module registers its queries. Imports
+    # must RAISE on failure — a swallowed ImportError would silently remove
+    # a whole query family from the driver's gate (reported as "missing"
+    # instead of "broken"), which is strictly worse than failing loudly.
+    from kafka_clickhouse_example_spark.plans import (  # noqa: F401
+        queries_analytics,
+        queries_dedup,
+        queries_flows,
+        queries_multimodal,
+        queries_sampling,
+        queries_similarity,
+        queries_text,
+    )
 
 
 _loaded = False
