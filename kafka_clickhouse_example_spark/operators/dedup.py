@@ -88,10 +88,16 @@ def _shingles_pandas_udf(n: int = NGRAM_DEFAULT):
     def shingles_udf(text: pd.Series) -> pd.Series:
         import re
 
-        ws = re.compile(r"\s+")
+        # Reproduce the column path EXACTLY (ADVICE r1): Spark trim() strips
+        # ASCII spaces only and Java \s is the ASCII class [ \t\n\x0B\f\r],
+        # with split keeping leading/trailing empty tokens. Python's unicode
+        # \s+ over str.strip() would drop a leading empty token for
+        # tab/newline-padded text and split on NBSP/CJK spaces — silently
+        # diverging from both the use_arrow=False path and the DuckDB oracle.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in text:
-            toks = ws.split(t.strip())
+            toks = ws.split(t.strip(" "))
             if len(toks) < n:
                 out.append([])
                 continue

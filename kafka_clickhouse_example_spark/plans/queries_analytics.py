@@ -221,6 +221,65 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Broadcast dimension join: TPC-H Q14 shape (promo revenue) --------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT
+  CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+       / CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct,
+  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {DISC_PRICE_SQL}
+                ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): lineitem ⋈ part with the part
+    dimension broadcast — closes the last uncovered join dimension of the
+    star schema (VERDICT r1 'What's missing' #3).
+
+    part is a classic dimension (KB..MB at any SF next to the lineitem
+    fact): broadcasting it means the month-filtered lineitem scan never
+    shuffles — the shipdate predicate lands in the parquet scan
+    (PushedFilters) and the join is a map-side hash probe. Sums accumulate
+    in exact DECIMAL; the ratio is a single double division at the end
+    (both pinned DOUBLE on both engines — see module determinism rules).
+    """
+    t = _t(spark, sf_dir, "lineitem", "part")
+    promo = F.when(
+        F.col("p_type") == "PROMO", _disc_price()
+    ).otherwise(F.lit(0).cast("decimal(17,4)"))
+    agg = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(_disc_price()).cast("double").alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"))
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        "promo_revenue",
+        "total_revenue",
+        "n_items",
+    )
+
+
 # --- Semi / anti joins ------------------------------------------------------
 
 
@@ -581,7 +640,7 @@ def high_value_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_session_windows",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -589,8 +648,11 @@ WITH ordered AS (
   FROM events
 ),
 sessions AS (
+  -- event_id tiebreak matches the lag() ordering above: with duplicate
+  -- (user_id, ts) at a session boundary an un-tiebroken running sum could
+  -- assign the 0-flag row to the previous session (ADVICE r1).
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM ordered
 )

@@ -276,9 +276,6 @@ def _cos(a: str, b: str) -> str:
 
 
 EMB_NEARDUP_COSINE = 0.4
-_EMB_BUCKET = " + ".join(
-    f"(CASE WHEN v[{d + 1}] >= 0 THEN {2 ** d} ELSE 0 END)" for d in range(4)
-)
 
 
 @register(
@@ -288,7 +285,14 @@ WITH e0 AS (
   SELECT d.doc_id, emb.embedding::DOUBLE[] AS v
   FROM documents d JOIN embeddings emb ON emb.vec_id = d.doc_id
 ),
-e AS (SELECT doc_id, v, ({_EMB_BUCKET}) AS bucket FROM e0)
+params AS (
+  SELECT greatest(1, least(20, CAST(ceil(log2(count(*) / 1024.0)) AS INT))) AS bits FROM e0
+),
+e AS (
+  SELECT doc_id, v,
+         CAST(list_sum(list_transform(range(1, p.bits + 1),
+              d -> CASE WHEN v[d] >= 0 THEN (CAST(1 AS BIGINT) << (d - 1)) ELSE 0 END)) AS INT) AS bucket
+  FROM e0 CROSS JOIN params p)
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        {_cos("a.v", "b.v")} AS cosine_sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id

@@ -39,6 +39,22 @@ TIMESTAMP_COLS: dict[str, list[str]] = {
 }
 
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str, default: int = 134217728) -> int:
+    """Spark size-string parser ('128m', '1g', '131072kb', '134217728b',
+    plain int). A session configured with a suffixed value previously made
+    int(...rstrip('b')) raise and fail every load_compute_table query."""
+    s = str(v).strip().lower().removesuffix("b")
+    try:
+        if s and s[-1] in _SIZE_SUFFIX:
+            return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+        return int(s)
+    except ValueError:
+        return default
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, min_partitions: int | None = None
 ) -> DataFrame:
@@ -58,8 +74,8 @@ def load_table(
         # Scan split count is estimated from file bytes (cheap, pure-Python)
         # rather than df.rdd.getNumPartitions(), which materializes an RDD
         # plan per call — measurable across a 40-query bench.
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
         est_splits = max(1, os.path.getsize(path) // max_split)
         if est_splits < min_partitions:

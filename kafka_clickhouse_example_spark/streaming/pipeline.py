@@ -172,8 +172,19 @@ def _session_fn(
         p += int(pdf["packets"].sum())
         fm = min(fm, float(pdf["start"].min()))
         lm = max(lm, float(pdf["end"].max()))
+    if n == 0:
+        # Invoked with only empty frames and no prior state (possible on
+        # watermark-only triggers): int(-inf) would raise in the executor
+        # (ADVICE r1) — leave no state behind and emit nothing.
+        return
+    # Event-time timeouts must sit above the current watermark or Spark
+    # throws IllegalArgumentException; clamp for late-arriving groups.
+    close_at = int(lm) + 60_000  # close 60s after last flow
+    wm = state.getCurrentWatermarkMs()
+    if wm >= 0:
+        close_at = max(close_at, wm + 1)
     state.update((n, b, p, fm, lm))
-    state.setTimeoutTimestamp(int(lm) + 60_000)  # close 60s after last flow
+    state.setTimeoutTimestamp(close_at)
     yield pd.DataFrame(
         [
             {

@@ -34,3 +34,30 @@ def test_minhash_arrow_equals_jvm(spark, sf_dir):
         for r in D.with_minhash_signature(sh, use_arrow=False).collect()
     }
     assert arrow == jvm
+
+
+def test_shingles_arrow_equals_jvm_on_hostile_whitespace(spark):
+    """ADVICE r1: tab/newline-padded and unicode-whitespace text must
+    tokenize identically on the Arrow and column paths (Spark trim() strips
+    ASCII spaces only; Java \\s is the ASCII class; split keeps boundary
+    empty tokens). NBSP/CJK spaces are NOT separators on either path."""
+    rows = [
+        (1, "aa bb cc dd"),
+        (2, "\taa bb cc dd\n"),        # leading/trailing ASCII whitespace
+        (3, "  aa bb cc dd  "),         # space padding (trimmed)
+        (4, "aa bb cc dd ee"),     # NBSP inside a token
+        (5, "aa　bb cc dd ee"),     # CJK space inside a token
+        (6, "aa\nbb\tcc\rdd"),          # mixed ASCII separators
+        (7, ""),
+        (8, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {
+        (r["doc_id"], tuple(r["sh"]))
+        for r in D.with_shingles(docs, use_arrow=True).collect()
+    }
+    jvm = {
+        (r["doc_id"], tuple(r["sh"]))
+        for r in D.with_shingles(docs, use_arrow=False).collect()
+    }
+    assert arrow == jvm
