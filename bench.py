@@ -56,6 +56,18 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # Streaming spine throughput (rows/s through decode->normalize->sink);
+    # reported alongside, never part of the batch total.
+    try:
+        from kafka_clickhouse_example_spark.streaming.microbench import (
+            streaming_throughput,
+        )
+
+        streaming = streaming_throughput(spark, SF_DIR)
+    except Exception as exc:
+        print(f"bench: streaming throughput failed: {exc}", file=sys.stderr)
+        streaming = {"rows": -1, "wall_sec": -1.0, "rows_per_sec": -1.0}
+
     ok = [t for t in timings.values() if t >= 0]
     print(
         json.dumps(
@@ -64,6 +76,7 @@ def main() -> None:
                 "value": round(sum(ok), 4),
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": _sf_label(SF_DIR),
             }
         )

@@ -239,3 +239,16 @@ def test_parquet_sink_day_partitioned(spark, flow_dir, tmp_path):
     # partition pruning: one day's predicate scans one partition directory
     one = back.filter(F.col("ingest_date") == "2023-11-15")
     assert one.count() == 1
+
+
+def test_streaming_throughput_microbench(spark, sf_dir):
+    """The bench.py streaming spine number: runs end-to-end at smoke scale,
+    loses no rows, reports a positive rate."""
+    from kafka_clickhouse_example_spark.streaming.microbench import (
+        streaming_throughput,
+    )
+
+    r = streaming_throughput(spark, sf_dir, files=4)
+    assert r["rows"] > 0
+    assert r["rows_per_sec"] > 0
+    assert r["wall_sec"] > 0
