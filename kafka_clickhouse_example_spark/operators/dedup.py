@@ -250,13 +250,18 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via inverted-index self-join.
 
     j(a,b) = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|), computed from integer
     counts (the division is a single double op — deterministic).
+
+    ``shingles`` accepts a precomputed (doc_id, sh) relation so callers
+    running several dedup operators over one corpus (jaccard, stop-cut,
+    clusters, minhash) tokenize once instead of per-operator.
     """
-    with_sh = with_shingles(df, text_col, id_col)
+    with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
     sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
     # Invert on the 56-bit shingle *hash*, not the string: ~8x less shuffle
     # IO, long-vs-long join keys. (Distinct strings already; a hash collision
@@ -317,6 +322,7 @@ def minhash_lsh_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature -> band bucketing -> candidate
     pairs -> exact Jaccard verify on the candidates only.
@@ -326,7 +332,7 @@ def minhash_lsh_pairs(
     signatures and band keys are fixed-size per doc, and the band join's
     fan-out is bounded by bucket sizes, not corpus size.
     """
-    with_sh = with_shingles(df, text_col, id_col)
+    with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
     banded = (
         with_minhash_signature(with_sh)
         .withColumn("bk", F.explode(band_keys(F.col("mh"))))

@@ -1,0 +1,80 @@
+"""Temporal join queries over events: as-of join and banded range join —
+the time-series operators Spark has no built-in for (see
+operators/temporal.py for the exchange-friendly formulations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+BAND_MS = 3_600_000  # 1 hour: ~14 events/band at sf0.01 density
+
+
+@register(
+    "events_asof_last_signup",
+    oracle="""
+SELECT event_id, user_id, ts, signup_ts,
+       epoch_ms(ts) - epoch_ms(signup_ts) AS ms_since_signup
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT max(s.ts) FROM events s
+          WHERE s.event_type = 'signup'
+            AND s.user_id = e.user_id
+            AND s.ts <= e.ts) AS signup_ts
+  FROM events e
+  WHERE e.event_type = 'purchase'
+)
+ORDER BY event_id
+""",
+)
+def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    signup at-or-before it (NULL when the purchase precedes every signup —
+    the fixture's users re-signup, making this a real backward search).
+
+    The union+window plan shuffles each side once on user_id; the oracle's
+    correlated max() subquery is the semantic spec, not the scalable plan.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, key="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("signup_ts"),
+        (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("ms_since_signup"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_recent_activity_count",
+    oracle=f"""
+WITH e AS (SELECT event_id, ts, epoch_ms(ts) AS ms FROM events)
+SELECT a.event_id AS event_id, a.ts AS ts, count(*) AS n_in_band
+FROM e a JOIN e b ON b.ms > a.ms - {BAND_MS} AND b.ms <= a.ms
+GROUP BY a.event_id, a.ts
+ORDER BY 1
+""",
+)
+def events_recent_activity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per event, how many events (itself included)
+    landed in the trailing hour. Bin + equi-join + exact filter — candidate
+    volume O(rows x band density); the oracle's direct theta-join is the
+    semantic spec (DuckDB plans it as an IEJoin)."""
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    return range_join_binned(events, BAND_MS).orderBy("event_id")

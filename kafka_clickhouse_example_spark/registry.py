@@ -49,6 +49,7 @@ def _load_all() -> None:
         queries_multimodal,
         queries_sampling,
         queries_similarity,
+        queries_temporal,
         queries_text,
     )
 

@@ -1,0 +1,94 @@
+"""As-of join and banded range join: edge semantics + plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_asof_join_edge_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(1)), (3, 10, _ts(7)), (4, 20, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(2)), (10, _ts(5)), (30, _ts(0))],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["ts_asof"]
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert out[1] == _ts(5)  # same-instant right row IS included
+    assert out[2] is None  # left row precedes every right row -> NULL
+    assert out[3] == _ts(5)  # latest at-or-before wins
+    assert out[4] is None  # key with no right rows at all
+
+
+def test_asof_join_no_nested_loop(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame([(10, _ts(2))], "user_id long, ts timestamp")
+    plan = (
+        asof_join(left, right, key="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, f"as-of join degraded to a nested loop:\n{plan[:1500]}"
+    assert "Join" not in plan  # union+window form: no join operator at all
+
+
+def test_range_join_binned_counts(spark):
+    def sec(s: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+    # band 60_000 ms = 1 minute, half-open (t-60s, t]: an exactly-60s-older
+    # point is OUT (strict >), a 50s-older one is IN; crossing a bin
+    # boundary (30s vs 80s sit in different bins) must still match.
+    pts = spark.createDataFrame(
+        [(1, sec(0)), (2, sec(30)), (3, sec(80)), (4, sec(140)), (5, sec(1000))],
+        "event_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["n_in_band"]
+        for r in range_join_binned(pts, 60_000).collect()
+    }
+    # 3 @80s: band (20,80] -> {30,80}; 4 @140s: band (80,140] -> exactly-60s
+    # older point 80 excluded -> {140}.
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts").limit(500)
+    events = events.localCheckpoint(eager=True)
+    fast = {
+        (r["event_id"], r["n_in_band"])
+        for r in range_join_binned(events, 3_600_000).collect()
+    }
+    a, b = events.alias("a"), events.alias("b")
+    naive = {
+        (r["event_id"], r["n"])
+        for r in a.join(
+            b,
+            (F.unix_millis(F.col("b.ts")) > F.unix_millis(F.col("a.ts")) - 3_600_000)
+            & (F.unix_millis(F.col("b.ts")) <= F.unix_millis(F.col("a.ts"))),
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert fast == naive
