@@ -55,3 +55,24 @@ def with_split(
         .when(b < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def balanced_sample(df: DataFrame, stratum_col: str, key_col: str) -> DataFrame:
+    """Stratified downsampling to (approximately) the smallest stratum:
+    every stratum keeps ``(100 * min_count) div count`` percent of its rows,
+    selected by the same engine-stable key hash as ``deterministic_sample``.
+
+    The per-stratum rate is exact integer arithmetic on two aggregate
+    counts — no float rounding to diverge between engines — and the stratum
+    rate table is a broadcast (one row per stratum). Class-balancing a
+    training corpus this way is reproducible and append-stable per stratum.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_stratum"))
+    min_n = counts.agg(F.min("n_stratum").alias("min_n"))
+    rates = (
+        counts.crossJoin(F.broadcast(min_n))
+        .select(stratum_col, F.expr("(100 * min_n) div n_stratum").alias("pct"))
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        hash_bucket(F.col(key_col)) < F.col("pct")
+    )

@@ -785,3 +785,261 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+# --- TPC-H join-shape widening (round 3): Q13 / Q18 / Q19 / Q22 -------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER fact join + two-level aggregation
+    (orders-per-customer, then customers-per-order-count).
+
+    Scale: the left join shuffles both sides on custkey; the first groupBy
+    reuses that partitioning (no second exchange — custkey is the join key),
+    and the second groupBy reduces to at most a few hundred distinct counts,
+    so its shuffle is trivial. Count of a nullable join column handles the
+    zero-order customers without a special case.
+    """
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q18_MIN_QTY = 190
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(q.total_qty_dec AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+) q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join against a HAVING-filtered aggregate.
+
+    Scale: the quantity rollup shuffles lineitem once on orderkey — the same
+    key as the orders join, so AQE coalesces into one exchange; the
+    surviving ~0.1% of orderkeys are broadcast into the orders scan
+    (explicit hint), and the customer join shuffles only the filtered rows.
+    Quantity sums are DECIMAL so the HAVING threshold is exact under any
+    partial-aggregation order.
+    """
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > Q18_MIN_QTY)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), t["orders"].o_orderkey == big.l_orderkey)
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+Q19_BANDS = [
+    ("Brand#12", 15, (1, 11)),
+    ("Brand#23", 25, (10, 20)),
+    ("Brand#15", 35, (20, 30)),
+]
+
+
+def _q19_pred_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {smax}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, smax, (qlo, qhi) in Q19_BANDS
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_q19_pred_sql()}
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a dimension join.
+
+    Scale: Catalyst cannot push a cross-relation disjunction below the join,
+    so the implied part-only filter (brand IN bands AND size <= max) is
+    stated explicitly — it prunes the broadcast side at the scan
+    (PushedFilters) without changing semantics, the classic Q19 rewrite.
+    Part stays a broadcast dimension at any SF.
+    """
+    t = _t(spark, sf_dir, "part", "lineitem")
+    part = t["part"].filter(
+        F.col("p_brand").isin([b for b, _, _ in Q19_BANDS])
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= max(smax for _, smax, _ in Q19_BANDS))
+    )
+    cond = None
+    for b, smax, (qlo, qhi) in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join.
+
+    Scale: the global average is one aggregate row cross-joined in as a
+    broadcast (no collect, no driver round-trip); the threshold itself is
+    exact-decimal-sum -> one double divide, so the filter cuts identically
+    under any partial-agg order. The anti join ships only the urgent slice
+    of orders (filter pushed below the join) against the pre-filtered rich
+    customers.
+    """
+    t = _t(spark, sf_dir, "customer", "orders")
+    thr = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")
+            ).alias("thr")
+        )
+    )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    rich = (
+        t["customer"]
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+    )
+    return (
+        rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- Exact global deciles without a single-partition window -----------------
+
+
+@register(
+    "orders_value_deciles",
+    oracle="""
+SELECT tile,
+       CAST(count(*) AS BIGINT)   AS n_orders,
+       min(o_totalprice)          AS min_price,
+       max(o_totalprice)          AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                  AS avg_price
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+GROUP BY tile
+ORDER BY tile
+""",
+)
+def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value deciles via the distributed two-pass rank operator
+    (operators/ranking.py) instead of ``ntile(10) OVER (ORDER BY ...)`` —
+    whose empty PARTITION BY would funnel 100 TB through ONE task.
+
+    The range exchange + per-partition offsets reproduce SQL ntile
+    semantics bit-for-bit (the oracle IS the window function); driver state
+    is one count per partition. Tiebreak on o_orderkey makes the tiling
+    deterministic under duplicate prices.
+    """
+    from kafka_clickhouse_example_spark.operators.ranking import with_global_ntile
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    tiled = with_global_ntile(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+    )
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*")
+            ).alias("avg_price"),
+        )
+        .orderBy("tile")
+    )

@@ -74,3 +74,36 @@ def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_documents_balanced_by_lang",
+    oracle=f"""
+WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY 1),
+rates AS (
+  SELECT lang,
+         (100 * (SELECT min(n_stratum) FROM counts)) // n_stratum AS pct
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_BUCKET} < r.pct
+ORDER BY doc_id
+""",
+)
+def sample_documents_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (class-balancing) sample: each language keeps
+    ``(100 * min_lang_count) div lang_count`` percent of its docs by key
+    hash — the majority class ('en', ~3x the rest) is downsampled toward
+    the smallest stratum, deterministically and append-stably per stratum.
+
+    Scale: two tiny aggregates (one row per stratum) broadcast back onto a
+    scan-parallel filter — no shuffle of the corpus itself.
+    """
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.balanced_sample(docs, "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

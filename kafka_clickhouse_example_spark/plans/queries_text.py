@@ -172,3 +172,77 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(t.cast("binary")).alias("content_md5"),
         T.doc_fingerprint(t).alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+# --- TF-IDF top terms --------------------------------------------------------
+
+TFIDF_TOP_N = 3
+
+# Rational idf (BM25-style (N - df + 0.5)/(df + 0.5)) instead of ln((N+1)/df):
+# +, /, * on doubles are IEEE-exact-rounded and therefore bit-identical in any
+# engine, while transcendental ln() may differ in the last ulp between libm
+# implementations — a hash flake waiting to happen. Monotone in df either way,
+# so the ranking semantics are the standard ones.
+_IDF_SQL = "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * {_IDF_SQL} AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) n
+)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP_N}
+ORDER BY doc_id, rnk
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: explode -> term frequency -> document
+    frequency -> rational-idf score -> per-doc window top-N.
+
+    Scale: tf is a (doc, term) groupBy (shuffle on composite key, partial
+    combine eats the explode fan-out); df aggregates tf — vocabulary-sized,
+    zipf-distributed, so the tf⋈df join is left to sort-merge + AQE rather
+    than broadcasting an unbounded vocab. The corpus count joins in as a
+    one-row broadcast. The top-N window partitions by doc_id — no global
+    sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf").cast("double") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .orderBy("doc_id", "rnk")
+    )

@@ -1,0 +1,151 @@
+"""Time-series reshaping over events: hypertable-style gap-filled rollup,
+pivot (long->wide), and CUBE grouping — the continuous-aggregate surface a
+time-series store layers over its hourly buckets.
+
+Scale design (100 TB): every query here aggregates FIRST (hourly/daily
+buckets — cardinality is the time range, not the row count) and reshapes the
+small post-agg relation. The gap-fill spine (sequence + explode) and the
+LOCF window run over #buckets rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT s.hour AS hour,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(h.sum_value, 0.0) AS sum_value,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS sum_value_locf
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+ORDER BY hour
+""",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (timescale-style ``time_bucket_gapfill``):
+    aggregate to hour buckets, generate the dense hour spine over the
+    observed range (sequence + explode of ONE row), left-join, zero-fill,
+    and carry the last observed value forward (LOCF).
+
+    The spine bounds come from the full events relation while the rollup is
+    purchase-only, so real gaps exist and both fill modes are exercised.
+    The LOCF window is ordered over the spine — #hours rows, safe as a
+    single partition at any data scale (a year is 8,760 rows).
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    spine = (
+        events.agg(
+            F.min(F.date_trunc("hour", "ts")).alias("mn"),
+            F.max(F.date_trunc("hour", "ts")).alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "events_type_day_pivot",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def events_type_day_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot: one row per day, one count column per event type.
+
+    The value list is explicit, so Spark skips the extra distinct-values
+    job and the plan is a single partial-aggregated groupBy — pivot on an
+    unbounded-cardinality column would instead make one column per distinct
+    value (schema explosion); bounding it is the operator's scale contract.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("day")
+
+
+@register(
+    "events_type_day_cube",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, date_trunc('day', ts))
+ORDER BY event_type NULLS FIRST, day NULLS FIRST
+""",
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, day): all four grouping sets in one pass —
+    Catalyst expands the cube into a single Expand + partial aggregate, so
+    the input is scanned once; the 4x row expansion happens pre-shuffle on
+    already-reduced partials.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    return (
+        events.cube(F.col("event_type"), F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )

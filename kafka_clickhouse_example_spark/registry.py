@@ -51,6 +51,7 @@ def _load_all() -> None:
         queries_similarity,
         queries_temporal,
         queries_text,
+        queries_timeseries,
     )
 
 
