@@ -1043,3 +1043,96 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+# --- Semi-structured extraction (schema-on-read) ----------------------------
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                                AS n_events,
+       min(CAST(props->>'$.k' AS BIGINT))                      AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))                      AS max_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)      AS sum_k,
+       CAST(count(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) IS NULL)
+            AS BIGINT)                                         AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column with a
+    declared schema (``from_json``) and aggregate the extracted field — the
+    ClickHouse ``JSONExtract`` / schema-on-read pattern.
+
+    from_json with an explicit schema is a single JVM-side codegen'd parse;
+    unparseable or missing fields become NULLs (counted, not dropped),
+    mirroring the pipeline's log-and-drop tolerance at the field level.
+    """
+    t = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Window-function breadth (lag/lead/first/rank/percent_rank/cume_dist) ---
+
+
+@register(
+    "customer_order_window_showcase",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       lag(o_totalprice) OVER w                                   AS prev_price,
+       lead(o_totalprice) OVER w                                  AS next_price,
+       first_value(o_totalprice) OVER w                           AS first_price,
+       CAST(rank() OVER prio AS BIGINT)                           AS prio_rank,
+       percent_rank() OVER prio                                   AS prio_pct,
+       cume_dist() OVER prio                                      AS prio_cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       prio AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+ORDER BY o_orderkey
+""",
+)
+def customer_order_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface in one pass: offset functions (lag/lead),
+    frame-anchored first_value, and the tie-aware rank family
+    (rank/percent_rank/cume_dist over a low-cardinality sort key with real
+    ties — their tie semantics are part of what the oracle certifies).
+
+    Both windows partition by custkey, so Catalyst computes them over ONE
+    exchange of the orders table; no global sort beyond the final
+    presentation ORDER BY. percent_rank/cume_dist are exact integer ratios
+    evaluated as single double divisions — engine-portable.
+    """
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.rank().over(prio).cast("long").alias("prio_rank"),
+            F.percent_rank().over(prio).alias("prio_pct"),
+            F.cume_dist().over(prio).alias("prio_cume"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -91,9 +91,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicate_groups(docs).orderBy("content_md5")
 
 
-@register(
-    "dedup_jaccard_pairs",
-    oracle=f"""
+# Full jaccard-pairs derivation, shared by the pairs query and the
+# edit-distance verification query (nested-CTE reuse).
+JACCARD_PAIRS_BODY = f"""
 WITH sh AS (
   SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
   WHERE len({SHINGLES_SQL}) > 0
@@ -116,8 +116,12 @@ JOIN sh s1 ON s1.doc_id = c.id1
 JOIN sh s2 ON s2.doc_id = c.id2
 WHERE CAST(c.n_common AS DOUBLE)
       / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
-ORDER BY id1, id2
-""",
+"""
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=JACCARD_PAIRS_BODY + "ORDER BY id1, id2\n",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-Jaccard near-dup pairs (inverted-index self-join)."""
@@ -379,3 +383,50 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     docs = load_compute_table(spark, sf_dir, "documents")
     return D.with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+@register(
+    "dedup_candidates_editdist",
+    oracle=f"""
+WITH pairs AS ({JACCARD_PAIRS_BODY})
+SELECT p.id1, p.id2,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE) AS edit_sim
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id1
+JOIN documents b ON b.doc_id = p.id2
+ORDER BY id1, id2
+""",
+)
+def dedup_candidates_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: exact Levenshtein
+    runs ONLY on the Jaccard candidate pairs — the two-stage shape
+    (cheap bucketed candidate generation, expensive exact verify on the
+    survivors) that keeps an O(len^2)-per-pair metric feasible at corpus
+    scale. The tiny pair list is broadcast into both document joins, so the
+    corpus is scanned, never shuffled.
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        None, JACCARD_THRESHOLD, shingles=_shingled(spark, sf_dir)
+    ).select("id1", "id2")
+    a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("text1"))
+    b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("text2"))
+    dist = F.levenshtein("text1", "text2")
+    return (
+        a.join(F.broadcast(pairs), "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            dist.cast("long").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - dist.cast("double")
+                / F.greatest(F.length("text1"), F.length("text2")).cast("double")
+            ).alias("edit_sim"),
+        )
+        .orderBy("id1", "id2")
+    )

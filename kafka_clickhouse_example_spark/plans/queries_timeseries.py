@@ -149,3 +149,48 @@ def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
         )
     )
+
+
+@register(
+    "events_user_trailing_hour",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER trail AS DOUBLE) AS trailing_sum,
+       CAST(count(*) OVER trail AS BIGINT)                          AS trailing_n
+FROM events
+WINDOW trail AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour rolling aggregate via a RANGE window frame —
+    the time-based sliding aggregate (vs the ROWS frames elsewhere).
+
+    Both engines order the frame on millisecond epoch (``unix_millis`` /
+    ``epoch_ms``), not raw timestamps, so the inclusive 1-hour boundary is
+    evaluated on identical integers — sub-millisecond timestamp precision
+    can't disagree between engines. Partitioned by user_id: shuffles once,
+    no global sort; the frame sum is DECIMAL so sliding accumulation is
+    exact.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(trail)
+            .cast("double")
+            .alias("trailing_sum"),
+            F.count("*").over(trail).alias("trailing_n"),
+        )
+        .orderBy("event_id")
+    )
