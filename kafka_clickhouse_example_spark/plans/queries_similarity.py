@@ -53,9 +53,23 @@ def _dyn_bucket_sql(v: str) -> str:
     )
 
 
+# Corpus memo: seven similarity queries scan the same embeddings relation;
+# load + nanos-timestamp conversion happens once per (session, sf_dir) and
+# the materialized vectors feed every consumer (same pattern as the flows
+# and shingle caches).
+_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
-    return load_compute_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EMB_CACHE.get(key)
+    if cached is None:
+        cached = load_compute_table(spark, sf_dir, "embeddings").localCheckpoint(
+            eager=True
+        )
+        _EMB_CACHE[key] = cached
+    return cached
 
 
 @register(

@@ -44,6 +44,7 @@ def _load_all() -> None:
     # instead of "broken"), which is strictly worse than failing loudly.
     from kafka_clickhouse_example_spark.plans import (  # noqa: F401
         queries_analytics,
+        queries_behavior,
         queries_dedup,
         queries_flows,
         queries_multimodal,
