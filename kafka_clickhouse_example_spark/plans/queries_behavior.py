@@ -62,38 +62,54 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     after their previous stage's first event — sequence matching expressed
     as chained first-occurrence aggregates instead of a per-user sort.
 
-    Every join and groupBy keys on user_id, so the whole funnel rides one
-    partitioning; stage relations shrink monotonically.
+    Single-scan plan: three chained per-user windows (no ORDER BY — plain
+    per-partition aggregates) compute each user's stage timestamps over ONE
+    user_id exchange of ONE events scan; the oracle's chained-CTE form
+    would instead scan events once per stage. One distinct-user aggregate
+    and a 1-row stack reshape finish it.
     """
+    from pyspark.sql import Window
+
     events = _events(spark, sf_dir)
-    su = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "s", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "v",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") >= F.col("s")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    vw = (
-        events.filter(F.col("event_type") == "view")
-        .join(su, "user_id")
-        .filter(F.col("ts") >= F.col("s"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v"))
+    counts = staged.agg(
+        F.count_distinct(F.when(F.col("s").isNotNull(), F.col("user_id"))).alias("n1"),
+        F.count_distinct(F.when(F.col("v").isNotNull(), F.col("user_id"))).alias("n2"),
+        F.count_distinct(F.when(F.col("p").isNotNull(), F.col("user_id"))).alias("n3"),
     )
-    pu = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(vw, "user_id")
-        .filter(F.col("ts") >= F.col("v"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p"))
+    return (
+        counts.select(
+            F.expr(
+                "stack(3, '1_signup', n1, '2_view', n2, '3_purchase', n3)"
+                " AS (stage, n_users)"
+            )
+        )
+        .orderBy("stage")
     )
-    stages = [
-        su.agg(F.lit("1_signup").alias("stage"), F.count("*").alias("n_users")),
-        vw.agg(F.lit("2_view").alias("stage"), F.count("*").alias("n_users")),
-        pu.agg(F.lit("3_purchase").alias("stage"), F.count("*").alias("n_users")),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("stage")
 
 
 @register(
