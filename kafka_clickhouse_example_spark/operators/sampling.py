@@ -76,3 +76,25 @@ def balanced_sample(df: DataFrame, stratum_col: str, key_col: str) -> DataFrame:
     return df.join(F.broadcast(rates), stratum_col).filter(
         hash_bucket(F.col(key_col)) < F.col("pct")
     )
+
+
+def weighted_bernoulli_sample(df: DataFrame, weight_col: str, key_col: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling: P(keep) = weight / max(weight),
+    realized as ``hash_bucket(key) < (100 * weight) div max_weight`` — exact
+    integer arithmetic end to end (no pow()/ln() reservoir keys, whose libm
+    rounding differs between engines), so the selected set is reproducible
+    anywhere and append-stable while max(weight) is unchanged.
+
+    Scale: one max() aggregate broadcast back onto a scan-parallel filter;
+    the corpus is never shuffled. Quality-weighted corpus selection for
+    training pipelines is exactly this shape.
+    """
+    max_w = df.agg(F.max(F.col(weight_col)).alias("_max_w"))
+    return (
+        df.crossJoin(F.broadcast(max_w))
+        .filter(
+            hash_bucket(F.col(key_col))
+            < F.expr(f"(100 * {weight_col}) div _max_w")
+        )
+        .drop("_max_w")
+    )

@@ -107,3 +107,27 @@ def sample_documents_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataF
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_documents_weighted",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_BUCKET} < (100 * n_chars) // (SELECT max(n_chars) FROM documents)
+ORDER BY doc_id
+""",
+)
+def sample_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample: longer documents are proportionally more
+    likely to be kept (P = n_chars / max_n_chars), via exact integer rate
+    arithmetic on a hash bucket — the deterministic form of quality-weighted
+    corpus sampling. One scalar max broadcast; no corpus shuffle.
+    """
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.weighted_bernoulli_sample(docs, "n_chars", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -225,3 +225,44 @@ def run_until_signal(query) -> None:
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
     query.awaitTermination()
+
+
+def correlated_flows_stream(
+    flows_with_time: DataFrame, horizon: str = "1 minute"
+) -> DataFrame:
+    """Stream-stream event-time interval join: each flow joined to
+    reverse-direction flows (src/dst swapped — the response leg of a
+    conversation) that start within ``horizon`` after it.
+
+    The event-time range condition plus both sides' watermarks is what makes
+    this runnable forever: Spark derives a state-retention bound from the
+    interval (a buffered left row can be dropped once the watermark passes
+    its ``event_time + horizon``), so join state is O(traffic in the
+    horizon), not O(stream history). Without the range bound a
+    stream-stream join would buffer both streams unboundedly.
+
+    The same expression tree executes in batch mode for ground-truthing
+    (tests compare against the identical join on the static frame).
+    """
+    left = flows_with_time.alias("req")
+    right = flows_with_time.alias("rsp")
+    return (
+        left.join(
+            right,
+            F.expr(
+                f"""
+                req.src_ip = rsp.dst_ip AND req.dst_ip = rsp.src_ip
+                AND rsp.event_time >= req.event_time
+                AND rsp.event_time <= req.event_time + interval {horizon}
+                """
+            ),
+        )
+        .select(
+            F.col("req.src_ip").alias("src_ip"),
+            F.col("req.dst_ip").alias("dst_ip"),
+            F.col("req.event_time").alias("req_time"),
+            F.col("rsp.event_time").alias("rsp_time"),
+            F.col("req.bytes").alias("req_bytes"),
+            F.col("rsp.bytes").alias("rsp_bytes"),
+        )
+    )

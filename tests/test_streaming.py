@@ -252,3 +252,43 @@ def test_streaming_throughput_microbench(spark, sf_dir):
     assert r["rows"] > 0
     assert r["rows_per_sec"] > 0
     assert r["wall_sec"] > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, flow_dir, tmp_path):
+    """Stream-stream event-time interval join (request ⋈ reverse-direction
+    response within 1 minute): streaming result equals the identical join
+    executed in batch, in-horizon pairs match, out-of-horizon pairs don't."""
+    a, b = "10.0.0.1", "10.0.0.2"
+    rows = [
+        _flow(0, src=a, dst=b, start=BASE_MS),            # request
+        _flow(1, src=b, dst=a, start=BASE_MS + 30_000),   # response in horizon
+        _flow(2, src=b, dst=a, start=BASE_MS + 90_000),   # response out of horizon
+        _flow(3, src=a, dst=b, start=BASE_MS + 70_000),   # 2nd request: pairs with flow 2
+    ]
+    _write_lines(flow_dir / "a.json", rows)
+
+    stream = P.with_event_time(P.normalized_stream(read_file_flows(spark, str(flow_dir))))
+    q = (
+        P.correlated_flows_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("ss_join").collect()}
+
+    batch = P.with_event_time(flows_from_json(spark.read.text(str(flow_dir))))
+    want = {tuple(r) for r in P.correlated_flows_stream(batch).collect()}
+    assert got == want
+    # (req_time_offset_s, rsp_time_offset_s) pairs actually joined:
+    pairs = {
+        (int((r[2].timestamp() * 1000 - BASE_MS) // 1000),
+         int((r[3].timestamp() * 1000 - BASE_MS) // 1000))
+        for r in got
+    }
+    # Every flow is a potential request: 0->1 (a->b answered in 30 s),
+    # 1->3 (the b->a leg answered by the 2nd a->b flow), 3->2 (answered in
+    # 20 s). Flow 2 at +90 s is NOT an answer to flow 0 (horizon passed).
+    assert pairs == {(0, 30), (30, 70), (70, 90)}

@@ -92,3 +92,39 @@ def test_range_join_matches_naive(spark, sf_dir):
         .collect()
     }
     assert fast == naive
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    # Seeded adversarial fixture: duplicate keys, duplicate timestamps,
+    # keys missing from either side. Naive spec: per left row, the max
+    # right.ts <= left.ts for the key (theta-join + groupBy) — exactly what
+    # the union+window plan must reproduce.
+    import random
+
+    rng = random.Random(42)
+    left = spark.createDataFrame(
+        [(i, rng.randrange(12), _ts(rng.randrange(60))) for i in range(300)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(14), _ts(rng.randrange(60))) for _ in range(200)],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["ts_asof"]
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    l, r = left.alias("l"), right.alias("r")
+    naive_rows = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.max("r.ts").alias("want"))
+        .collect()
+    )
+    want = {row["event_id"]: row["want"] for row in naive_rows}
+    assert got == want
