@@ -242,3 +242,52 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     return S.topk_bruteforce_pandas(emb, queries_pdf, TOP_K).orderBy("qid", "rank")
+
+
+TOP_DIMS = 3
+
+
+@register(
+    "sim_top_dimensions",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+dims AS (
+  SELECT vec_id, CAST(i AS INT) AS dim, v[i] AS w
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+)
+SELECT vec_id, dim, w, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY abs(w) DESC, dim) AS rnk
+  FROM dims
+) WHERE rnk <= {TOP_DIMS}
+ORDER BY vec_id, rnk
+""",
+)
+def sim_top_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-|weight| dimensions via ``posexplode`` — the
+    table-generating-function surface (array -> (position, value) rows)
+    plus a per-vector window top-N.
+
+    Scale: the explode fans each vector into dim rows BUT only after the
+    vec_id pushdown filter prunes the scan to the query set; the window
+    partitions by vec_id — embarrassingly parallel, no global sort.
+    """
+    emb = _emb(spark, sf_dir)
+    from pyspark.sql import Window
+
+    dims = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "w0"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("w0").cast("double").alias("w"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.abs(F.col("w")).desc(), F.asc("dim"))
+    return (
+        dims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_DIMS)
+        .orderBy("vec_id", "rnk")
+    )
