@@ -122,22 +122,63 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(decode, DECODE_SCHEMA)
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — plumbing only.
-
-    REAL RESIZE IS STUBBED (no PIL in this container): calling this raises
-    ``NotImplementedError`` from the executor. The signature, schema, and
-    mapInPandas wiring are the production shape.
+def raster_decode(payload: bytes) -> tuple[int, "object"]:
+    """Decode the synthetic/v1 raster: the largest square prefix of the
+    payload interpreted as a row-major 8-bit grayscale grid
+    (side = isqrt(n_bytes)). Raises for payloads below 1x1 so bad data
+    fails loudly. A production build swaps this for a PIL/ffmpeg decode;
+    everything downstream (resample math, schema, batching) is unchanged.
     """
+    import math
+
+    import numpy as np
+
+    side = math.isqrt(len(payload))
+    if side < 1:
+        raise NotImplementedError(f"payload too small to decode: {len(payload)} bytes")
+    arr = np.frombuffer(payload[: side * side], dtype=np.uint8).reshape(side, side)
+    return side, arr
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize over the synthetic/v1 raster codec:
+    dst[y, x] = src[floor(y*side/height), floor(x*side/width)] — the
+    standard NN index map, vectorized with one numpy fancy-index per image.
+
+    The codec is the honest boundary (no PIL/ffmpeg in this build decodes
+    JPEG et al.); the resampling itself is actual pixel math, exercised
+    against an independent pure-Python reference in tests. mapInPandas
+    keeps it one Arrow round-trip per batch; output is a narrow
+    (id, dims, payload) frame — no shuffle.
+    """
+    import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize requires an image codec (PIL) not present in this build"
-        )
-        yield  # pragma: no cover - makes this a generator
+        grids: dict[int, tuple] = {}  # src side -> (row idx, col idx)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for p in pdf["payload"]:
+                side, arr = raster_decode(p)
+                if side not in grids:
+                    grids[side] = (
+                        (np.arange(height) * side) // height,
+                        (np.arange(width) * side) // width,
+                    )
+                ys, xs = grids[side]
+                out.append(arr[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
-        resize, "media_id long, payload binary"
+        resize, "media_id long, width int, height int, payload binary"
     )
 
 

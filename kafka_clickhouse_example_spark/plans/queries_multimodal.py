@@ -108,3 +108,27 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset",
         F.hex(F.col("frame")).alias("frame_hex"),
     ).orderBy("media_id", "frame_no")
+
+
+THUMB_W, THUMB_H = 16, 12
+
+
+@register("mm_resize_thumbnail")  # rows-only: blob construction isn't SQL-expressible
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnails (16x12) of image payloads over the
+    synthetic/v1 raster codec — real vectorized pixel resampling in
+    mapInPandas (operators/multimodal.resize_image), verified byte-for-byte
+    against an independent pure-Python reference in
+    tests/test_multimodal.py::test_resize_matches_reference. Output carries
+    md5+hex-prefix of the resized payload so the frame is narrow and
+    deterministic.
+    """
+    images = _media(spark, sf_dir).filter(F.col("kind") == "image")
+    thumbs = M.resize_image(images, THUMB_W, THUMB_H)
+    return thumbs.select(
+        "media_id",
+        "width",
+        "height",
+        F.md5(F.col("payload")).alias("thumb_md5"),
+        F.substring(F.hex(F.col("payload")), 1, 32).alias("thumb_hex_prefix"),
+    ).orderBy("media_id")

@@ -50,9 +50,49 @@ def test_decode_payload_unknown_kind_raises():
         M.decode_payload("hologram", b"\x00")
 
 
-def test_resize_is_stubbed(media, spark):
-    with pytest.raises(Exception, match="resize requires an image codec"):
-        M.resize_image(media, 64, 64).collect()
+def _reference_nn_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Independent pure-Python nearest-neighbor resample (no numpy) — the
+    spec the vectorized operator must match byte-for-byte."""
+    import math
+
+    side = math.isqrt(len(payload))
+    grid = payload[: side * side]
+    out = bytearray()
+    for y in range(height):
+        sy = (y * side) // height
+        for x in range(width):
+            sx = (x * side) // width
+            out.append(grid[sy * side + sx])
+    return bytes(out)
+
+
+def test_resize_matches_reference(media, spark):
+    # Non-uniform payload so the resample actually moves distinct pixels:
+    docs = spark.createDataFrame(
+        [(7, "".join(chr(33 + (i * 7) % 90) for i in range(1000)))],
+        "doc_id long, text string",
+    )
+    mixed = M.attach_media(docs).unionByName(media)
+    got = {
+        r["media_id"]: r for r in M.resize_image(mixed, 16, 12).collect()
+    }
+    assert set(got) == {0, 1, 2, 5, 7}
+    for mid, text in [(7, None), (0, b"x" * 1000)]:
+        payload = (
+            "".join(chr(33 + (i * 7) % 90) for i in range(1000)).encode()
+            if mid == 7
+            else text
+        )
+        r = got[mid]
+        assert (r["width"], r["height"]) == (16, 12)
+        assert bytes(r["payload"]) == _reference_nn_resize(payload, 16, 12)
+        assert len(bytes(r["payload"])) == 16 * 12
+
+
+def test_resize_rejects_sub_pixel_payload(spark):
+    docs = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    with pytest.raises(Exception, match="too small to decode"):
+        M.resize_image(M.attach_media(docs), 4, 4).collect()
 
 
 def test_sample_frames_slices_and_caps(media):
