@@ -1136,3 +1136,60 @@ def customer_order_window_showcase(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- TPC-H Q15 shape: aggregate view + scalar-max equality join -------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({DISC_PRICE_SQL}) AS total_revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue_dec AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_dec = (SELECT max(total_revenue_dec) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregate view joined against its own scalar max
+    (the supplier(s) with peak quarterly revenue).
+
+    The max-revenue equality compares the EXACT DECIMAL sums, not doubles —
+    a double-rounded tie test could keep or drop a supplier depending on
+    partial-agg order; decimal equality cannot. The 1-row max broadcasts;
+    the revenue view computes once and feeds both sides (same relation
+    object, so Spark reuses the exchange under AQE).
+    """
+    t = _t(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).alias("total_revenue_dec"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
