@@ -218,3 +218,58 @@ def flows_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     events = load_compute_table(spark, sf_dir, "events")
     return probe_query(events, "event_type", "event_id", limit=5)
+
+
+@register(
+    "flows_request_response",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL}),
+f2 AS (
+  SELECT CASE WHEN bytes % 2 = 1 THEN dst_ip ELSE src_ip END AS src_ip,
+         CASE WHEN bytes % 2 = 1 THEN src_ip ELSE dst_ip END AS dst_ip,
+         CAST(start AS BIGINT) AS em,
+         bytes
+  FROM flows
+)
+SELECT req.src_ip AS src_ip, req.dst_ip AS dst_ip,
+       CAST(count(*) AS BIGINT)        AS n_pairs,
+       CAST(sum(rsp.bytes) AS BIGINT)  AS rsp_bytes
+FROM f2 req JOIN f2 rsp
+  ON req.src_ip = rsp.dst_ip AND req.dst_ip = rsp.src_ip
+ AND rsp.em >= req.em AND rsp.em <= req.em + 60000
+GROUP BY 1, 2
+ORDER BY src_ip, dst_ip
+""",
+)
+def flows_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ground truth for the stream-stream interval join
+    (streaming.pipeline.correlated_flows_stream): the IDENTICAL expression
+    tree executes here in batch mode against an oracle self-join.
+
+    The synthetic flows all run client->service (src `.1`, dst `.2` — no
+    reverse traffic), so direction is flipped on a deterministic row
+    attribute (bytes parity) in BOTH engines to create real
+    request/response pairs; the operator under test is unchanged.
+    """
+    from kafka_clickhouse_example_spark.streaming.pipeline import (
+        correlated_flows_stream,
+        with_event_time,
+    )
+
+    flows = _flows(spark, sf_dir)
+    swap = F.col("bytes") % 2 == 1
+    f2 = flows.select(
+        F.when(swap, F.col("dst_ip")).otherwise(F.col("src_ip")).alias("src_ip"),
+        F.when(swap, F.col("src_ip")).otherwise(F.col("dst_ip")).alias("dst_ip"),
+        "start",
+        "bytes",
+    )
+    joined = correlated_flows_stream(with_event_time(f2))
+    return (
+        joined.groupBy("src_ip", "dst_ip")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("rsp_bytes").alias("rsp_bytes"),
+        )
+        .orderBy("src_ip", "dst_ip")
+    )
