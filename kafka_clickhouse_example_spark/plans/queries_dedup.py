@@ -446,3 +446,105 @@ def dedup_candidates_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id1", "id2")
     )
+
+
+# Quality composite shared with queries_text (imported here, not restated,
+# so the two oracles can never drift). Safe import: queries_text depends
+# only on registry + operators.text.
+from kafka_clickhouse_example_spark.plans.queries_text import QUALITY_SCORE_SQL  # noqa: E402
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  WITH sh AS (
+    SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+    WHERE len({SHINGLES_SQL}) > 0
+  ),
+  inv AS (
+    SELECT doc_id, unnest(list_transform(sh, s -> {_md5_half_sql('s', 0)})) AS shingle
+    FROM sh
+  ),
+  common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT c.id1, c.id2
+  FROM common c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2
+  WHERE CAST(c.n_common AS DOUBLE)
+        / CAST(len(s1.sh) + len(s2.sh) - c.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+scored AS (
+  SELECT c.cluster_id, c.doc_id,
+         {QUALITY_SCORE_SQL} AS quality_score
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM scored
+)
+SELECT cluster_id,
+       doc_id AS kept_doc_id,
+       quality_score AS kept_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rnk = 1
+ORDER BY cluster_id
+""",
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: for every duplicate cluster, KEEP the
+    highest-quality member (composite quality score, doc_id tiebreak) — the
+    composition a real pipeline runs (near-dup graph -> components ->
+    survivor choice) expressed as cluster ⋈ quality + one per-cluster
+    window.
+
+    Scale: reuses the memoized pair graph and cluster labels; the quality
+    join touches only clustered docs (≪ corpus); the window partitions by
+    cluster_id.
+    """
+    from kafka_clickhouse_example_spark.operators import text as T
+    from pyspark.sql import Window
+
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    clusters = D.duplicate_clusters(_jaccard_pairs_cached(spark, sf_dir))
+    scored = clusters.join(
+        T.with_quality_metrics(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality_score").alias("kept_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )

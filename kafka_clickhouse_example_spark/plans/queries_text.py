@@ -99,20 +99,32 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Quality-score SQL blocks, shared with the dedup canonical-selection query.
+# Op order matters: these are double expressions and must keep the exact
+# shape of operators/text.quality_metrics for bit-identical results.
+ALPHA_RATIO_SQL = (
+    "(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE))"
+)
+STOPWORD_RATIO_SQL = (
+    f"(CAST({_stop_count_sql(T.STOPWORDS['en'])} AS DOUBLE)"
+    f" / CAST(len({TOKENS_SQL}) AS DOUBLE))"
+)
+QUALITY_SCORE_SQL = (
+    f"0.4 * {ALPHA_RATIO_SQL}"
+    f" + 0.4 * least({STOPWORD_RATIO_SQL} * 5, 1.0)"
+    f" + 0.2 * least(CAST(len({TOKENS_SQL}) AS DOUBLE) / 100, 1.0)"
+)
+
+
 @register(
     "text_quality_scores",
     oracle=f"""
 SELECT
   doc_id,
-  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-    / CAST(length(text) AS DOUBLE)                               AS alpha_ratio,
-  CAST({_stop_count_sql(T.STOPWORDS["en"])} AS DOUBLE)
-    / CAST(len({TOKENS_SQL}) AS DOUBLE)                          AS stopword_ratio,
-  0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-         / CAST(length(text) AS DOUBLE))
-  + 0.4 * least((CAST({_stop_count_sql(T.STOPWORDS["en"])} AS DOUBLE)
-                 / CAST(len({TOKENS_SQL}) AS DOUBLE)) * 5, 1.0)
-  + 0.2 * least(CAST(len({TOKENS_SQL}) AS DOUBLE) / 100, 1.0)    AS quality_score
+  {ALPHA_RATIO_SQL}                                              AS alpha_ratio,
+  {STOPWORD_RATIO_SQL}                                           AS stopword_ratio,
+  {QUALITY_SCORE_SQL}                                            AS quality_score
 FROM documents
 ORDER BY doc_id
 """,
