@@ -1166,9 +1166,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The max-revenue equality compares the EXACT DECIMAL sums, not doubles —
     a double-rounded tie test could keep or drop a supplier depending on
-    partial-agg order; decimal equality cannot. The 1-row max broadcasts;
-    the revenue view computes once and feeds both sides (same relation
-    object, so Spark reuses the exchange under AQE).
+    partial-agg order; decimal equality cannot. Q15 defines revenue as a
+    VIEW consumed twice (row source + scalar max); materializing it once
+    (localCheckpoint — supplier-count rows) replaces two full lineitem
+    scans with one, exactly what CREATE VIEW + two readers costs on any
+    engine that materializes. The 1-row max broadcasts.
     """
     t = _t(spark, sf_dir, "supplier", "lineitem")
     revenue = (
@@ -1179,6 +1181,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_disc_price()).alias("total_revenue_dec"))
+        .localCheckpoint(eager=True)
     )
     max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
     return (
