@@ -339,56 +339,76 @@ def topk_ivf(
       the exploded (query, cell) side broadcast, scored by a vectorized
       numpy cosine, per-query top-k via window.
 
-    At 100 TB the plan is unchanged: centroids stay a KB-scale broadcast,
-    assignment is a map-only scan, and the join shuffles nothing but the
-    probe rows. No SQL oracle (k-means training is not SQL-expressible);
+    Single-scan design: queries and centroids are driver-side by contract
+    (KB-scale), so cell assignment, candidate selection, scoring, AND a
+    per-batch top-k prefilter all happen inside ONE mapInPandas pass over
+    the corpus — no join, no intermediate shuffle, one Python stage. Each
+    scan task emits at most Q*k rows (its local top-k per query; the global
+    top-k by (cosine desc, id) is necessarily a subset of the per-batch
+    top-ks under the same order), so the only shuffle is the final window
+    over <= partitions*Q*k candidate rows. At 100 TB the plan is unchanged:
+    the scan is embarrassingly parallel and the reduce side stays tiny.
+    Round-2 history: the first version staged assignment UDF -> broadcast
+    join -> pair-cosine UDF (two serial ArrowEvalPython stages + exchange);
+    fixed overhead dominated at bench scale (2-8 s for a 2000-row corpus).
+    No SQL oracle (k-means training is not SQL-expressible);
     contract-tested against `topk_bruteforce` with an absolute recall floor.
     """
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
 
-    @F.pandas_udf("int")
-    def cell_of(vs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
-
     qids = queries_pdf["qid"].to_numpy()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
     qd2 = (qmat * qmat).sum(axis=1)[:, None] - 2.0 * (qmat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
     probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    member = np.zeros((len(qids), cent.shape[0]), dtype=bool)  # (Q, cells)
+    for i in range(len(qids)):
+        member[i, probe[i]] = True
 
-    spark = corpus.sparkSession
-    probe_rows = [
-        (int(qids[i]), [float(x) for x in qmat[i]], int(cell))
-        for i in range(len(qids))
-        for cell in probe[i]
-    ]
-    q = spark.createDataFrame(probe_rows, schema="qid long, _qv array<double>, _qb int")
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            norms = np.linalg.norm(m, axis=1)
+            outs = []
+            for i in range(len(qids)):
+                mask = member[i, cells] & (ids != qids[i])
+                if not mask.any():
+                    continue
+                # Elementwise product-sum (not matvec) so every reported
+                # cosine is bit-identical to the pairwise kernel the recall
+                # test compares against (BLAS matvec reorders the sum).
+                cos = (m[mask] * qmat[i][None, :]).sum(axis=1) / (
+                    norms[mask] * qnorm[i]
+                )
+                cid = ids[mask]
+                if len(cos) > k:
+                    order = np.lexsort((cid, -cos))[:k]
+                    cos, cid = cos[order], cid[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
+                            id_col: cid,
+                            "cosine_sim": cos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
 
-    @F.pandas_udf("double")
-    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        return pd.Series(
-            (ma * mb).sum(axis=1)
-            / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
-        )
-
-    c = corpus.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("_cv"),
-        cell_of(F.col(vec_col)).alias("_cb"),
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("_cb") == F.col("_qb"))
-        .filter(F.col("qid") != F.col(id_col))
-        .select(
-            "qid",
-            F.col(id_col),
-            pair_cos(F.col("_cv"), F.col("_qv")).alias("cosine_sim"),
-        )
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"qid long, {id_col} long, cosine_sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
