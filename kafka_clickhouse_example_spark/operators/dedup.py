@@ -120,9 +120,16 @@ def with_shingles(
     id_col: str = "doc_id",
     out: str = "sh",
     *,
+    n: int = NGRAM_DEFAULT,
     use_arrow: bool = True,
+    drop_empty: bool = True,
 ) -> DataFrame:
     """(id, shingle-array) with empty-shingle docs dropped.
+
+    ``drop_empty=False`` skips the size()>0 filter: a consumer that
+    immediately explodes the array drops empties for free, and the filter
+    would otherwise make Catalyst evaluate the shingle UDF TWICE (once for
+    the predicate, once for the projection — the re-eval pitfall).
 
     Default path is an Arrow-vectorized pandas UDF: Catalyst's higher-order
     ``transform`` runs interpreted and costs ~32 us per shingle (measured
@@ -134,12 +141,14 @@ def with_shingles(
     """
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     if use_arrow:
-        shingled = base.withColumn(out, _shingles_pandas_udf()(F.col("_text")))
+        shingled = base.withColumn(out, _shingles_pandas_udf(n)(F.col("_text")))
     else:
         shingled = base.withColumn("_toks", _tokens(F.col("_text"))).withColumn(
-            out, shingles_from_tokens(F.col("_toks"))
+            out, shingles_from_tokens(F.col("_toks"), n)
         )
-    return shingled.filter(F.size(out) > 0).select("doc_id", out)
+    if drop_empty:
+        shingled = shingled.filter(F.size(out) > 0)
+    return shingled.select("doc_id", out)
 
 
 def _md5half_array_udf(which: int = 0):

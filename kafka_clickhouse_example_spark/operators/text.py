@@ -159,6 +159,115 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def grams_from_tokens(toks: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept, unlike dedup's distinct shingles)
+    from a materialized token-array column; empty array below n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/C4-style repetition and shape filters, per document.
+
+    The published quality-filter families (Gopher rules, C4 heuristics)
+    score a document by how much of it is the same thing repeated: the
+    fraction of mass in the single most frequent token, the fraction of
+    duplicate n-grams, degenerate token lengths, symbol density. Documents
+    past the thresholds are boilerplate/spam with high probability and get
+    dropped before training.
+
+    Plan shape: one narrow pass computes every per-row metric from a
+    materialized token array (arrays built once per row — HOFs are
+    interpreted, so each intermediate gets its own Project); the only wide
+    operation is the top-token count, which is the canonical two-level
+    aggregate (explode -> count by (doc, token) -> max by doc, partial
+    aggregation map-side) joined back on doc_id. At 100 TB both sides of
+    that join are already hash-partitioned by doc_id, so the join reuses
+    the aggregation exchange.
+
+    All ratios are single-path count/count double divisions —
+    bit-identical in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), t.alias("_text"))
+        .withColumn("_toks", tokens(F.col("_text")))
+        .withColumn("_g2", grams_from_tokens(F.col("_toks"), 2))
+        .withColumn("_g3", grams_from_tokens(F.col("_toks"), 3))
+        .withColumn("_lens", F.transform(F.col("_toks"), F.length))
+    )
+    n_tok = F.size("_toks").cast("long")
+    per_doc = base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_toks")).cast("double") / n_tok.cast("double")
+        ).alias("frac_dup_tokens"),
+        F.when(
+            F.size("_g2") > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct("_g2")).cast("double")
+            / F.size("_g2").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_dup_2grams"),
+        F.when(
+            F.size("_g3") > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct("_g3")).cast("double")
+            / F.size("_g3").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_dup_3grams"),
+        (
+            F.aggregate(
+                F.col("_lens"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).cast("double")
+            / n_tok.cast("double")
+        ).alias("mean_token_len"),
+        (
+            F.length(F.regexp_replace(F.col("_text"), "[A-Za-z0-9 ]", "")).cast(
+                "double"
+            )
+            / F.length("_text").cast("double")
+        ).alias("symbol_ratio"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_toks").alias("_tok"))
+        .groupBy("doc_id", "_tok")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("_cnt").alias("_top_cnt"))
+    )
+    # shuffle_hash hint: both sides are O(docs); Spark's size estimate would
+    # broadcast the aggregated top-token side, which does not survive scale.
+    # The hash join repartitions both sides by doc_id and the top side
+    # reuses its aggregation exchange.
+    return (
+        per_doc.join(top.hint("shuffle_hash"), "doc_id")
+        .withColumn(
+            "frac_top_token",
+            F.col("_top_cnt").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .drop("_top_cnt")
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100000)
+            & (F.col("frac_top_token") <= 0.125)
+            & (F.col("frac_dup_2grams") <= 0.05)
+            & (F.col("mean_token_len") >= 3.0)
+            & (F.col("mean_token_len") <= 10.0),
+        )
+    )
+
+
 def with_quality_metrics(df, text_col: str = "text"):
     """Materialized quality metrics: one tokenization/regex pass per input
     row, ratios and score computed from the count *columns*."""

@@ -131,3 +131,45 @@ def sample_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_pack_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(floor(start_offset / 512) AS BIGINT) AS first_chunk,
+  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT)
+    AS last_chunk,
+  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512)
+       - floor(start_offset / 512) + 1 AS BIGINT) AS n_chunks
+FROM c
+ORDER BY doc_id
+""",
+)
+def sample_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing at context 512: each document's
+    exact span in the global token stream (exclusive-prefix-sum offset) and
+    the chunk range it occupies. The prefix sum is the distributed two-pass
+    algorithm in operators/packing.py — no single-partition window; the
+    oracle is the single-node window-function definition of the same
+    arithmetic."""
+    from kafka_clickhouse_example_spark.operators import packing as PK
+    from kafka_clickhouse_example_spark.operators import text as T
+
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return PK.with_pack_chunks(docs).orderBy("doc_id")

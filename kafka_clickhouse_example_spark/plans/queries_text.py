@@ -258,3 +258,119 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_N)
         .orderBy("doc_id", "rnk")
     )
+
+
+# --- decontamination ---------------------------------------------------------
+
+_DC_N = 4  # word n-gram length; 46/475 train docs collide on the fixture
+_DC_TOKS = TOKENS_SQL
+_DC_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_DC_TOKS}) >= {_DC_N} THEN "
+    f"list_transform(range(1, len({_DC_TOKS}) - {_DC_N - 2}), i -> "
+    + " || ' ' || ".join(f"{_DC_TOKS}[i+{j}]" for j in range(_DC_N))
+    + ") ELSE [] END)"
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, source, ('0x' || substr(md5(g), 1, 14))::BIGINT AS h
+  FROM (SELECT doc_id, source, unnest({_DC_SHINGLES}) AS g FROM documents)
+),
+ev AS (SELECT DISTINCT h FROM ex WHERE source = 'src0'),
+tr AS (SELECT doc_id, h FROM ex WHERE source <> 'src0')
+SELECT tr.doc_id, CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared_shingles
+FROM tr JOIN ev USING (h)
+GROUP BY tr.doc_id
+ORDER BY doc_id
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: train docs (source <> 'src0')
+    sharing at least one word 4-gram with the held-out eval slice
+    (source = 'src0'), with the shared-shingle count. The eval shingle-hash
+    set broadcasts; the corpus is scanned map-side only (see
+    operators/decontam.py for the 100 TB argument). The oracle recomputes
+    shingling, hashing, and the overlap join end-to-end."""
+    from kafka_clickhouse_example_spark.operators import decontam as DC
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    return DC.contamination_hits(train, ev, n=_DC_N).orderBy("doc_id")
+
+
+# --- repetition / shape filters ----------------------------------------------
+
+_REP_G2 = (
+    f"CASE WHEN len({TOKENS_SQL}) >= 2 THEN list_transform(range(1, len({TOKENS_SQL})), "
+    f"i -> {TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1]) ELSE [] END"
+)
+_REP_G3 = (
+    f"CASE WHEN len({TOKENS_SQL}) >= 3 THEN list_transform(range(1, len({TOKENS_SQL}) - 1), "
+    f"i -> {TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1] || ' ' || {TOKENS_SQL}[i+2]) ELSE [] END"
+)
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS tk FROM documents),
+g AS (
+  SELECT doc_id, text, tk, {_REP_G2.replace(TOKENS_SQL, 'tk')} AS g2,
+         {_REP_G3.replace(TOKENS_SQL, 'tk')} AS g3
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+      AS frac_dup_tokens,
+    CASE WHEN len(g2) > 0 THEN
+      1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+    ELSE 0.0 END AS frac_dup_2grams,
+    CASE WHEN len(g3) > 0 THEN
+      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+    ELSE 0.0 END AS frac_dup_3grams,
+    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+      / CAST(len(tk) AS DOUBLE) AS mean_token_len,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      / CAST(length(text) AS DOUBLE) AS symbol_ratio
+  FROM g
+),
+top AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT m.doc_id, n_tokens, frac_dup_tokens, frac_dup_2grams, frac_dup_3grams,
+       mean_token_len, symbol_ratio,
+       CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS frac_top_token,
+       (n_tokens >= 10 AND n_tokens <= 100000
+        AND CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.125
+        AND frac_dup_2grams <= 0.05
+        AND mean_token_len >= 3.0 AND mean_token_len <= 10.0) AS keep
+FROM m JOIN top ON m.doc_id = top.doc_id
+ORDER BY m.doc_id
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + shape filters with a keep decision per
+    document (operators/text.py:with_repetition_metrics). The oracle
+    recomputes every ratio and the threshold rule relationally."""
+    docs = _docs(spark, sf_dir)
+    return T.with_repetition_metrics(docs).select(
+        "doc_id",
+        "n_tokens",
+        "frac_dup_tokens",
+        "frac_dup_2grams",
+        "frac_dup_3grams",
+        "mean_token_len",
+        "symbol_ratio",
+        "frac_top_token",
+        "keep",
+    ).orderBy("doc_id")

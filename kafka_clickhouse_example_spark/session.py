@@ -122,5 +122,15 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # some confs may be static on older builds; never fail a query over it
+    # InferFiltersFromGenerate synthesizes a size(x)>0 filter under every
+    # explode; when x is a Python-UDF output the pushed filter re-evaluates
+    # the whole UDF chain a second time (2x the dominant map cost of
+    # shingle/tokenize scans — observed in text_decontaminate's plan). The
+    # rule only prunes empty arrays pre-explode, which the Generate does
+    # anyway, so excluding it is semantics-free.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     ship_package(spark)
     return spark

@@ -1,0 +1,122 @@
+"""Unit tests for the training-pipeline operators added in round 2:
+decontamination, repetition filters, and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+
+
+class TestDecontamination:
+    def test_planted_overlap_is_flagged_with_count(self, spark):
+        from kafka_clickhouse_example_spark.operators import decontam as DC
+
+        leak = "alpha beta gamma delta"  # one 4-gram, shared verbatim
+        train = _docs_df(
+            spark,
+            [
+                (1, f"intro words {leak} trailing words here", "train"),
+                (2, "totally unrelated content with no overlap at all", "train"),
+                (3, f"{leak} {leak} repeated leak still one distinct gram", "train"),
+            ],
+        )
+        ev = _docs_df(spark, [(100, f"benchmark question {leak} answer", "eval")])
+        hits = {
+            r["doc_id"]: r["n_shared_shingles"]
+            for r in DC.contamination_hits(train, ev).collect()
+        }
+        assert 1 in hits and 3 in hits
+        assert 2 not in hits
+        # doc 3 repeats the leaked gram but shares exactly one DISTINCT gram
+        assert hits[3] == 1
+
+    def test_short_docs_yield_no_shingles(self, spark):
+        from kafka_clickhouse_example_spark.operators import decontam as DC
+
+        train = _docs_df(spark, [(1, "too short", "train")])
+        ev = _docs_df(spark, [(2, "also very tiny", "eval")])
+        assert DC.contamination_hits(train, ev).count() == 0
+
+
+class TestRepetitionFilter:
+    def test_degenerate_doc_dropped_normal_doc_kept(self, spark):
+        from kafka_clickhouse_example_spark.operators import text as T
+
+        normal = "the quick brown fox jumps over a lazy dog and then runs far away home"
+        spammy = "buy now " * 20  # one bigram repeated: frac_dup_2grams ~ 1
+        df = _docs_df(spark, [(1, normal, "s"), (2, spammy.strip(), "s")])
+        out = {r["doc_id"]: r for r in T.with_repetition_metrics(df).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["keep"] is False
+        assert out[2]["frac_dup_2grams"] > 0.9
+        assert out[2]["frac_top_token"] == 0.5
+        assert out[1]["frac_dup_tokens"] < out[2]["frac_dup_tokens"]
+
+    def test_metrics_match_python_reference(self, spark):
+        from kafka_clickhouse_example_spark.operators import text as T
+
+        text = "a b a b c a a x y z"
+        df = _docs_df(spark, [(1, text, "s")])
+        r = T.with_repetition_metrics(df).collect()[0]
+        toks = text.split(" ")
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["frac_dup_tokens"] - (1 - len(set(toks)) / len(toks))) < 1e-15
+        assert abs(r["frac_dup_2grams"] - (1 - len(set(g2)) / len(g2))) < 1e-15
+        assert abs(r["frac_top_token"] - 4 / len(toks)) < 1e-15
+        assert abs(r["mean_token_len"] - 1.0) < 1e-15
+
+
+class TestSequencePacking:
+    def test_offsets_are_exact_prefix_sums_any_partitioning(self, spark):
+        from kafka_clickhouse_example_spark.operators import packing as PK
+
+        rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+        out = (
+            PK.with_stream_offsets(df.repartition(7), "n_tokens", ["doc_id"])
+            .orderBy("doc_id")
+            .collect()
+        )
+        acc = 0
+        for r, (_, w) in zip(out, rows):
+            assert r["start_offset"] == acc
+            acc += w
+
+    def test_chunk_arithmetic_and_boundary_straddle(self, spark):
+        from kafka_clickhouse_example_spark.operators import packing as PK
+
+        df = spark.createDataFrame(
+            [(1, 500), (2, 24), (3, 100), (4, 0)],
+            schema="doc_id long, n_tokens long",
+        )
+        out = {r["doc_id"]: r for r in PK.with_pack_chunks(df, ctx=512).collect()}
+        assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0)
+        # doc 2 spans tokens [500, 524) -> straddles the 512 boundary
+        assert (out[2]["first_chunk"], out[2]["last_chunk"], out[2]["n_chunks"]) == (
+            0,
+            1,
+            2,
+        )
+        assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (1, 1)
+        # zero-weight doc pins to its boundary chunk, empty span
+        assert (out[4]["first_chunk"], out[4]["last_chunk"], out[4]["n_chunks"]) == (
+            1,
+            1,
+            1,
+        )
+
+    def test_no_single_partition_window_in_plan(self, spark):
+        from kafka_clickhouse_example_spark.operators import packing as PK
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+        )
+        plan = (
+            PK.with_pack_chunks(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
