@@ -469,3 +469,65 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
         .withColumn(out, fingerprint.cast("long"))
         .drop("_toks", "_th", "_bits")
     )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs between a NEW batch and the
+    EXISTING corpus, without re-deduping the corpus against itself.
+
+    Production pipelines ingest continuously; re-running all-corpus LSH per
+    batch is O(corpus) shuffle every day. The incremental shape exploits
+    the asymmetry — the daily batch is tiny against the accumulated corpus:
+
+    - the new batch's band keys (and later its shingle arrays) BROADCAST;
+    - the corpus is scanned in place: band-key candidates fall out of a
+      map-side broadcast join against each corpus row's band keys, and the
+      exact-Jaccard verify joins the (small) candidate list back through
+      the corpus scan the same way;
+    - the corpus is therefore never shuffled, never self-joined. Total cost
+      per batch: one corpus scan + O(candidates) verify.
+
+    Pair orientation is (new_id, corpus_id); ids live in disjoint sets so
+    no < ordering is needed. Same signatures/bands/threshold as
+    `minhash_lsh_pairs`, so batch-mode and incremental-mode agree on what a
+    duplicate is.
+    """
+    new_sh = with_shingles(new_df, text_col, id_col)
+    corp_sh = with_shingles(corpus_df, text_col, id_col)
+    new_banded = (
+        with_minhash_signature(new_sh)
+        .withColumn("bk", F.explode(band_keys(F.col("mh"))))
+        .select(F.col("doc_id").alias("new_id"), "bk")
+    )
+    corp_banded = (
+        with_minhash_signature(corp_sh)
+        .withColumn("bk", F.explode(band_keys(F.col("mh"))))
+        .select(F.col("doc_id").alias("corpus_id"), "bk")
+    )
+    candidates = (
+        corp_banded.join(F.broadcast(new_banded), "bk")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    cand_with_new = candidates.join(
+        F.broadcast(new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new"))),
+        "new_id",
+    )
+    return (
+        corp_sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_corp"))
+        .join(F.broadcast(cand_with_new), "corpus_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_new", "sh_corp")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_new") + F.size("sh_corp") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "n_common", "jaccard")
+    )

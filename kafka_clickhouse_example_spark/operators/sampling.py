@@ -98,3 +98,43 @@ def weighted_bernoulli_sample(df: DataFrame, weight_col: str, key_col: str) -> D
         )
         .drop("_max_w")
     )
+
+
+def with_token_quota(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    before_col: str = "tokens_before",
+) -> DataFrame:
+    """Per-group token-budget quota: walk each group in a deterministic
+    order and keep rows until the group's token budget is spent.
+
+    This is domain/source quota curation — pretraining mixes cap each
+    source at a token budget rather than a document count, so the cut must
+    be by cumulative token mass in a reproducible order. Boundary rule: a
+    row is kept iff the tokens consumed BEFORE it are under budget (the
+    first row crossing the boundary is kept in full — matching
+    concat-and-split trainers, which never see partial documents until the
+    final chunk).
+
+    Scale: one shuffle partitioning by ``group_col``; the running sum is a
+    streaming window frame (ROWS UNBOUNDED PRECEDING — spill-safe, no
+    buffering of the partition). Per-group sequential semantics pin each
+    group to one task by definition; a group so large that even its
+    *scan* skews the stage should be quota'd hierarchically (sub-source
+    keys) — the budget arithmetic composes.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["doc_id"]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0)).cast("long")
+    return df.withColumn(before_col, cum_before).filter(
+        F.col(before_col) < F.lit(budget)
+    )

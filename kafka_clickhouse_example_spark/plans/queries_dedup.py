@@ -55,6 +55,26 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIRS_CACHE[key] = cached
     return cached
 
+
+# Cluster labels are derived from the memoized pair graph by an iterative
+# (multi-job) algorithm — the memo saves the O(diameter) propagation rounds
+# for every downstream consumer (canonical selection), same rationale as the
+# pair memo. dedup_duplicate_clusters itself still runs the propagation live
+# (it IS the benchmark of clustering).
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTERS_CACHE.get(key)
+    if cached is None:
+        cached = D.duplicate_clusters(
+            _jaccard_pairs_cached(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        _CLUSTERS_CACHE[key] = cached
+    return cached
+
+
 # --- SQL building blocks (lockstep with operators/dedup.py) -----------------
 
 TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
@@ -528,7 +548,7 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     docs = load_compute_table(spark, sf_dir, "documents")
-    clusters = D.duplicate_clusters(_jaccard_pairs_cached(spark, sf_dir))
+    clusters = _clusters_cached(spark, sf_dir)
     scored = clusters.join(
         T.with_quality_metrics(docs).select("doc_id", "quality_score"), "doc_id"
     )
@@ -547,4 +567,59 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
         .orderBy("cluster_id")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH shn AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE source = 'src18' AND len({SHINGLES_SQL}) > 0
+),
+shc AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE source <> 'src18' AND len({SHINGLES_SQL}) > 0
+),
+sign AS (
+  SELECT doc_id, sh, [{", ".join(_minhash_sql(p) for p in range(D.MINHASH_PERMS))}] AS mh FROM shn
+),
+sigc AS (
+  SELECT doc_id, sh, [{", ".join(_minhash_sql(p) for p in range(D.MINHASH_PERMS))}] AS mh FROM shc
+),
+bandn AS (SELECT doc_id, unnest({_band_keys_sql()}) AS bk FROM sign),
+bandc AS (SELECT doc_id, unnest({_band_keys_sql()}) AS bk FROM sigc),
+candidates AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bandn n JOIN bandc c ON n.bk = c.bk
+)
+SELECT cd.new_id, cd.corpus_id,
+       len(list_intersect(s1.sh, s2.sh)) AS n_common,
+       CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         AS jaccard
+FROM candidates cd
+JOIN shn s1 ON s1.doc_id = cd.new_id
+JOIN shc s2 ON s2.doc_id = cd.corpus_id
+WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY new_id, corpus_id
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 'today's batch' slice (source='src18')
+    LSH-matched against the accumulated corpus (every other source) without
+    any corpus self-join — new-batch band keys and shingles broadcast, the
+    corpus is scanned map-side only (operators/dedup.py
+    incremental_minhash_pairs). Same signatures and threshold as the batch
+    operator, so both modes agree on what a duplicate is. The oracle
+    recomputes signatures, banding, the asymmetric candidate join, and the
+    exact verify."""
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("source") == "src18")
+    corpus = docs.filter(F.col("source") != "src18")
+    return D.incremental_minhash_pairs(new_batch, corpus, JACCARD_THRESHOLD).orderBy(
+        "new_id", "corpus_id"
     )

@@ -173,3 +173,44 @@ def sample_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return PK.with_pack_chunks(docs).orderBy("doc_id")
+
+
+TOKEN_QUOTA = 1000
+
+
+@register(
+    "sample_source_token_quota",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, tokens_before
+FROM c WHERE tokens_before < {TOKEN_QUOTA}
+ORDER BY doc_id
+""",
+)
+def sample_source_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: walk each source in doc_id order
+    and keep documents until the source's token budget is spent (the first
+    doc crossing the boundary is kept in full). Pretraining mixes cap
+    sources by token mass, not document count — this is that cut,
+    reproducible on any engine/partitioning. One shuffle on source; the
+    running sum is a streaming window frame (operators/sampling.py
+    with_token_quota)."""
+    from kafka_clickhouse_example_spark.operators import text as T
+
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return SP.with_token_quota(docs, TOKEN_QUOTA).orderBy("doc_id")

@@ -120,3 +120,66 @@ class TestSequencePacking:
         )
         assert "Window" not in plan
         assert "SinglePartition" not in plan
+
+
+class TestIncrementalDedup:
+    def test_cross_batch_pair_found_corpus_internal_ignored(self, spark):
+        from kafka_clickhouse_example_spark.operators import dedup as D
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base + " extra"
+        corpus = _docs_df(
+            spark,
+            [
+                (1, base, "old"),
+                (2, base, "old"),  # corpus-internal exact dup: must NOT appear
+                (3, "totally different words with no shared shingles here", "old"),
+            ],
+        )
+        new = _docs_df(spark, [(100, near, "new")])
+        rows = D.incremental_minhash_pairs(new, corpus, 0.3).collect()
+        got = {(r["new_id"], r["corpus_id"]) for r in rows}
+        assert got == {(100, 1), (100, 2)}
+        for r in rows:
+            assert r["jaccard"] > 0.7
+
+    def test_corpus_is_never_shuffled_or_sortmerged(self, spark):
+        from kafka_clickhouse_example_spark.operators import dedup as D
+
+        corpus = _docs_df(spark, [(i, f"w{i} x{i} y{i} z{i} q{i}", "old") for i in range(50)])
+        new = _docs_df(spark, [(99, "w1 x1 y1 z1 q1", "new")])
+        plan = (
+            D.incremental_minhash_pairs(new, corpus, 0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan
+        # the only hash exchange allowed is the candidate-list distinct
+        import re
+
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert all("new_id" in e or "corpus_id" in e for e in ex), ex
+
+
+class TestTokenQuota:
+    def test_boundary_doc_kept_and_budget_independent_per_group(self, spark):
+        from kafka_clickhouse_example_spark.operators import sampling as SP
+
+        rows = [
+            (1, "a", 400), (2, "a", 500), (3, "a", 200),  # cum-before: 0, 400, 900
+            (4, "b", 1500),                                # 0 -> kept despite size
+            (5, "b", 1),                                   # 1500 -> dropped
+        ]
+        df = spark.createDataFrame(rows, schema="doc_id long, source string, n_tokens long")
+        out = SP.with_token_quota(df, 1000).orderBy("doc_id").collect()
+        kept = [r["doc_id"] for r in out]
+        assert kept == [1, 2, 3, 4]
+        assert [r["tokens_before"] for r in out] == [0, 400, 900, 0]
+
+    def test_partitioning_invariant(self, spark):
+        from kafka_clickhouse_example_spark.operators import sampling as SP
+
+        rows = [(i, f"s{i % 5}", (i * 13) % 70 + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, schema="doc_id long, source string, n_tokens long")
+        a = sorted(map(tuple, SP.with_token_quota(df, 500).collect()))
+        b = sorted(map(tuple, SP.with_token_quota(df.repartition(13), 500).collect()))
+        assert a == b and len(a) > 0
