@@ -28,10 +28,13 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver-generated parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects outright. We read nanos as LongType (legacy conf, set in
-# session.configure_runtime) and convert to TimestampType here — `div 1000` is
-# exact integer math (a double division would lose precision at 1.7e18 ns).
+# The driver-generated parquet has shipped two physical timestamp encodings
+# across rounds: TIMESTAMP(NANOS) (vectorized reader rejects it; read as
+# LongType via the legacy conf set in session.configure_runtime, then
+# `div 1000` — exact integer math) and TIMESTAMP(MICROS, isAdjustedToUTC=
+# false) (Spark 4 infers TIMESTAMP_NTZ). Both are normalized to TimestampType
+# in the UTC session so epoch functions (unix_millis etc.) and the DuckDB
+# oracle (naive micros) see identical instants.
 TIMESTAMP_COLS: dict[str, list[str]] = {
     "events": ["ts"],
     "lineitem": ["l_shipdate"],
@@ -61,9 +64,13 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in TIMESTAMP_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c in df.columns and dtypes[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if min_partitions:
         # Per-row-expensive pipelines (hashing, vector math) ask for a floor
         # on scan parallelism: the test corpus is one single-row-group file
