@@ -236,7 +236,7 @@ SELECT req.src_ip AS src_ip, req.dst_ip AS dst_ip,
        CAST(sum(rsp.bytes) AS BIGINT)  AS rsp_bytes
 FROM f2 req JOIN f2 rsp
   ON req.src_ip = rsp.dst_ip AND req.dst_ip = rsp.src_ip
- AND rsp.em >= req.em AND rsp.em <= req.em + 60000
+ AND rsp.em >= req.em AND rsp.em <= req.em + 21600000
 GROUP BY 1, 2
 ORDER BY src_ip, dst_ip
 """,
@@ -250,6 +250,11 @@ def flows_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse traffic), so direction is flipped on a deterministic row
     attribute (bytes parity) in BOTH engines to create real
     request/response pairs; the operator under test is unchanged.
+
+    Horizon is 6 hours here (vs the streaming default of 1 minute) because
+    the synthetic corpus is sparse: at the driver's sf0.01 gate a 1-minute
+    horizon yields zero pairs (a vacuous 0==0 parity), while 6 hours yields
+    33 — the join predicate is actually exercised at every tested SF.
     """
     from kafka_clickhouse_example_spark.streaming.pipeline import (
         correlated_flows_stream,
@@ -264,7 +269,7 @@ def flows_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start",
         "bytes",
     )
-    joined = correlated_flows_stream(with_event_time(f2))
+    joined = correlated_flows_stream(with_event_time(f2), horizon="6 hours")
     return (
         joined.groupBy("src_ip", "dst_ip")
         .agg(
