@@ -1,0 +1,493 @@
+"""Deeper TPC-H join/subquery shapes over the driver's star schema.
+
+The round-1 analytics layer covered Q1/Q3/Q4/Q5/Q13/Q14/Q15/Q18/Q19/Q22;
+this module adds the remaining *plan patterns* the suite was missing, each
+adapted to the driver's reduced schema (no partsupp table, no
+l_shipmode/l_commitdate/l_receiptdate columns — predicates substitute
+columns that exist, the join/subquery structure is the point):
+
+- Q7  nation-pair volume: two roles of the same dimension (nation n1/n2)
+  joined through opposite sides of a fact-fact join, with a disjunctive
+  pair predicate.
+- Q8  market share: 6-table star join feeding a conditional-ratio
+  aggregate per year.
+- Q10 returned-item revenue: fact-fact-fact join with a quarter filter and
+  a revenue top-k.
+- Q12-shape late shipments: date-arithmetic bucketing with priority CASE
+  counts (l_shipmode doesn't exist; ship-delay buckets replace it).
+- Q11-shape important parts: GROUP BY with HAVING against a *global*
+  scalar aggregate (share-of-total threshold).
+- Q16-shape supplier diversity: count(DISTINCT) per part attribute with a
+  NOT IN anti-join against a supplier blocklist.
+- Q17 small-quantity revenue: correlated scalar subquery
+  (per-part average) decorrelated into an aggregate + rejoin.
+
+Determinism follows the module rules in queries_analytics: exact DECIMAL
+money sums, final casts pinned on both engines, total ORDER BY.
+
+Scale design (100 TB): every dimension access (nation, region, supplier,
+brand-filtered part) is an explicit broadcast; fact-fact joins
+(orders⋈lineitem, customer⋈orders) stay sort-merge + AQE, unchanged by
+bucketed storage. The Q11/Q17 shapes decorrelate to ONE extra aggregate
+over the fact table instead of a per-row subquery — the only formulation
+that survives when the fact table stops fitting anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.plans.queries_analytics import (
+    DISC_PRICE_SQL,
+    _disc_price,
+    _t,
+)
+from kafka_clickhouse_example_spark.registry import register
+
+DEC0 = "CAST(0 AS DECIMAL(17,4))"
+
+
+# --- Q7: nation-pair shipping volume ---------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         {DISC_PRICE_SQL} AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders   o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: the same dimension (nation) in two roles — supplier's and
+    customer's — reached through opposite sides of the orders⋈lineitem
+    fact join, with the disjunctive pair predicate applied once both
+    labels are in scope.
+
+    Scale: nation⋈supplier collapses to one broadcast hash probe on the
+    lineitem scan. The customer side filters customer to the two target
+    nations BEFORE joining orders (2/25 of customers survive), so the
+    fact-fact shuffle carries a pre-pruned build side; AQE sees the
+    shrunken customer side and can demote that exchange to broadcast at
+    low SF while keeping sort-merge at 100 TB.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    pair = ["NATION_1", "NATION_2"]
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name").isin(pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name").isin(pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- Q8: market share -------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE {DEC0} END)
+                 AS DOUBLE)
+            / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       count(*) AS n_lines
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         {DISC_PRICE_SQL} AS volume,
+         n2.n_name AS nation
+  FROM lineitem l
+  JOIN part     p  ON p.p_partkey  = l.l_partkey
+  JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+  JOIN nation   n2 ON n2.n_nationkey = s.s_nationkey
+  JOIN orders   o  ON o.o_orderkey = l.l_orderkey
+  JOIN customer c  ON c.c_custkey  = o.o_custkey
+  JOIN nation   n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region   r  ON r.r_regionkey  = n1.n_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: full 8-relation star join feeding a conditional-ratio
+    aggregate — NATION_5 suppliers' share of STANDARD-part revenue sold
+    into ASIA, per order year.
+
+    Scale: part (type-filtered), supplier⋈nation, and the
+    region⋈nation⋈customer chain are all broadcast-side prunes of the two
+    fact scans; the only shuffles left are the orders⋈lineitem and
+    orders⋈customer fact joins. The CASE ratio accumulates two exact
+    DECIMAL partials per year — one double division at the very end.
+    """
+    t = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "part", "region",
+    )
+    part = t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("asia_nationkey"))
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("asia_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    nation5_vol = F.when(F.col("nation") == "NATION_5", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation5_vol).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- Q10: returned-item revenue --------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders   o ON o.o_custkey  = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation   n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returned items per customer in a quarter,
+    top 20 by revenue.
+
+    Scale: both fact filters (quarter on orders, returnflag on lineitem)
+    reach their parquet scans before the orderkey shuffle; nation is
+    broadcast onto the customer side. The top-k is a TakeOrderedAndProject
+    — each partition keeps 20 rows, the driver merges 20×partitions rows,
+    never the full aggregate. c_custkey tiebreaks the double sort key so
+    the LIMIT frontier is total-ordered.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q12-shape: late-shipment priority split --------------------------------
+
+
+@register(
+    "q12_late_shipments",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 180 THEN 'VERY_LATE'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90  THEN 'LATE'
+            ELSE 'ONTIME' END AS delay_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+""",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: date-arithmetic bucketing with priority CASE
+    counts. The schema has no l_shipmode/l_commitdate/l_receiptdate, so
+    the grouping key is the ship-delay bucket (shipdate − orderdate) —
+    same plan: fact-fact join, derived low-cardinality key, two
+    conditional counts with map-side combine.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 180, "VERY_LATE").when(delay > 90, "LATE").otherwise("ONTIME")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# --- Q11-shape: share-of-total HAVING ---------------------------------------
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey, sum({DISC_PRICE_SQL}) AS val, count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(val) AS total FROM pv)
+SELECT l_partkey, CAST(val AS DOUBLE) AS value,
+       CAST(n_lines AS BIGINT) AS n_lines
+FROM pv, tot
+WHERE val * 1500 > total
+ORDER BY value DESC, l_partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key aggregate kept only when it exceeds a
+    share-of-total threshold (here >1/1500 of global revenue; partsupp
+    doesn't exist so per-part lineitem revenue stands in for inventory
+    value).
+
+    The threshold comparison is EXACT decimal integer math
+    (val*1500 > total), not a double ratio — a boundary key can't flip
+    sides between engines or partial-agg orders.
+
+    Scale: one partial-combined groupBy over the fact table, then a
+    1-row global sum broadcast back over the per-key aggregate (the
+    decorrelated form of Q11's scalar subquery). The per-key relation is
+    |parts|-sized, not |lineitem|-sized, so the second pass is cheap.
+    """
+    t = _t(spark, sf_dir, "lineitem")
+    pv = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_disc_price()).alias("val"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    tot = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("val") * 1500 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.col("val").cast("double").alias("value"),
+            "n_lines",
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+# --- Q16-shape: supplier diversity with blocklist ---------------------------
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count per part attribute with a NOT IN
+    blocklist (negative-balance suppliers stand in for Q16's complaint
+    filter; partsupp doesn't exist so lineitem provides part⋈supplier).
+
+    Scale: the blocklist is a broadcast LEFT ANTI join (s_suppkey is
+    non-null, so NOT IN ≡ anti join); part attributes arrive by broadcast;
+    count(DISTINCT) goes through Spark's two-phase expand — partial
+    distinct within partitions before the shuffle on the group key.
+    """
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25)
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- Q17: small-quantity revenue (correlated avg, decorrelated) -------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+),
+pq AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem l
+  JOIN brand_parts b ON b.p_partkey = l.l_partkey
+  GROUP BY l.l_partkey
+)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       count(*) AS n_small_lines
+FROM lineitem l
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from line items whose quantity is below 20% of
+    the part's average quantity — the canonical correlated scalar
+    subquery, decorrelated into a per-part aggregate + rejoin (the only
+    shape that scales: one extra pass over the brand-filtered fact slice
+    instead of a subquery per row).
+
+    The 20%-of-average comparison is EXACT:
+    qty < 0.2·(sum/cnt)  ⇔  qty·5·cnt < sum  (cnt > 0), evaluated in
+    DECIMAL integer math — no double average whose last bits depend on
+    partial-aggregation order.
+    """
+    t = _t(spark, sf_dir, "lineitem", "part")
+    brand_parts = (
+        t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    li_brand = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pq = li_brand.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li_brand.join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )

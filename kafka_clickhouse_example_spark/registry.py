@@ -53,6 +53,7 @@ def _load_all() -> None:
         queries_temporal,
         queries_text,
         queries_timeseries,
+        queries_tpch_extra,
     )
 
 
