@@ -1,0 +1,266 @@
+"""Corpus-preparation queries: chunking, n-gram vocabulary, per-source
+gates, and embedding-space aggregates — the ops a training-data pipeline
+runs between raw ingest and tokenizer/training handoff.
+
+Determinism follows the analytics module rules: exact DECIMAL partials
+wherever a sum feeds a comparison or a hash-gated output, final types
+pinned on both engines, total ORDER BY everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.plans.queries_text import TOKENS_SQL, _docs
+from kafka_clickhouse_example_spark.operators import text as T
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+CHUNK = 100
+STRIDE = 80  # CHUNK - STRIDE = 20 chars of overlap between adjacent chunks
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST(pos // {STRIDE} AS BIGINT)  AS chunk_no,
+       substr(d.text, pos + 1, {CHUNK}) AS chunk_text,
+       length(substr(d.text, pos + 1, {CHUNK})) AS chunk_len
+FROM documents d,
+     LATERAL unnest(generate_series(0, greatest(length(d.text) - 1, 0),
+                                    {STRIDE})) AS g(pos)
+ORDER BY doc_id, chunk_no
+""",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking ({CHUNK}-char windows, {STRIDE}-char
+    stride): the standard pre-tokenization split for long documents, as a
+    pure column plan — sequence() builds the chunk-start offsets,
+    explode() fans them out, substring() slices.
+
+    Scale: no shuffle at all — chunking is embarrassingly parallel per
+    document; the explode multiplies rows ~len/stride but each output
+    partition derives from exactly one input partition. The final ORDER
+    BY exists for the deterministic gate only; a real pipeline would
+    write chunks unsorted.
+    """
+    docs = _docs(spark, sf_dir)
+    bound = F.greatest(F.length("text") - F.lit(1), F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), bound, F.lit(STRIDE))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") / STRIDE).cast("long").alias("chunk_no"),
+            F.substring(F.col("text"), F.col("pos") + 1, CHUNK).alias("chunk_text"),
+            F.length(F.substring(F.col("text"), F.col("pos") + 1, CHUNK)).alias(
+                "chunk_len"
+            ),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+@register(
+    "text_top_bigrams_per_lang",
+    oracle=f"""
+WITH toks AS (SELECT lang, {TOKENS_SQL} AS a FROM documents),
+bigrams AS (
+  SELECT lang, unnest(list_transform(generate_series(1, len(a) - 1),
+                                     i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM toks WHERE len(a) >= 2
+),
+counted AS (
+  SELECT lang, bigram, count(*) AS cnt FROM bigrams GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt FROM (
+  SELECT lang, bigram, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+  FROM counted
+) WHERE rn <= 5
+ORDER BY lang, cnt DESC, bigram
+""",
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 token bigrams per language: adjacent-token pairing via
+    zip_with over two shifted array slices (no self-join, no window over
+    the exploded rows — the pairing happens inside the row).
+
+    Scale: explode → count is one partial-combined shuffle keyed on
+    (lang, bigram); the per-lang top-k runs over the *counted* relation
+    (vocabulary-sized, not corpus-sized). row_number with a bigram
+    tiebreak makes the cut total-ordered.
+    """
+    docs = _docs(spark, sf_dir)
+    a = T.tokens(F.col("text"))
+    n = F.size(a)
+    bigrams = F.zip_with(
+        F.slice(a, 1, n - 1),
+        F.slice(a, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    counted = (
+        docs.filter(n >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "cnt")
+        .orderBy("lang", F.col("cnt").desc(), "bigram")
+    )
+
+
+@register(
+    "text_vocab_stats_per_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT)               AS total_tokens,
+       CAST(count(DISTINCT token) AS BIGINT)  AS vocab_size,
+       CAST(CAST(count(DISTINCT token) AS DOUBLE)
+            / count(*) AS DOUBLE)             AS type_token_ratio
+FROM tok
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_vocab_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics (doc count, token volume, distinct
+    vocabulary, type-token ratio) — the first report run on any new crawl
+    source.
+
+    Scale: one explode feeding a multi-distinct aggregate; Spark plans
+    the two DISTINCTs via expand + partial distinct, so the shuffle
+    carries per-partition-deduped (source, token) pairs, not raw token
+    instances. TTR is a single double division of two exact counts.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", "doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_tokens"),
+            F.count_distinct("token").alias("vocab_size"),
+            (F.count_distinct("token").cast("double") / F.count("*"))
+            .cast("double")
+            .alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "quality_gate_above_source_avg",
+    oracle="""
+WITH stats AS (
+  SELECT source AS s_source,
+         sum(CAST(n_chars AS DECIMAL(18,0))) AS sum_chars,
+         count(*) AS cnt
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN stats ON d.source = s_source
+WHERE CAST(d.n_chars AS DECIMAL(18,0)) * cnt > sum_chars
+ORDER BY d.doc_id
+""",
+)
+def quality_gate_above_source_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: keep documents longer than their source's
+    average length. The per-group threshold is decorrelated into one
+    aggregate + broadcast rejoin, and the comparison is EXACT integer
+    math (n_chars·cnt > sum_chars) — no double average whose last bits
+    depend on partial-aggregation order.
+
+    Scale: the stats side is |sources|-sized (broadcast); the gate is a
+    map-side hash probe + filter over the corpus scan, no corpus shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy(F.col("source").alias("s_source")).agg(
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("sum_chars"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        docs.join(F.broadcast(stats), F.col("source") == F.col("s_source"))
+        .filter(
+            F.col("n_chars").cast("decimal(18,0)") * F.col("cnt")
+            > F.col("sum_chars")
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+SELECT label,
+       CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1073741824.0) AS BIGINT))
+                 AS DOUBLE)
+            / (count(*) * 1073741824.0) AS DOUBLE) AS mean_val,
+       count(*) AS n
+FROM (
+  SELECT label,
+         unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean vector), unnested to one row per
+    (label, dimension) — the aggregate behind IVF centroid refinement and
+    class-prototype similarity.
+
+    The mean is computed in Q30 FIXED POINT so it is exact and
+    order-independent: each component is widened to double (exact),
+    scaled by 2^30 (a power-of-two multiply only shifts the exponent —
+    no rounding), floored (floor has no tie mode, unlike decimal casts
+    and round(), whose half-way rules differ between Spark's
+    shortest-repr HALF_UP and DuckDB's binary-value rounding — both
+    were observed to flip last digits here), and summed as BIGINT. One
+    double division at the end rescales.
+
+    Scale: groupBy on (label, dim) — cardinality |labels|·|dims|, partial
+    combine reduces each scan partition to that size before the shuffle.
+    A dense alternative (aggregate the array column with zip_with) avoids
+    the explode entirely but loses the exact-decimal trick; at 100 TB the
+    explode costs one pass and no extra shuffle volume (partials are
+    already centroid-sized).
+    """
+    configure_runtime(spark)
+    emb = load_compute_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(1073741824.0))
+                ).cast("double")
+                / (F.count("*") * F.lit(1073741824.0))
+            )
+            .cast("double")
+            .alias("mean_val"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -45,6 +45,7 @@ def _load_all() -> None:
     from kafka_clickhouse_example_spark.plans import (  # noqa: F401
         queries_analytics,
         queries_behavior,
+        queries_corpus,
         queries_dedup,
         queries_flows,
         queries_multimodal,
