@@ -291,3 +291,159 @@ def sim_top_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_DIMS)
         .orderBy("vec_id", "rnk")
     )
+
+
+Q30 = 1073741824.0  # 2^30: exact power-of-two fixed-point scale
+
+
+@register(
+    "emb_nearest_label_centroid",
+    oracle=f"""
+WITH m AS (
+  SELECT label, dim,
+         CAST(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * {Q30}) AS BIGINT))
+                   AS DOUBLE) / (count(*) * {Q30}) AS DOUBLE) AS mean_val
+  FROM (
+    SELECT label, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+  GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS c_label, list(mean_val ORDER BY dim) AS cvec
+  FROM m GROUP BY label
+),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS dvec FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, cent.c_label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(dvec) + 1),
+                          i -> (dvec[i] - cvec[i]) * (dvec[i] - cvec[i]))),
+           (acc, x) -> acc + x) AS dist
+  FROM v CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM scored
+)
+SELECT label, c_label AS nearest_label, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY label, c_label
+ORDER BY label, nearest_label
+""",
+)
+def emb_nearest_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: per-label mean
+    vectors (computed in-query, Q30 fixed point — exact and
+    order-independent) against every corpus vector, argmin by squared L2.
+
+    Distances fold left-to-right over the dimensions from 0.0 in BOTH
+    engines (aggregate(zip_with) here, list_reduce(list_prepend) there) —
+    the same IEEE op sequence, so even ties agree and the argmin (dist,
+    then label) is total-ordered.
+
+    Scale: the centroid table is |labels|x|dims| — broadcast; the cross
+    join is a |labels|-way fan-out of one corpus scan with a per-vector
+    window argmin. No corpus shuffle; state per task is the centroid
+    table.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    means = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * F.lit(Q30))).cast(
+                    "double"
+                )
+                / (F.count("*") * F.lit(Q30))
+            )
+            .cast("double")
+            .alias("mean_val")
+        )
+    )
+    cent = means.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s.mean_val,
+        ).alias("cvec")
+    )
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dvec"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("dvec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("nearest_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "nearest_label")
+    )
+
+
+@register("emb_kmeans_clusters")  # rows-only: k-means training is not SQL-expressible
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means cluster profile: centroids trained by the
+    deterministic bounded-sample Lloyd trainer (shared with IVF ANN),
+    every corpus vector assigned map-side to its nearest centroid, then a
+    k-row aggregate of cluster sizes and Q30 fixed-point inertia.
+
+    Deterministic despite no oracle: training reads a sorted bounded
+    sample; assignment distance reduces over the fixed dim axis
+    (partition-shape independent); inertia sums floor(dist·2^30) BIGINTs,
+    so partial-agg order can't perturb low bits.
+    test_kmeans_clusters_match_naive pins assignments + inertia against a
+    single-machine numpy recompute.
+
+    Scale: centroids broadcast (k·dims doubles); one corpus scan; the
+    final shuffle carries k rows per partition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    cent = S.train_ivf_centroids(emb, vec_col="embedding")
+    bc = emb.sparkSession.sparkContext.broadcast(cent)
+    Q30I = 1073741824.0
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            dist = d2[np.arange(len(a)), a]
+            yield pd.DataFrame(
+                {
+                    "cluster": a.astype("int32"),
+                    "dist_q30": np.floor(dist * Q30I).astype("int64"),
+                }
+            )
+
+    assigned = emb.mapInPandas(assign, schema="cluster int, dist_q30 long")
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("dist_q30").alias("inertia_q30"),
+        )
+        .orderBy("cluster")
+    )

@@ -113,3 +113,33 @@ def test_bucket_pairs_numpy_path_bitwise_equals_column_path(emb_and_queries):
     fmap = {key(r): r["cosine_sim"] for r in fast}
     for r in ref:
         assert fmap[key(r)] == r["cosine_sim"], f"cosine not bitwise-equal at {key(r)}"
+
+
+def test_kmeans_clusters_match_naive(spark, sf_dir):
+    """emb_kmeans_clusters ≡ single-machine numpy recompute: same trained
+    centroids, full-corpus argmin assignment, Q30 inertia — checks the
+    distributed mapInPandas assignment and the BIGINT inertia aggregation
+    end to end."""
+    import numpy as np
+
+    from kafka_clickhouse_example_spark.operators import similarity as S
+    from kafka_clickhouse_example_spark.plans.queries_similarity import _emb
+
+    q = all_queries()
+    got = {r.cluster: (r.n_vectors, r.inertia_q30)
+           for r in q["emb_kmeans_clusters"](spark, sf_dir).collect()}
+
+    emb = _emb(spark, sf_dir)
+    cent = S.train_ivf_centroids(emb, vec_col="embedding")
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    dist = d2[np.arange(len(a)), a]
+    want = {}
+    for c in range(len(cent)):
+        m = a == c
+        if m.any():
+            want[int(c)] = (int(m.sum()),
+                            int(np.floor(dist[m] * 1073741824.0).sum()))
+    assert got == want
