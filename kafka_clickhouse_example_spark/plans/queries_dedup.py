@@ -270,10 +270,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
-@register(
-    "dedup_duplicate_clusters",
-    oracle=f"""
-WITH RECURSIVE pairs AS (
+# The exact-Jaccard pair graph as a reusable CTE block (clusters and
+# pagerank oracles both consume it; must stay lockstep with
+# operators/dedup.jaccard_pairs).
+PAIRS_CTE_SQL = f"""pairs AS (
   WITH sh AS (
     SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
     WHERE len({SHINGLES_SQL}) > 0
@@ -298,7 +298,13 @@ edges AS (
   SELECT id1 AS src, id2 AS dst FROM pairs
   UNION
   SELECT id2, id1 FROM pairs
-),
+)"""
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+WITH RECURSIVE {PAIRS_CTE_SQL},
 reach(src, dst) AS (
   SELECT src, dst FROM edges
   UNION
@@ -622,4 +628,61 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src18")
     return D.incremental_minhash_pairs(new_batch, corpus, JACCARD_THRESHOLD).orderBy(
         "new_id", "corpus_id"
+    )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    # One Q30 PageRank round: r' = (15·Q30)//(100·N) + (85·Σ r//deg)//100.
+    return f"""{cur} AS (
+  SELECT e.dst AS node,
+         CAST((CAST(15 AS BIGINT) * 1073741824) // (100 * p.n) AS BIGINT)
+         + CAST((85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN params p
+  GROUP BY e.dst, p.n
+)"""
+
+
+@register(
+    "dedup_pagerank",
+    oracle=f"""
+WITH {PAIRS_CTE_SQL},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+params AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT src AS node, CAST(1073741824 // p.n AS BIGINT) AS rank
+  FROM deg CROSS JOIN params p
+),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT node AS doc_id, rank AS pagerank_q30 FROM r3
+ORDER BY doc_id
+""",
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph (3 rounds, Q30
+    fixed point): ranks the 'hub' documents inside duplicate
+    neighborhoods — an alternative canonical-survivor signal to the
+    quality composite, and the engine's second iterative-algorithm class
+    after connected components.
+
+    Spark side iterates operators/graph.pagerank_q30 over the memoized
+    pair graph; the oracle unrolls the SAME integer recurrence as chained
+    CTEs (aggregates aren't allowed in a recursive CTE member), so every
+    round's BIGINT ranks are bit-identical across engines.
+    """
+    from kafka_clickhouse_example_spark.operators.graph import pagerank_q30
+
+    configure_runtime(spark)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))).distinct()
+    return (
+        pagerank_q30(edges, iters=3)
+        .select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank_q30"))
+        .orderBy("doc_id")
     )
