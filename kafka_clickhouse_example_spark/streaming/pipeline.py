@@ -110,6 +110,27 @@ def dedup_flows_stream(flows_with_time: DataFrame, key_cols: Iterable[str] | Non
     return flows_with_time.dropDuplicatesWithinWatermark(keys + ["event_time"])
 
 
+def enrich_flows_stream(flows: DataFrame, dim: DataFrame, on: str = "src_namespace") -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes (zone/tier/owner metadata) to each flow as it arrives.
+
+    The static side is explicitly broadcast — a stream-static join must
+    not shuffle the stream (that would re-partition every micro-batch);
+    with the dimension broadcast, enrichment is a stateless map-side hash
+    probe per batch, so it composes with any downstream stateful operator
+    and adds zero state of its own. LEFT join: flows without a dimension
+    row pass through with NULL attributes (enrichment must never drop
+    traffic).
+
+    The static side is re-resolved per micro-batch by Structured
+    Streaming, so a dimension backed by a reloadable view picks up slow
+    changes without restarting the query.
+    """
+    from pyspark.sql import functions as F
+
+    return flows.join(F.broadcast(dim), on=on, how="left")
+
+
 # --- custom stateful operator: flow-conversation sessions -------------------
 
 SESSION_STATE_SCHEMA = StructType(

@@ -292,3 +292,39 @@ def test_stream_stream_interval_join_matches_batch(spark, flow_dir, tmp_path):
     # 1->3 (the b->a leg answered by the 2nd a->b flow), 3->2 (answered in
     # 20 s). Flow 2 at +90 s is NOT an answer to flow 0 (horizon passed).
     assert pairs == {(0, 30), (30, 70), (70, 90)}
+
+
+def test_stream_static_enrichment_matches_batch(spark, flow_dir, tmp_path):
+    """Stream-static broadcast enrichment: per-batch map-side join against
+    a static dimension; streaming result equals the identical batch join,
+    unmatched namespaces keep NULL attributes (left join)."""
+    rows = [
+        _flow(0),                                    # ns-a -> enriched
+        _flow(1, bytes_=300),                        # ns-a -> enriched
+    ]
+    rows.append({**_flow(2), "SrcK8S_Namespace": "ns-x"})  # no dim row
+    _write_lines(flow_dir / "a.json", rows)
+    dim = spark.createDataFrame(
+        [("ns-a", "zone-1", "team-net"), ("ns-b", "zone-2", "team-db")],
+        "src_namespace string, zone string, owner string",
+    )
+
+    stream = P.enrich_flows_stream(
+        P.normalized_stream(read_file_flows(spark, str(flow_dir))), dim
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("enriched").collect()}
+
+    batch = P.enrich_flows_stream(flows_from_json(spark.read.text(str(flow_dir))), dim)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) == 3
+    by_ns = {r[0]: r for r in got}  # joined key is first column
+    assert by_ns["ns-a"][-2:] == ("zone-1", "team-net")
+    assert by_ns["ns-x"][-2:] == (None, None)
