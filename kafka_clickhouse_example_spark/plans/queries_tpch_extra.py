@@ -359,6 +359,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     |parts|-sized, not |lineitem|-sized, so the second pass is cheap.
     """
     t = _t(spark, sf_dir, "lineitem")
+    # The per-part aggregate feeds BOTH the global sum and the filter; an
+    # unmaterialized plan would rerun the full fact scan + agg for each
+    # consumer. localCheckpoint pins the |parts|-sized relation after ONE
+    # scan (persist-grade: parts ≪ lineitem at any SF).
     pv = (
         t["lineitem"]
         .groupBy("l_partkey")
@@ -366,6 +370,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_disc_price()).alias("val"),
             F.count("*").alias("n_lines"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = pv.agg(F.sum("val").alias("total"))
     return (
