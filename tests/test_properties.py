@@ -62,3 +62,56 @@ def test_tokenizer_matches_ascii_reference(spark, texts):
         for r in df.select("i", tokens(F.col("t")).alias("toks")).collect()
     }
     assert got == {i: _ref_tokens(t) for i, t in rows}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=350,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_chunking_covers_and_slices_exactly(spark, texts):
+    """text_chunk_overlap invariants on arbitrary text: every chunk is the
+    exact [start, start+CHUNK) slice, starts advance by STRIDE from 0, and
+    chunk coverage tiles the whole document (no gap, no truncation)."""
+    from kafka_clickhouse_example_spark.plans.queries_corpus import CHUNK, STRIDE
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bound = F.greatest(F.length("text") - F.lit(1), F.lit(0))
+    out = (
+        df.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), bound, F.lit(STRIDE))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(F.col("text"), F.col("pos") + 1, CHUNK).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["chunk"]))
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i])
+        # Python slicing over code points == Spark substring on its string
+        want_starts = list(range(0, max(len(t) - 1, 0) + 1, STRIDE))
+        assert [p for p, _ in chunks] == want_starts
+        for p, c in chunks:
+            assert c == t[p : p + CHUNK]
+        # Overlap is exactly CHUNK-STRIDE, so dropping it from every
+        # non-first chunk reconstructs the document (a trailing chunk
+        # shorter than the overlap contributes nothing — its content is
+        # already covered by its predecessor).
+        reconstructed = chunks[0][1] + "".join(
+            c[CHUNK - STRIDE :] for _, c in chunks[1:]
+        )
+        assert reconstructed == t
