@@ -264,3 +264,53 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "vocab_src_full_outer_diff",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL}) AS token FROM documents
+  WHERE source IN ('src0', 'src1')
+),
+a AS (SELECT token, count(*) AS n FROM tok WHERE source = 'src0' GROUP BY token),
+b AS (SELECT token, count(*) AS n FROM tok WHERE source = 'src1' GROUP BY token)
+SELECT coalesce(a.token, b.token) AS token,
+       coalesce(a.n, 0) AS n_src0,
+       coalesce(b.n, 0) AS n_src1,
+       coalesce(a.n, 0) - coalesce(b.n, 0) AS diff
+FROM a FULL OUTER JOIN b ON a.token = b.token
+ORDER BY token
+""",
+)
+def vocab_src_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary diff between two sources via FULL OUTER join — the one
+    join type the suite hadn't exercised: tokens unique to either side
+    survive with a zero count on the missing side.
+
+    Scale: both inputs are vocabulary-sized aggregates of one shared
+    token scan; the full-outer join shuffles both on the token key (full
+    outer can't broadcast — both sides' unmatched rows must survive).
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+    a = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        tok.filter(F.col("source") == "src1")
+        .groupBy(F.col("token").alias("token_b"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, a["token"] == b["token_b"], "full_outer")
+        .select(
+            F.coalesce(F.col("token"), F.col("token_b")).alias("token"),
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_src0"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_src1"),
+            (F.coalesce(F.col("n_a"), F.lit(0)) - F.coalesce(F.col("n_b"), F.lit(0))).alias("diff"),
+        )
+        .orderBy("token")
+    )
