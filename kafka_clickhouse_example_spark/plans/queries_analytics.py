@@ -1196,3 +1196,42 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "events_top_types_sketch",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, event_type
+LIMIT 10
+""",
+)
+def events_top_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (approx_top_k): heavy hitters over the event
+    stream in ONE aggregate pass with bounded state.
+
+    Oracle-backed despite being a sketch: with maxItemsTracked (10000)
+    ≥ the distinct-value count (5 event types) the sketch degenerates to
+    exact counts — the deliberate regime for this certification query.
+    The re-sort after explode pins tie order (the sketch's own tie order
+    is unspecified). At real heavy-hitter cardinalities the same plan
+    keeps its fixed memory bound and the counts become approximate; the
+    exact GROUP BY alternative is events_type_day_pivot's first stage.
+
+    Scale: sketch state is O(maxItemsTracked) per partial, merged once —
+    no shuffle of the value space, unlike exact top-k over an unbounded
+    key domain.
+    """
+    t = _t(spark, sf_dir, "events")
+    sk = t["events"].agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+        .limit(10)
+    )
