@@ -1235,3 +1235,49 @@ def events_top_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "event_type")
         .limit(10)
     )
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+SELECT CASE WHEN GROUPING(event_type) = 0 THEN 'by_type' ELSE 'by_day' END AS axis,
+       event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(date_trunc('day', ts) AS DATE)))
+ORDER BY axis, event_type NULLS FIRST, day NULLS FIRST
+""",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint axes in one pass): per-type and
+    per-day rollups of the event stream from a single scan + Expand,
+    labeled via grouping(). Completes the grouping-analytics surface next
+    to ROLLUP (orders_status_priority_rollup) and CUBE
+    (events_type_day_cube).
+
+    Scale: Expand doubles scan rows (one replica per grouping set) before
+    partial aggregation collapses them to |types| + |days| groups — the
+    shuffle stays group-sized regardless of input rows.
+    """
+    t = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ev = t["events"].select("event_type", day, F.col("value"))
+    return (
+        ev.groupingSets([["event_type"], ["day"]], "event_type", "day")
+        .agg(
+            # grouping() is only valid inside the grouping-sets aggregate
+            F.grouping("event_type").alias("g_type"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.when(F.col("g_type") == 0, "by_type").otherwise("by_day").alias("axis"),
+            "event_type",
+            "day",
+            "n",
+            "sum_value",
+        )
+        .orderBy("axis", F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
+    )
