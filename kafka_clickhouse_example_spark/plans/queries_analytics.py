@@ -1242,11 +1242,11 @@ def events_top_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CASE WHEN GROUPING(event_type) = 0 THEN 'by_type' ELSE 'by_day' END AS axis,
        event_type,
-       CAST(date_trunc('day', ts) AS DATE) AS day,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
-GROUP BY GROUPING SETS ((event_type), (CAST(date_trunc('day', ts) AS DATE)))
+GROUP BY GROUPING SETS ((event_type), (strftime(date_trunc('day', ts), '%Y-%m-%d')))
 ORDER BY axis, event_type NULLS FIRST, day NULLS FIRST
 """,
 )
@@ -1262,7 +1262,10 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle stays group-sized regardless of input rows.
     """
     t = _t(spark, sf_dir, "events")
-    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    # day goes out as STRING: a DATE output column str()s differently
+    # through Spark toPandas (date) vs DuckDB .df() (datetime64 midnight)
+    # under the driver's hash — same value, dead hash.
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
     ev = t["events"].select("event_type", day, F.col("value"))
     return (
         ev.groupingSets([["event_type"], ["day"]], "event_type", "day")
