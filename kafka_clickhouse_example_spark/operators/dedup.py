@@ -491,14 +491,19 @@ def incremental_minhash_pairs(
       exact-Jaccard verify joins the (small) candidate list back through
       the corpus scan the same way;
     - the corpus is therefore never shuffled, never self-joined. Total cost
-      per batch: one corpus scan + O(candidates) verify.
+      per batch: two corpus scans (one computing signatures for band-key
+      candidates, one re-reading shingles for the exact verify) +
+      O(candidates) work — both map-side.
 
     Pair orientation is (new_id, corpus_id); ids live in disjoint sets so
     no < ordering is needed. Same signatures/bands/threshold as
     `minhash_lsh_pairs`, so batch-mode and incremental-mode agree on what a
     duplicate is.
     """
-    new_sh = with_shingles(new_df, text_col, id_col)
+    # The new batch is small by contract; materialize its shingles once —
+    # three consumers (banding, candidate broadcast, verify broadcast)
+    # would otherwise each recompute the Arrow shingle/minhash kernels.
+    new_sh = with_shingles(new_df, text_col, id_col).localCheckpoint(eager=True)
     corp_sh = with_shingles(corpus_df, text_col, id_col)
     new_banded = (
         with_minhash_signature(new_sh)
