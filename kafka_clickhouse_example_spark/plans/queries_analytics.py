@@ -1284,3 +1284,68 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("axis", F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS xc
+  FROM events
+),
+g AS (
+  SELECT event_type AS g_type, count(*) AS n,
+         CAST(sum(xc) AS BIGINT) AS s,
+         CAST(sum(xc * xc) AS BIGINT) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT event_id, event_type, value,
+       CAST(CAST(s AS DOUBLE) / (n * 100.0) AS DOUBLE) AS group_mean
+FROM c JOIN g ON c.event_type = g.g_type
+WHERE (n * xc - s) * (n * xc - s) > 4 * (n * s2 - s * s)
+ORDER BY event_id
+""",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical outlier gate: events more than 2 population
+    standard deviations from their type's mean value.
+
+    The z-test is EXACT integer arithmetic in cents:
+      |x − μ| > 2σ  ⇔  (n·x − S)² > 4·(n·S₂ − S²)
+    with S=Σx, S₂=Σx² as BIGINT cent sums — no double mean/stddev whose
+    low bits depend on partial-aggregation order, and no sqrt. The cents
+    conversion goes through DECIMAL(10,2) so 6.55 → 655 exactly in both
+    engines (a double multiply would land on 654.999…).
+
+    Scale: one |groups|-sized aggregate broadcast back over the scan
+    (same decorrelated two-pass shape as the quality gates). BIGINT cent
+    sums hold to ~10¹⁴ rows per group at this value range; beyond that
+    switch the partials to DECIMAL(38,0) — same plan.
+    """
+    t = _t(spark, sf_dir, "events")
+    c = t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("long").alias("xc"),
+    )
+    g = c.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    return (
+        c.join(F.broadcast(g), F.col("event_type") == F.col("g_type"))
+        .filter(dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(100.0)))
+            .cast("double")
+            .alias("group_mean"),
+        )
+        .orderBy("event_id")
+    )
