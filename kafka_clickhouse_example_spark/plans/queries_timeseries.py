@@ -194,3 +194,65 @@ def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_incremental_rollup_merge",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+)
+def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the day×type rollup is
+    computed as TWO partial rollups — a 'historical' slice and a 'new
+    ingest' slice (split on event_id parity, standing in for
+    already-rolled-up state vs today's arrivals) — merged by re-aggregating
+    the partials (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes).
+
+    The oracle is the PLAIN full-table rollup, so a hash match certifies
+    the merge algebra itself: merge(agg(A), agg(B)) ≡ agg(A ∪ B). DECIMAL
+    partials make the certification exact — the merge must hold bit-for-bit,
+    not approximately.
+
+    Scale: this is the maintenance path that replaces an O(history) daily
+    recompute with O(delta) + O(|view|): the historical side would be the
+    stored view at 100 TB (|days×types| rows), only the delta scans raw
+    data.
+    """
+    configure_runtime(spark)
+    ev = load_compute_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    vdec = F.col("value").cast("decimal(18,2)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.select(day, "event_type", vdec.alias("v")).groupBy(
+            "day", "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    hist = partial(ev.filter(F.col("event_id") % 2 == 0))
+    delta = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        hist.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").cast("double").alias("sum_value"),
+            F.min("min_v").cast("double").alias("min_value"),
+            F.max("max_v").cast("double").alias("max_value"),
+        )
+        .select("day", "event_type", "n", "sum_value", "min_value", "max_value")
+        .orderBy("day", "event_type")
+    )

@@ -328,3 +328,60 @@ def test_stream_static_enrichment_matches_batch(spark, flow_dir, tmp_path):
     by_ns = {r[0]: r for r in got}  # joined key is first column
     assert by_ns["ns-a"][-2:] == ("zone-1", "team-net")
     assert by_ns["ns-x"][-2:] == (None, None)
+
+
+def test_streaming_matview_equals_batch_rollup(spark, flow_dir, tmp_path):
+    """Streaming materialized view (foreachBatch merge + dynamic partition
+    overwrite): after processing files in multiple micro-batches, the
+    stored day-partitioned rollup equals a plain batch rollup of all
+    input; a re-run with no new data changes nothing."""
+    from kafka_clickhouse_example_spark.sinks.backfill import start_rollup_matview
+
+    day1 = BASE_MS  # 2023-11-14
+    day2 = BASE_MS + 86_400_000
+    _write_lines(flow_dir / "a.json", [_flow(0, start=day1), _flow(1, start=day1, bytes_=50)])
+    _write_lines(flow_dir / "b.json", [_flow(2, start=day1, bytes_=7), _flow(3, start=day2)])
+
+    path = str(tmp_path / "matview")
+    stream = P.normalized_stream(
+        read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)
+    )
+    q = start_rollup_matview(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    def snap():
+        return {
+            (str(r.day), r.src_namespace, r.dst_namespace,
+             r.sum_bytes, r.sum_packets, r.n_flows)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    got = snap()
+    batch = flows_from_json(spark.read.text(str(flow_dir)))
+    want = {
+        (str(r.day), r.src_namespace, r.dst_namespace,
+         r.sum_bytes, r.sum_packets, r.n_flows)
+        for r in batch.withColumn(
+            "day",
+            F.date_format(F.timestamp_millis(F.col("start").cast("long")), "yyyy-MM-dd"),
+        )
+        .groupBy("day", "src_namespace", "dst_namespace")
+        .agg(
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum("packets").alias("sum_packets"),
+            F.count("*").alias("n_flows"),
+        )
+        .collect()
+    }
+    assert got == want and len({d for d, *_ in got}) == 2
+
+    # Re-run over the same input with the same checkpoint: no new batches,
+    # view unchanged.
+    q2 = start_rollup_matview(
+        P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert snap() == got
