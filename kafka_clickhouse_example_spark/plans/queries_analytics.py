@@ -1400,3 +1400,79 @@ def orders_lineitem_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("status")
     )
+
+
+@register(
+    "orders_profile_report",
+    oracle="""
+WITH s AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) - count(o_orderkey) AS BIGINT)      AS nulls_orderkey,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT)        AS nd_orderkey,
+    CAST(min(o_orderkey) AS VARCHAR)                  AS min_orderkey,
+    CAST(max(o_orderkey) AS VARCHAR)                  AS max_orderkey,
+    CAST(count(*) - count(o_orderstatus) AS BIGINT)   AS nulls_status,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT)     AS nd_status,
+    CAST(min(o_orderstatus) AS VARCHAR)               AS min_status,
+    CAST(max(o_orderstatus) AS VARCHAR)               AS max_status,
+    CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nulls_priority,
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT)   AS nd_priority,
+    CAST(min(o_orderpriority) AS VARCHAR)             AS min_priority,
+    CAST(max(o_orderpriority) AS VARCHAR)             AS max_priority
+  FROM orders
+)
+SELECT col, n_rows, n_nulls, n_distinct, min_value, max_value FROM (
+  SELECT 'o_orderkey' AS col, n_rows, nulls_orderkey AS n_nulls,
+         nd_orderkey AS n_distinct, min_orderkey AS min_value,
+         max_orderkey AS max_value FROM s
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, nulls_status, nd_status,
+         min_status, max_status FROM s
+  UNION ALL
+  SELECT 'o_orderpriority', n_rows, nulls_priority, nd_priority,
+         min_priority, max_priority FROM s
+)
+ORDER BY col
+""",
+)
+def orders_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling report: per-column null count, distinct
+    count, and min/max (as strings) for a column subset of orders,
+    unpivoted to one row per column — the first thing a pipeline runs on
+    an unfamiliar load.
+
+    Scale: ONE aggregate pass computes every column's stats (multi-
+    distinct goes through Spark's Expand); the unpivot (stack) runs on
+    the single 1-row aggregate. Profiling N columns never becomes N
+    scans.
+    """
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+
+    def stats(c: str, alias: str):
+        return [
+            (F.count("*") - F.count(c)).alias(f"nulls_{alias}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{alias}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{alias}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{alias}"),
+        ]
+
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        *stats("o_orderkey", "orderkey"),
+        *stats("o_orderstatus", "status"),
+        *stats("o_orderpriority", "priority"),
+    )
+    stack = F.expr(
+        "stack(3, "
+        "'o_orderkey', nulls_orderkey, nd_orderkey, min_orderkey, max_orderkey, "
+        "'o_orderstatus', nulls_status, nd_status, min_status, max_status, "
+        "'o_orderpriority', nulls_priority, nd_priority, min_priority, max_priority"
+        ") AS (col, n_nulls, n_distinct, min_value, max_value)"
+    )
+    return (
+        agg.select(F.col("n_rows"), stack)
+        .select("col", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+        .orderBy("col")
+    )

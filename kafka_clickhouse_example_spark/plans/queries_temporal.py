@@ -78,3 +78,80 @@ def events_recent_activity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     events = load_compute_table(spark, sf_dir, "events")
     return range_join_binned(events, BAND_MS).orderBy("event_id")
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+WITH o AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS vc,
+         epoch_ms(ts) AS tms,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_tms
+  FROM events
+),
+seg AS (
+  SELECT user_id, vc, next_tms - tms AS dur_ms
+  FROM o WHERE next_tms IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+       CAST(CAST(sum(vc * dur_ms) AS DOUBLE)
+            / (CAST(sum(dur_ms) AS DOUBLE) * 100.0) AS DOUBLE) AS twa_value
+FROM seg
+GROUP BY user_id
+HAVING sum(dur_ms) > 0
+ORDER BY user_id
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value is held
+    until the user's next event (step-function integral / total time) —
+    the correct average for irregularly-sampled series, where the plain
+    mean over-weights bursts.
+
+    Exactness: value→cents (BIGINT via DECIMAL, same rule as the outlier
+    gate), durations are integer ms, so the integral Σ(v·Δt) is a BIGINT
+    sum — order-independent; ONE double division at the end. The lead()
+    window is total-ordered by (ts, event_id).
+
+    Scale: one shuffle on user_id shared by the window and the groupBy —
+    Spark reuses the partitioning, so the second aggregation is
+    exchange-free. Cent-ms products hold to ~10⁵ value·years per user in
+    BIGINT.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("value").cast("decimal(10,2)") * 100).cast("long").alias("vc"),
+            F.unix_millis(F.col("ts")).alias("tms"),
+        )
+        .withColumn("next_tms", F.lead("tms").over(w))
+    )
+    seg = o.filter(F.col("next_tms").isNotNull()).select(
+        "user_id", "vc", (F.col("next_tms") - F.col("tms")).alias("dur_ms")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur_ms").alias("total_ms"),
+            (
+                F.sum(F.col("vc") * F.col("dur_ms")).cast("double")
+                / (F.sum("dur_ms").cast("double") * F.lit(100.0))
+            )
+            .cast("double")
+            .alias("twa_value"),
+        )
+        .filter(F.col("total_ms") > 0)
+        .orderBy("user_id")
+    )
