@@ -576,16 +576,18 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_minhash",
-    oracle=f"""
+def _asymmetric_minhash_oracle(new_pred: str, corpus_pred: str) -> str:
+    """Oracle for the asymmetric (new-vs-corpus) minhash-LSH pipeline,
+    parameterized by the two slice predicates (ingest-batch dedup and
+    split-leakage audit share the full derivation)."""
+    return f"""
 WITH shn AS (
   SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
-  WHERE source = 'src18' AND len({SHINGLES_SQL}) > 0
+  WHERE {new_pred} AND len({SHINGLES_SQL}) > 0
 ),
 shc AS (
   SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
-  WHERE source <> 'src18' AND len({SHINGLES_SQL}) > 0
+  WHERE {corpus_pred} AND len({SHINGLES_SQL}) > 0
 ),
 sign AS (
   SELECT doc_id, sh, [{", ".join(_minhash_sql(p) for p in range(D.MINHASH_PERMS))}] AS mh FROM shn
@@ -611,7 +613,12 @@ WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
       / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
       >= {JACCARD_THRESHOLD}
 ORDER BY new_id, corpus_id
-""",
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_asymmetric_minhash_oracle("source = 'src18'", "source <> 'src18'"),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the 'today's batch' slice (source='src18')
@@ -685,4 +692,36 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_q30(edges, iters=3)
         .select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank_q30"))
         .orderBy("doc_id")
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100)"
+)
+
+
+@register(
+    "dedup_split_leakage_audit",
+    oracle=_asymmetric_minhash_oracle(
+        f"{_SPLIT_BUCKET_SQL} >= 90", f"{_SPLIT_BUCKET_SQL} < 80"
+    ),
+)
+def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit: near-duplicate pairs that STRADDLE
+    the hash split (test docs with a near-dup in train) — the
+    contamination an eval suite must not have. Composes the deterministic
+    80/10/10 splitter with the asymmetric minhash-LSH pipeline: the test
+    slice (small by construction) broadcasts, train is scanned map-side,
+    exactly like daily-ingest dedup. The driver corpus really leaks (5
+    pairs at sf0.01) because planted near-dups are split-blind — which is
+    the point of auditing.
+    """
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    configure_runtime(spark)
+    docs = SP.with_split(load_compute_table(spark, sf_dir, "documents"), "doc_id")
+    test = docs.filter(F.col("split") == "test")
+    train = docs.filter(F.col("split") == "train")
+    return D.incremental_minhash_pairs(test, train, JACCARD_THRESHOLD).orderBy(
+        "new_id", "corpus_id"
     )
