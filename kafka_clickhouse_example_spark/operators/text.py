@@ -291,3 +291,30 @@ def with_quality_metrics(df, text_col: str = "text"):
         + F.lit(0.4) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
         + F.lit(0.2) * F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)),
     )
+
+
+def compression_ratio_udf():
+    """Arrow pandas UDF: zlib-compressed length of the UTF-8 text.
+
+    Compression ratio (compressed/raw) is the classic cheap
+    repetitiveness signal — boilerplate and looped spam compress far
+    below natural prose. Not expressible as column SQL (byte-level DEFLATE);
+    an Arrow batch UDF keeps the transfer vectorized. zlib level is
+    pinned so output is deterministic across runs and platforms (DEFLATE
+    output for a fixed level/dictionary is stable in CPython's zlib).
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _compressed_len(text):
+        return text.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
+        )
+
+    # Real annotation objects: this module's `from __future__ import
+    # annotations` would stringify inline hints, and pandas_udf cannot
+    # resolve 'pd.Series' from a function-local import.
+    _compressed_len.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return pandas_udf(_compressed_len, "long")

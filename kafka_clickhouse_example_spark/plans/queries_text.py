@@ -374,3 +374,28 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_top_token",
         "keep",
     ).orderBy("doc_id")
+
+
+@register("text_compression_ratio")  # rows-only: DEFLATE is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap repetitiveness /
+    boilerplate signal (low ratio ⇒ highly compressible ⇒ repetitive).
+    Rows-only by nature (no DEFLATE in SQL);
+    test_compression_ratio_matches_zlib pins every value against direct
+    CPython zlib on the driver.
+
+    Scale: map-only — one Arrow batch UDF over the scan, no shuffle; the
+    ratio is one double division per row.
+    """
+    docs = _docs(spark, sf_dir)
+    clen = T.compression_ratio_udf()(F.col("text")).alias("compressed_len")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        clen,
+    ).withColumn(
+        "ratio",
+        (F.col("compressed_len").cast("double") / F.col("n_chars").cast("double")).cast(
+            "double"
+        ),
+    ).orderBy("doc_id")

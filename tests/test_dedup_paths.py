@@ -61,3 +61,22 @@ def test_shingles_arrow_equals_jvm_on_hostile_whitespace(spark):
         for r in D.with_shingles(docs, use_arrow=False).collect()
     }
     assert arrow == jvm
+
+
+def test_compression_ratio_matches_zlib(spark, sf_dir):
+    """text_compression_ratio ≡ direct CPython zlib at level 6, every row."""
+    import zlib
+
+    from kafka_clickhouse_example_spark.registry import all_queries
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+    got = {
+        r.doc_id: (r.n_chars, r.compressed_len)
+        for r in all_queries()["text_compression_ratio"](spark, sf_dir).collect()
+    }
+    docs = load_compute_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {
+        r.doc_id: (len(r.text), len(zlib.compress(r.text.encode("utf-8"), 6)))
+        for r in docs
+    }
+    assert got == want and len(got) > 0
