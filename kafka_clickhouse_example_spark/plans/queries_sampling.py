@@ -214,3 +214,46 @@ def sample_source_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return SP.with_token_quota(docs, TOKEN_QUOTA).orderBy("doc_id")
+
+
+K_PER_GROUP = 20
+
+
+@register(
+    "sample_fixed_k_per_lang",
+    oracle=f"""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {K_PER_GROUP}
+ORDER BY lang, doc_id
+""",
+)
+def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per group: exactly K docs per
+    language, chosen by ranking on the md5 of the key — a reservoir
+    sample whose membership is reproducible across engines, runs, and
+    partitionings (seeded RNG reservoirs are none of those). doc_id
+    tiebreak makes the cut total-ordered even under hash collisions.
+
+    Scale: one shuffle on the group key; the window computes rank only —
+    with K ≪ group size, Spark's WindowGroupLimit pushes the top-K cut
+    into the partial sort, so no full group materializes.
+    """
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_PER_GROUP)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
