@@ -1,0 +1,61 @@
+"""Batch query runner CLI: run any registered query by name.
+
+    python -m kafka_clickhouse_example_spark <query> [--sf-dir DIR]
+        [--limit N] [--explain]
+    python -m kafka_clickhouse_example_spark --list
+
+Prints result rows as JSON lines on stdout (timestamps ISO-8601), so the
+output composes with jq/duckdb the way the reference's clickhouse-client
+output does. `--explain` prints the formatted physical plan instead of
+running the query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kafka_clickhouse_example_spark.registry import all_queries
+from kafka_clickhouse_example_spark.session import get_spark
+from kafka_clickhouse_example_spark.sources.catalog import DEFAULT_SF_DIR
+
+
+def run(argv: list[str] | None = None, out=sys.stdout) -> int:
+    ap = argparse.ArgumentParser(prog="kafka_clickhouse_example_spark")
+    ap.add_argument("query", nargs="?", help="registered query name")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--explain", action="store_true")
+    ap.add_argument("--list", action="store_true", dest="list_queries")
+    args = ap.parse_args(argv)
+
+    queries = all_queries()
+    if args.list_queries or not args.query:
+        for name in sorted(queries):
+            print(name, file=out)
+        return 0
+    if args.query not in queries:
+        print(f"unknown query: {args.query} (see --list)", file=sys.stderr)
+        return 2
+
+    spark = get_spark()
+    df = queries[args.query](spark, args.sf_dir)
+    if args.explain:
+        print(
+            df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            ),
+            file=out,
+        )
+        return 0
+    if args.limit is not None:
+        df = df.limit(args.limit)
+    for row in df.toJSON().toLocalIterator():
+        print(row, file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -52,3 +52,24 @@ def test_broken_plan_module_raises():
     assert "RAISED" in out.stdout, (
         f"broken plan module did not raise: stdout={out.stdout!r} stderr={out.stderr[-500:]!r}"
     )
+
+
+def test_cli_runner_lists_and_runs(spark, sf_dir):
+    """python -m kafka_clickhouse_example_spark: --list names every
+    registered query; running one emits JSON lines."""
+    import io
+    import json as _json
+
+    from kafka_clickhouse_example_spark.__main__ import run
+
+    buf = io.StringIO()
+    assert run(["--list"], out=buf) == 0
+    names = buf.getvalue().split()
+    assert len(names) >= MIN_QUERIES and "q1_pricing_summary" in names
+
+    buf = io.StringIO()
+    assert run(["flows_probe", "--sf-dir", sf_dir, "--limit", "3"], out=buf) == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 3 and all(_json.loads(l) for l in lines)
+
+    assert run(["no_such_query"]) == 2
