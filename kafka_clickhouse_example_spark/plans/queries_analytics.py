@@ -1476,3 +1476,81 @@ def orders_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
         .orderBy("col")
     )
+
+
+@register(
+    "orders_price_lines_correlation",
+    oracle="""
+WITH ol AS (
+  SELECT o.o_orderkey,
+         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+         CAST(count(l.l_orderkey) AS BIGINT) AS nl
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice
+),
+s AS (
+  -- sums stay HUGEINT: sum(pc*pc) ~ 4e19 overflows BIGINT even at sf0.01
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(pc) AS sx,
+         sum(nl) AS sy,
+         sum(pc * pc) AS sxx,
+         sum(nl * nl) AS syy,
+         sum(pc * nl) AS sxy
+  FROM ol
+)
+SELECT n,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE) AS corr_price_lines
+FROM s
+""",
+)
+def orders_price_lines_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between an order's total price and its line
+    count, via EXACT integer moment sums (cents × counts): the running
+    double accumulators inside built-in corr() drift with partial-agg
+    order; here every moment (Σx, Σy, Σx², Σy², Σxy) is a BIGINT, and
+    the final formula is one fixed chain of double ops — bit-identical
+    on any engine or partitioning.
+
+    Scale: lineitem pre-aggregates per orderkey (LEFT join keeps
+    zero-line orders at x=price, y=0), then a single 1-row moment
+    aggregate. Cent×count products stay ≪ 2⁶³ up to ~10¹² rows.
+    """
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    ol = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("nl"))
+        .select(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("pc"),
+            "nl",
+        )
+    )
+    # Moment sums accumulate in DECIMAL: Σpc² ≈ 4e19 overflows BIGINT at
+    # sf0.01 already (DuckDB silently widens to HUGEINT; Spark must widen
+    # explicitly). DECIMAL stays exact, so both engines reduce the same
+    # integers to the same nearest-double at the end.
+    dec = "decimal(27,0)"
+    s = ol.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pc").cast(dec)).alias("sx"),
+        F.sum(F.col("nl").cast(dec)).alias("sy"),
+        F.sum((F.col("pc") * F.col("pc")).cast(dec)).alias("sxx"),
+        F.sum((F.col("nl") * F.col("nl")).cast(dec)).alias("syy"),
+        F.sum((F.col("pc") * F.col("nl")).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "n",
+        (num / (denx * deny)).cast("double").alias("corr_price_lines"),
+    )
