@@ -1,0 +1,80 @@
+"""Plan-hygiene sweep: physical plans of the analytic query families must
+not contain accidental scale-killers. Guards the properties PLANS.md
+documents — a refactor that silently turns a broadcast-equi join into a
+nested-loop cartesian, or drops a pushed filter, fails here instead of in
+production.
+
+Scope: cheap-to-build families (TPC-H, corpus, behavior, temporal,
+sampling). Memo-building families (flows/dedup/similarity) are excluded —
+constructing their DataFrames triggers the memoized pipelines; their plans
+are audited in PLANS.md and exercised by the parity suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_clickhouse_example_spark.registry import all_queries
+
+SWEEP = [
+    "q1_pricing_summary", "q3_shipping_priority", "q4_priority_with_big_items",
+    "q5_region_revenue", "q7_nation_volume", "q8_market_share",
+    "q10_returned_items", "q11_important_parts", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q22_idle_rich_customers", "orders_lineitem_integrity_audit",
+    "orders_price_lines_correlation", "orders_profile_report",
+    "events_hourly_rollup", "events_grouping_sets", "events_value_outliers",
+    "events_top_types_sketch", "events_time_weighted_avg",
+    "events_user_trailing_hour", "events_type_day_pivot",
+    "text_chunk_overlap", "text_top_bigrams_per_lang",
+    "text_vocab_stats_per_source", "quality_gate_above_source_avg",
+    "vocab_src_full_outer_diff", "sample_fixed_k_per_lang",
+    "sample_documents_10pct",
+]
+
+# Queries whose cross/nested-loop join is deliberate: a 1-row (or
+# |groups|-row) broadcast scalar/threshold side crossed into the scan.
+CROSS_OK = {"q11_important_parts", "events_value_outliers", "q22_idle_rich_customers"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = all_queries()
+    out = {}
+    for name in SWEEP:
+        df = qs[name](spark, sf_dir)
+        out[name] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return out
+
+
+def test_no_accidental_cartesian(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if n not in CROSS_OK
+        and ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+    ]
+    assert not bad, f"cartesian/nested-loop join crept into: {bad}"
+
+
+def test_fact_scans_prune_columns(plans):
+    """The q1 lineitem scan must not read all 11 columns for a 7-column
+    aggregate — ReadSchema pruning is the cheapest 100 TB win there is."""
+    p = plans["q1_pricing_summary"]
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, "no ReadSchema in q1 plan"
+    assert len(m.group(1).split(",")) <= 7, m.group(1)
+
+
+def test_filters_are_pushed(plans):
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plans["q1_pricing_summary"]
+    assert "EqualTo(p_type,STANDARD)" in plans["q8_market_share"]
+    assert "EqualTo(l_returnflag,R)" in plans["q10_returned_items"]
