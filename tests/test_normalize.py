@@ -111,3 +111,40 @@ def test_arrow_decode_equals_jvm_decode(spark):
     assert arrow == jvm
     # full==extra-field (same 12 cols after projection) + partial + coerced
     assert len(jvm) == 3
+
+
+def test_custom_jsonl_datasource_matches_text_source(spark, tmp_path):
+    """The netobserv_jsonl Python DataSource yields the same value rows as
+    spark.read.text, one partition per file, and feeds the standard decode
+    path unchanged."""
+    import json
+
+    from kafka_clickhouse_example_spark.operators.normalize import flows_from_json
+    from kafka_clickhouse_example_spark.sources.jsonl_source import (
+        NetObservJsonlDataSource,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows_a = [{"TimeFlowStartMs": 1.0, "TimeFlowEndMs": 2.0, "SrcAddr": "a",
+               "DstAddr": "b", "Bytes": 10.0, "Packets": 1.0}]
+    rows_b = [{"TimeFlowStartMs": 3.0, "TimeFlowEndMs": 4.0, "SrcAddr": "c",
+               "DstAddr": "d", "Bytes": 20.0, "Packets": 2.0}]
+    (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows_a) + "\n")
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows_b) + "\n")
+    (d / "ignored.txt").write_text("not picked up")
+
+    spark.dataSource.register(NetObservJsonlDataSource)
+    raw = spark.read.format("netobserv_jsonl").option("path", str(d)).load()
+    assert raw.rdd.getNumPartitions() == 2  # one per matching file
+    got_values = {r.value for r in raw.collect()}
+    want_values = {r.value for r in spark.read.text(str(d / "a.jsonl")).collect()} | {
+        r.value for r in spark.read.text(str(d / "b.json")).collect()
+    }
+    assert got_values == want_values
+    assert {r.src_file for r in raw.collect()} == {"a.jsonl", "b.json"}
+
+    # Same decode path as every other transport.
+    flows = flows_from_json(raw.select("value"))
+    got = {(r.src_ip, r.dst_ip, r.bytes) for r in flows.collect()}
+    assert got == {("a", "b", 10), ("c", "d", 20)}
