@@ -287,3 +287,82 @@ def correlated_flows_stream(
             F.col("rsp.bytes").alias("rsp_bytes"),
         )
     )
+
+
+def conversation_totals_tws(flows_with_time: DataFrame) -> DataFrame:
+    """Per-conversation running totals via transformWithStateInPandas —
+    Spark 4's arbitrary-state API (successor to applyInPandasWithState,
+    used by conversation_sessions above): explicit typed ValueState,
+    update-mode emission per micro-batch.
+
+    State per (src_ip, dst_ip) key is ONE value row (n_flows, sum_bytes,
+    sum_packets) — the processor demonstrates the new handle/state
+    lifecycle; eviction policy (timers/TTL) is orthogonal and configured
+    where deployments need it. Requires the RocksDB state store provider
+    (transformWithState's backing store) AND google.protobuf in the
+    Python env (the state-server wire protocol): protobuf is absent in
+    this container, so the contract test importorskips — an
+    environmental gap, not an API one.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n_flows", LongType()),
+            StructField("sum_bytes", LongType()),
+            StructField("sum_packets", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("src_ip", StringType()),
+            StructField("dst_ip", StringType()),
+            StructField("n_flows", LongType()),
+            StructField("sum_bytes", LongType()),
+            StructField("sum_packets", LongType()),
+        ]
+    )
+
+    class ConversationTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = b = p = 0
+            for pdf in rows:
+                n += len(pdf)
+                b += int(pdf["bytes"].sum())
+                p += int(pdf["packets"].sum())
+            if self._totals.exists():
+                pn, pb, pp = self._totals.get()
+                n, b, p = n + pn, b + pb, p + pp
+            self._totals.update((n, b, p))
+            yield pd.DataFrame(
+                {
+                    "src_ip": [key[0]],
+                    "dst_ip": [key[1]],
+                    "n_flows": [n],
+                    "sum_bytes": [b],
+                    "sum_packets": [p],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return flows_with_time.groupBy("src_ip", "dst_ip").transformWithStateInPandas(
+        statefulProcessor=ConversationTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

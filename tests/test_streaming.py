@@ -385,3 +385,57 @@ def test_streaming_matview_equals_batch_rollup(spark, flow_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert snap() == got
+
+
+def test_transform_with_state_totals_match_batch(spark, flow_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): final
+    per-conversation totals across micro-batches equal the batch groupBy,
+    and state carries across batches (update-mode emits supersede).
+
+    Skipped where google.protobuf is absent: the transformWithState
+    state-server protocol is protobuf-based, and this container has no
+    protobuf (environmental gap, same class as no-Kafka/no-ClickHouse —
+    the operator itself is plain public PySpark API)."""
+    pytest.importorskip("google.protobuf")
+    rows1 = [_flow(0), _flow(1, bytes_=50)]
+    rows2 = [_flow(2, bytes_=7), _flow(3, src="10.9.9.9", bytes_=5)]
+    _write_lines(flow_dir / "a.json", rows1)
+    _write_lines(flow_dir / "b.json", rows2)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = P.conversation_totals_tws(
+            P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=1))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode: keep the LAST emission per key
+        rows = spark.table("tws_totals").collect()
+        last = {}
+        for r in rows:
+            last[(r.src_ip, r.dst_ip)] = (r.n_flows, r.sum_bytes, r.sum_packets)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    batch = flows_from_json(spark.read.text(str(flow_dir)))
+    want = {
+        (r.src_ip, r.dst_ip): (r.n, r.b, r.p)
+        for r in batch.groupBy("src_ip", "dst_ip")
+        .agg(F.count("*").alias("n"), F.sum("bytes").alias("b"), F.sum("packets").alias("p"))
+        .collect()
+    }
+    assert last == want and len(want) == 2
