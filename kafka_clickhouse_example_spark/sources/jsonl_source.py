@@ -46,6 +46,8 @@ class NetObservJsonlReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
+        if partition is None:  # empty dir: Spark still invokes read once
+            return
         src = os.path.basename(partition.path)
         with open(partition.path, "r", encoding="utf-8") as fh:
             for line in fh:

@@ -148,3 +148,21 @@ def test_custom_jsonl_datasource_matches_text_source(spark, tmp_path):
     flows = flows_from_json(raw.select("value"))
     got = {(r.src_ip, r.dst_ip, r.bytes) for r in flows.collect()}
     assert got == {("a", "b", 10), ("c", "d", 20)}
+
+
+def test_custom_jsonl_datasource_edge_cases(spark, tmp_path):
+    """Empty dir -> zero rows; missing path option -> loud error."""
+    import pytest as _pytest
+
+    from kafka_clickhouse_example_spark.sources.jsonl_source import (
+        NetObservJsonlDataSource,
+    )
+
+    spark.dataSource.register(NetObservJsonlDataSource)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    df = spark.read.format("netobserv_jsonl").option("path", str(empty)).load()
+    assert df.count() == 0 and df.columns == ["value", "src_file"]
+
+    with _pytest.raises(Exception, match="path"):
+        spark.read.format("netobserv_jsonl").load().collect()
