@@ -1554,3 +1554,45 @@ def orders_price_lines_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         "n",
         (num / (denx * deny)).cast("double").alias("corr_price_lines"),
     )
+
+
+@register(
+    "orders_median_price_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5)
+            / 100.0 AS DOUBLE) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median order value — the grouped form of the
+    percentile surface (events_value_percentiles is global).
+
+    Cross-engine exactness at p=0.5: the input is integer CENTS, and the
+    even-n interpolation midpoint (a+b)/2 of two ≤2⁵³ integers is exact
+    in double regardless of which interpolation formula the engine uses —
+    higher quantiles of doubles would diverge in the last bit between
+    a+(b−a)·f and (1−f)·a+f·b evaluation orders.
+
+    Scale: Spark's exact percentile aggregates a per-partition value
+    buffer and merges; for low-cardinality groups over huge rows switch
+    to approx_percentile — the query text keeps the same shape.
+    """
+    t = _t(spark, sf_dir, "orders")
+    pc = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    return (
+        t["orders"]
+        .select("o_orderpriority", pc.alias("pc"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.percentile(F.col("pc"), F.lit(0.5)) / F.lit(100.0))
+            .cast("double")
+            .alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
