@@ -256,3 +256,40 @@ def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFra
         .select("day", "event_type", "n", "sum_value", "min_value", "max_value")
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY dow, hour_of_day
+ORDER BY dow, hour_of_day
+""",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the seasonality matrix every
+    ops dashboard starts with. Cross-engine calendar pitfall pinned in
+    the oracle: DuckDB's dayofweek is 0-based Sunday, Spark's is 1-based
+    Sunday, so the oracle adds 1 and both emit Spark's convention.
+
+    Scale: 7×24 = 168 groups — partial aggregation reduces any scan to
+    168 rows per partition before the shuffle; the derived keys are pure
+    scan-stage expressions (no pre-shuffle).
+    """
+    configure_runtime(spark)
+    ev = load_compute_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
