@@ -1318,10 +1318,17 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion goes through DECIMAL(10,2) so 6.55 → 655 exactly in both
     engines (a double multiply would land on 654.999…).
 
+    The comparison PRODUCTS widen to DECIMAL before multiplying: dev² and
+    n·S₂ grow as n²·x² ≈ n²·10⁸ at cent values ~10⁴, which exceeds 2⁶³
+    already at n ≈ 3·10⁵ rows per group — Spark's non-ANSI long multiply
+    would wrap silently there while DuckDB widens to HUGEINT, diverging
+    cross-engine (ADVICE r2). BIGINT operands cast to DECIMAL(19,0), so
+    each product is ≤ DECIMAL(38,0) and exact; the binding bound is now
+    the BIGINT partial S₂ ≤ n·x², i.e. ~10¹⁰ rows/group at x~10⁴ cents —
+    beyond that switch the two partial sums to DECIMAL(38,0), same plan.
+
     Scale: one |groups|-sized aggregate broadcast back over the scan
-    (same decorrelated two-pass shape as the quality gates). BIGINT cent
-    sums hold to ~10¹⁴ rows per group at this value range; beyond that
-    switch the partials to DECIMAL(38,0) — same plan.
+    (same decorrelated two-pass shape as the quality gates).
     """
     t = _t(spark, sf_dir, "events")
     c = t["events"].select(
@@ -1335,10 +1342,12 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xc").alias("s"),
         F.sum(F.col("xc") * F.col("xc")).alias("s2"),
     )
-    dev = F.col("n") * F.col("xc") - F.col("s")
+    d19 = "decimal(19,0)"  # any BIGINT fits; product of two → DECIMAL(38,0)
+    n, s, s2 = (F.col(x).cast(d19) for x in ("n", "s", "s2"))
+    dev = n * F.col("xc").cast(d19) - s
     return (
         c.join(F.broadcast(g), F.col("event_type") == F.col("g_type"))
-        .filter(dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")))
+        .filter(dev * dev > F.lit(4).cast(d19) * (n * s2 - s * s))
         .select(
             "event_id",
             "event_type",

@@ -20,7 +20,22 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the table directory exists, via Hadoop FileSystem.
+
+    Used instead of try/except around the read: "view doesn't exist yet"
+    is the ONLY condition that may legitimately skip the merge. A transient
+    IO error, corrupt file, or schema drift must propagate and fail the
+    batch loudly — swallowing it would commit a delta-only overwrite that
+    silently drops the stored aggregates for the touched partitions.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -79,7 +94,11 @@ def start_rollup_matview(flows: DataFrame, path: str, checkpoint: str):
         days = [r["day"] for r in delta.select("day").distinct().collect()]
         if not days:
             return
-        try:
+        if _table_exists(spark, path):
+            # Any failure reading the existing view (IO error, corruption,
+            # schema drift) propagates: failing the batch keeps history
+            # intact for the checkpointed retry, whereas treating it as
+            # "first batch" would overwrite history with delta-only rows.
             existing = spark.read.parquet(path).filter(F.col("day").isin(days))
             existing = existing.select(
                 F.col("day").cast("string").alias("day"),
@@ -87,7 +106,7 @@ def start_rollup_matview(flows: DataFrame, path: str, checkpoint: str):
                 "sum_bytes", "sum_packets", "n_flows",
             )
             merged_src = delta.unionByName(existing)
-        except Exception:  # first batch: view doesn't exist yet
+        else:  # first batch: view doesn't exist yet
             merged_src = delta
         merged = merged_src.groupBy("day", "src_namespace", "dst_namespace").agg(
             F.sum("sum_bytes").alias("sum_bytes"),

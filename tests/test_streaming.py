@@ -8,6 +8,7 @@ Covers SURVEY.md §2.1 S3-S6, §2.9 T1/T4, and the event-time extensions
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 
@@ -385,6 +386,54 @@ def test_streaming_matview_equals_batch_rollup(spark, flow_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert snap() == got
+
+
+def test_matview_corrupt_view_fails_loudly(spark, flow_dir, tmp_path):
+    """A readable-path failure on the EXISTING view (corruption, schema
+    drift, transient IO) must fail the merge batch, not be mistaken for
+    'first batch': a swallowed read error followed by the dynamic
+    overwrite would silently replace stored history with delta-only rows
+    (ADVICE r2, backfill.py). Only genuine absence of the view directory
+    may skip the merge."""
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        _table_exists,
+        start_rollup_matview,
+    )
+
+    assert not _table_exists(spark, str(tmp_path / "nope"))
+
+    _write_lines(flow_dir / "a.json", [_flow(0), _flow(1, bytes_=50)])
+    path = str(tmp_path / "matview")
+    q = start_rollup_matview(
+        P.normalized_stream(read_file_flows(spark, str(flow_dir))),
+        path,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    assert _table_exists(spark, path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert before
+
+    # Corrupt every stored parquet footer, then feed one more flow on the
+    # same day. The merge must raise (surfaced via the query exception) and
+    # leave the (corrupt) files in place — NOT commit a delta-only rollup.
+    part_files = list(Path(path).rglob("*.parquet"))
+    assert part_files
+    for f in part_files:
+        f.write_bytes(b"not a parquet file")
+    _write_lines(flow_dir / "b.json", [_flow(2, bytes_=7)])
+    q2 = start_rollup_matview(
+        P.normalized_stream(read_file_flows(spark, str(flow_dir))),
+        path,
+        str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
+    assert Path(part_files[0]).read_bytes() == b"not a parquet file", (
+        "failed merge must not have overwritten the existing partition"
+    )
 
 
 def test_transform_with_state_totals_match_batch(spark, flow_dir, tmp_path):
