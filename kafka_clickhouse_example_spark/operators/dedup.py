@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_example_spark.operators.checkpointing import materialize
+
 NGRAM_DEFAULT = 3
 MINHASH_PERMS = 8
 LSH_BAND_ROWS = 2  # 8 perms / 2 rows => 4 bands
@@ -370,7 +372,9 @@ def minhash_lsh_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20, reliable_dir: str | None = None
+) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every member
     labeled with its cluster's minimum doc id (the canonical survivor).
 
@@ -384,14 +388,18 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     Input: (id1, id2) pairs (id1 < id2). Output: (doc_id, cluster_id) for
     every node that appears in some pair, cluster_id = min id reachable.
+
+    Lineage per round is cut executor-locally by default; pass
+    ``reliable_dir`` (HDFS/S3) for fault-tolerant ``checkpoint()`` on a
+    real cluster (see operators/checkpointing.py).
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
-        .distinct()
+        .distinct(),
         # Materialize once: every propagation round joins `edges`, and
         # without this each round re-derives the (expensive) pair graph.
-        .localCheckpoint()
+        reliable_dir,
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -410,11 +418,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            # Truncate lineage per round: without this the plan deepens by
-            # two joins per iteration (re-executed from scratch by both the
-            # convergence check and the next round).
-            .localCheckpoint()
         )
+        # Truncate lineage per round: without this the plan deepens by
+        # two joins per iteration (re-executed from scratch by both the
+        # convergence check and the next round).
+        new_labels = materialize(new_labels, reliable_dir)
         # Convergence check every other round (each check is a full join
         # job; min-label propagation usually converges in a handful of
         # rounds, so one extra round costs less than a check per round).

@@ -8,11 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_example_spark.operators.checkpointing import materialize
+
 Q30 = 1 << 30
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
 
-def pagerank_q30(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_q30(
+    edges: DataFrame, iters: int = 3, reliable_dir: str | None = None
+) -> DataFrame:
     """PageRank over a symmetric edge list in Q30 FIXED POINT.
 
     Semantics (identical in any engine — every op is integer):
@@ -33,13 +37,22 @@ def pagerank_q30(edges: DataFrame, iters: int = 3) -> DataFrame:
     the static edge list plus a grouped BIGINT sum — the standard
     distributed PageRank shape. The driver loop is over ROUNDS (a fixed
     constant), never data; ``n`` is the only scalar collected.
-    localCheckpoint per round truncates the growing lineage exactly like
-    duplicate_clusters' label propagation.
+    Lineage is truncated per round exactly like duplicate_clusters' label
+    propagation — executor-local by default, reliable ``checkpoint()`` when
+    ``reliable_dir`` (HDFS/S3) is given so executor loss mid-iteration
+    isn't fatal on a real cluster (see operators/checkpointing.py).
+
+    An empty edge list yields an empty (node, rank) result — the near-dup
+    graph of a clean corpus slice has no pairs at all.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
+    deg = materialize(
+        edges.groupBy("src").agg(F.count("*").alias("deg")), reliable_dir
     )
     n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("node"), F.lit(0).cast("long").alias("rank")
+        )
     base = (15 * Q30) // (100 * n)
     ed = edges.join(deg, "src")
     ranks = deg.select(
@@ -57,6 +70,6 @@ def pagerank_q30(edges: DataFrame, iters: int = 3) -> DataFrame:
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = materialize(ranks, reliable_dir, eager=False)
     return ranks

@@ -294,9 +294,12 @@ def train_ivf_centroids(
 ):
     """Deterministic k-means coarse quantizer for IVF ANN.
 
-    Trains on a bounded, deterministic sample (lowest ``sample_size`` ids —
-    a constant-size collect at any corpus scale; production IVF trains on
-    ~1e5 sampled vectors even for 1e9-vector indexes). Seeds are the first
+    Trains on a bounded, deterministic, UNBIASED sample: rows ordered by
+    md5(id) — a salted-hash shuffle that is stable across partitionings but
+    uncorrelated with insertion order, unlike the round-2 lowest-id sample
+    whose bias would track whatever the id encodes (time, source, shard).
+    Constant-size collect at any corpus scale; production IVF trains on
+    ~1e5 sampled vectors even for 1e9-vector indexes. Seeds are the first
     ``k`` sample vectors and Lloyd runs a fixed ``iters`` rounds, so the
     same data always yields the same centroids regardless of partitioning.
     Empty clusters keep their previous centroid. Returns a (k, dim) float64
@@ -304,7 +307,15 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    pdf = (
+        corpus.select(id_col, vec_col)
+        # TakeOrdered by (md5(id), id) — the id tiebreak keeps the order
+        # total even if two ids ever hashed alike.
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
+    pdf = pdf.sort_values(id_col).reset_index(drop=True)  # stable seed order
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     k = min(k, len(mat))
     cent = mat[:k].copy()
