@@ -436,6 +436,66 @@ def test_matview_corrupt_view_fails_loudly(spark, flow_dir, tmp_path):
     )
 
 
+def test_conversation_totals_processor_unit():
+    """Drive the transformWithState processor's logic under a fake state
+    handle — no state server, no protobuf, no Spark. Covers: first-batch
+    accumulate, cross-batch merge from existing state (tuple AND Row
+    shaped, both of which ValueState.get() may return), update() payload,
+    and update-mode emission (one superseding row per key per batch)."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    class FakeValueState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = P.make_conversation_totals_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+    key = ("10.0.0.1", "10.0.0.2")
+
+    def batch(rows):
+        out = list(
+            proc.handleInputRows(
+                key, iter([pd.DataFrame(rows)]), timerValues=None
+            )
+        )
+        assert len(out) == 1 and len(out[0]) == 1  # update mode: one row/key
+        return out[0].iloc[0]
+
+    r1 = batch([{"bytes": 100, "packets": 2}, {"bytes": 50, "packets": 1}])
+    assert (r1.src_ip, r1.dst_ip) == key
+    assert (r1.n_flows, r1.sum_bytes, r1.sum_packets) == (2, 150, 3)
+    assert handle.states["totals"].value == (2, 150, 3)
+
+    # Second micro-batch merges the stored totals.
+    r2 = batch([{"bytes": 7, "packets": 1}])
+    assert (r2.n_flows, r2.sum_bytes, r2.sum_packets) == (3, 157, 4)
+
+    # A Row-shaped stored value (what the real state server yields) must
+    # unpack identically to the tuple shape.
+    handle.states["totals"].value = Row(n_flows=3, sum_bytes=157, sum_packets=4)
+    r3 = batch([{"bytes": 1, "packets": 1}])
+    assert (r3.n_flows, r3.sum_bytes, r3.sum_packets) == (4, 158, 5)
+    proc.close()
+
+
 def test_transform_with_state_totals_match_batch(spark, flow_dir, tmp_path):
     """transformWithStateInPandas (Spark 4 arbitrary-state API): final
     per-conversation totals across micro-batches equal the batch groupBy,
