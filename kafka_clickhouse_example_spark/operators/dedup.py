@@ -46,9 +46,31 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 
 NGRAM_DEFAULT = 3
+
+# FIXTURE profile: small signatures so the DuckDB oracle (which recomputes
+# all perms in SQL) stays tractable at gate scale. The banding math is the
+# same at any size; only the S-curve sharpness changes.
 MINHASH_PERMS = 8
-LSH_BAND_ROWS = 2  # 8 perms / 2 rows => 4 bands
+LSH_BAND_ROWS = 2  # 8 perms / 2 rows => 4 bands; ~50% threshold (1/4)^(1/2)
+
+# PRODUCTION profile: what a real 100 TB near-dup pass should run
+# (datasketch/Spark-LSH-class sizing). 64 perms / 4 rows => 16 bands:
+# candidate threshold (1/16)^(1/4) ~= 0.50 with a far sharper S-curve than
+# the fixture profile — P(candidate) >= 0.999 at j=0.8 while j=0.2 noise
+# drops to ~2.5% (vs 15% at 8/2), i.e. ~6x less exact-verify work per true
+# pair. Bounded by the hash math: perm index p must stay < 64 so
+# p*h2 < 2^62 and (h1 + p*h2) cannot overflow BIGINT (h1, h2 < 2^56).
+# tests/test_dedup_paths.py::test_banding_threshold_curve pins the curve.
+PRODUCTION_MINHASH_PERMS = 64
+PRODUCTION_LSH_BAND_ROWS = 4
+
 HASH_PRIME = 72057594037927931  # largest prime < 2^56; keeps p*h2 overflow-free
+
+
+def candidate_probability(j: float, band_rows: int, num_bands: int) -> float:
+    """Analytic LSH candidacy probability 1-(1-j^r)^b for a pair with true
+    Jaccard ``j`` under ``num_bands`` bands of ``band_rows`` rows."""
+    return 1.0 - (1.0 - j**band_rows) ** num_bands
 
 
 def _tokens(text: Column) -> Column:
@@ -227,14 +249,18 @@ def with_minhash_signature(
     return out.drop("_h1", "_h2")
 
 
-def band_keys(signature: Column, band_rows: int = LSH_BAND_ROWS) -> Column:
+def band_keys(
+    signature: Column,
+    band_rows: int = LSH_BAND_ROWS,
+    num_perms: int = MINHASH_PERMS,
+) -> Column:
     """array<string> of LSH band keys: '<band>|mh_i|mh_i+1|...'.
 
     Two docs collide on a band iff that band's rows agree exactly — the
     classic banding construction (prob of candidacy 1-(1-j^r)^b). Call on a
     *materialized* signature column only.
     """
-    num_bands = MINHASH_PERMS // band_rows
+    num_bands = num_perms // band_rows
     keys = []
     for b in range(num_bands):
         parts: list[Column] = [F.lit(f"{b}")]
@@ -334,6 +360,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    num_perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature -> band bucketing -> candidate
     pairs -> exact Jaccard verify on the candidates only.
@@ -342,11 +370,22 @@ def minhash_lsh_pairs(
     intersects them — O(candidates), never O(n^2). This is the 100 TB path:
     signatures and band keys are fixed-size per doc, and the band join's
     fan-out is bounded by bucket sizes, not corpus size.
+
+    Defaults are the oracle-tractable FIXTURE profile (8 perms / 4 bands);
+    pass ``num_perms=PRODUCTION_MINHASH_PERMS, band_rows=
+    PRODUCTION_LSH_BAND_ROWS`` for the documented production sizing (see
+    the profile constants at the top of this module). The exact-verify
+    stage makes the OUTPUT precision-exact under every profile — banding
+    only changes candidate recall and verify workload.
     """
+    assert num_perms % band_rows == 0 and num_perms <= 64, (
+        "perm index must stay < 64: p*h2 < 2^62 keeps the Kirsch-"
+        "Mitzenmacher hash overflow-free on BIGINT"
+    )
     with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
     banded = (
-        with_minhash_signature(with_sh)
-        .withColumn("bk", F.explode(band_keys(F.col("mh"))))
+        with_minhash_signature(with_sh, num_perms=num_perms)
+        .withColumn("bk", F.explode(band_keys(F.col("mh"), band_rows, num_perms)))
         .select("doc_id", "bk")
     )
     # Same rule as jaccard_pairs: never broadcast the O(corpus) banded side.

@@ -80,3 +80,56 @@ def test_compression_ratio_matches_zlib(spark, sf_dir):
         for r in docs
     }
     assert got == want and len(got) > 0
+
+
+def test_banding_threshold_curve():
+    """Pin the analytic LSH S-curves of the two documented profiles
+    (VERDICT r2 #3). Production (64 perms, 16 bands x 4 rows) must be
+    near-total at the j>=0.8 near-dup zone AND strictly sharper below the
+    ~0.5 threshold than the fixture profile (8 perms, 4 bands x 2 rows) —
+    the sharper low-j rejection is what bounds exact-verify work at scale.
+    """
+    fb = D.MINHASH_PERMS // D.LSH_BAND_ROWS          # 4 bands
+    pb = D.PRODUCTION_MINHASH_PERMS // D.PRODUCTION_LSH_BAND_ROWS  # 16
+
+    # Near-dup zone: production catches essentially every true pair.
+    for j in (0.8, 0.85, 0.9, 0.95):
+        assert D.candidate_probability(j, D.PRODUCTION_LSH_BAND_ROWS, pb) >= 0.999
+        assert D.candidate_probability(j, D.LSH_BAND_ROWS, fb) >= 0.98
+
+    # Noise zone: production admits strictly fewer false candidates.
+    for j in (0.05, 0.1, 0.2, 0.3):
+        prod = D.candidate_probability(j, D.PRODUCTION_LSH_BAND_ROWS, pb)
+        fix = D.candidate_probability(j, D.LSH_BAND_ROWS, fb)
+        assert prod < fix, f"production curve not sharper at j={j}"
+    assert D.candidate_probability(0.2, D.PRODUCTION_LSH_BAND_ROWS, pb) < 0.03
+
+    # Both curves are monotone in j (sanity on the formula).
+    grid = [i / 20 for i in range(21)]
+    for r, b in ((D.LSH_BAND_ROWS, fb), (D.PRODUCTION_LSH_BAND_ROWS, pb)):
+        ps = [D.candidate_probability(j, r, b) for j in grid]
+        assert ps == sorted(ps)
+
+
+def test_production_profile_candidate_recall(spark, sf_dir):
+    """Empirical end-to-end check of the production profile on the fixture
+    corpus: with exact verify downstream, every pair LSH finds is a true
+    pair (precision 1 by construction), and candidate recall vs the exact
+    inverted-index ground truth must clear the analytic floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id1, r.id2) for r in D.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert truth, "fixture corpus must contain >=1 true near-dup pair"
+    got = {
+        (r.id1, r.id2)
+        for r in D.minhash_lsh_pairs(
+            docs,
+            threshold=0.8,
+            num_perms=D.PRODUCTION_MINHASH_PERMS,
+            band_rows=D.PRODUCTION_LSH_BAND_ROWS,
+        ).collect()
+    }
+    assert got <= truth, "exact verify must keep precision at 1.0"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"production-profile recall {recall:.2f} below floor"
