@@ -69,17 +69,46 @@ def main() -> None:
         streaming = {"rows": -1, "wall_sec": -1.0, "rows_per_sec": -1.0}
 
     ok = [t for t in timings.values() if t >= 0]
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(ok), 4),
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "sf": _sf_label(SF_DIR),
+    }
+    print(json.dumps(payload))
+    # Full copy on disk: the driver's stdout tail can truncate the line
+    # above, and BENCH_LOCAL.json gives the judge the complete per-query
+    # numbers regardless.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+    except OSError as exc:
+        print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    # The driver archives only a bounded TAIL of stdout; with 100+ queries
+    # the full line above outgrew it in round 2 and the leading total was
+    # cut off (BENCH_r02 "parsed": null). Emit a LAST line that is compact
+    # enough (<1 KB) to always survive tail truncation whole: totals,
+    # failure count, the slowest queries, streaming throughput.
+    slowest = dict(
+        sorted(((n, t) for n, t in timings.items() if t >= 0), key=lambda kv: -kv[1])[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(sum(ok), 4),
                 "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
+                "queries_run": len(timings),
+                "queries_failed": sum(1 for t in timings.values() if t < 0),
+                "slowest": slowest,
+                "streaming_rows_per_sec": streaming.get("rows_per_sec", -1.0),
                 "sf": _sf_label(SF_DIR),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -111,3 +111,58 @@ def test_frame_cap_at_max_frames(spark):
     docs = spark.createDataFrame([(2, "a" * (M.FRAME_SIZE * 20))], "doc_id long, text string")
     frames = M.sample_frames(M.attach_media(docs)).collect()
     assert len(frames) == M.MAX_FRAMES
+
+
+def _wav_bytes(n_frames: int = 8000, rate: int = 16000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
+def test_decode_payload_real_wav_audio():
+    """The audio path decodes REAL RIFF/WAVE headers via stdlib wave —
+    duration from frames/framerate, no synthetic fallback involved."""
+    wav = _wav_bytes(n_frames=8000, rate=16000)  # 0.5 s
+    assert M.decode_payload("audio", wav) == (0, 0, 500)
+
+
+def test_decode_payload_falls_back_to_synthetic_on_non_media():
+    """Undecodable bytes (the synthetic corpus) keep the deterministic
+    md5-derived dims, for every kind, with or without codecs installed."""
+    import hashlib
+
+    payload = b"just some document text"
+    want = M._fake_dims(hashlib.md5(payload).hexdigest())
+    for kind in M.MEDIA_KINDS:
+        assert M.decode_payload(kind, payload) == want
+
+
+def test_decode_media_real_codecs_path(media, spark):
+    """use_real_codecs=True routes through decode_payload: a WAV payload
+    gets its true duration; non-media payloads keep synthetic dims; the
+    default path is unchanged (environment-independent hashes)."""
+    import pyspark.sql.functions as F
+
+    wav = _wav_bytes(n_frames=4000, rate=8000)  # 0.5 s
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, payload binary",
+    ).withColumn("meta", F.struct(F.length("payload").alias("n_bytes")))
+    got = {r.media_id: r for r in M.decode_media(df, use_real_codecs=True).collect()}
+    assert got[1].duration_ms == 500 and (got[1].width, got[1].height) == (0, 0)
+    import hashlib
+
+    want = M._fake_dims(hashlib.md5(b"not an image").hexdigest())
+    assert (got[2].width, got[2].height, got[2].duration_ms) == want
+
+    # Default (synthetic) path ignores codecs entirely.
+    syn = {r.media_id: r for r in M.decode_media(df).collect()}
+    w1 = M._fake_dims(hashlib.md5(wav).hexdigest())
+    assert (syn[1].width, syn[1].height, syn[1].duration_ms) == w1
