@@ -71,7 +71,11 @@ def start_rollup_matview(flows: DataFrame, path: str, checkpoint: str):
     parquet is not transactional; an ACID table format is the upgrade
     path). The checkpointed source offsets make duplicates possible only
     across a failure boundary, matching the reference's own at-least-once
-    Kafka semantics (SURVEY §2.9 T1 before the round-1 fix).
+    Kafka semantics (SURVEY §2.9 T1 before the round-1 fix). For
+    crash-replay-safe semantics over plain parquet use
+    ``start_rollup_matview_exactly_once`` below, which lands per-batch
+    deltas idempotently and recomputes touched days instead of merging
+    the stored view.
     """
     from pyspark.sql import functions as F
 
@@ -114,6 +118,86 @@ def start_rollup_matview(flows: DataFrame, path: str, checkpoint: str):
             F.sum("n_flows").alias("n_flows"),
         )
         overwrite_partitions(merged, path, ["day"])
+
+    return (
+        flows.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _recompute_merge(
+    batch_df: DataFrame, batch_id: int, raw_path: str, view_path: str
+) -> None:
+    """One exactly-once matview step (module-level so tests can replay it):
+
+    1. Land the batch's rolled-up delta at ``raw_path/batch_id=<id>`` with
+       per-directory overwrite — replaying the same batch rewrites the SAME
+       directory with the SAME rows, a no-op on table content.
+    2. Recompute the touched day partitions from ALL landed batch deltas
+       (never from the current view), and dynamic-overwrite exactly those
+       day partitions of the view.
+
+    Both steps are idempotent and deterministic, so any crash/replay
+    interleaving converges to the same view — unlike the read-merge-write
+    in ``start_rollup_matview``, which double-counts a batch replayed
+    across a crash boundary (its documented at-least-once caveat,
+    ADVICE r2). Cost per batch: O(batch) for the landing write +
+    O(stored deltas for touched days) for the recompute — the recompute
+    reads day-pruned BATCH ROLLUPS (|namespace pairs| rows per batch per
+    day), not raw flows.
+    """
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.withColumn(
+            "day",
+            F.date_format(
+                F.timestamp_millis(F.col("start").cast("long")), "yyyy-MM-dd"
+            ),
+        )
+        .groupBy("day", "src_namespace", "dst_namespace")
+        .agg(
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum("packets").alias("sum_packets"),
+            F.count("*").alias("n_flows"),
+        )
+    )
+    days = [r["day"] for r in delta.select("day").distinct().collect()]
+    if not days:
+        return
+    # (1) Idempotent landing: static overwrite of THIS batch's directory.
+    delta.write.mode("overwrite").parquet(f"{raw_path}/batch_id={batch_id}")
+    # (2) Recompute touched days from every landed delta. basePath keeps
+    # the batch_id partition column out of the schema; the day filter
+    # prunes to touched-day row groups.
+    all_deltas = (
+        spark.read.option("basePath", raw_path)
+        .parquet(raw_path)
+        .filter(F.col("day").isin(days))
+    )
+    recomputed = all_deltas.groupBy("day", "src_namespace", "dst_namespace").agg(
+        F.sum("sum_bytes").alias("sum_bytes"),
+        F.sum("sum_packets").alias("sum_packets"),
+        F.sum("n_flows").alias("n_flows"),
+    )
+    overwrite_partitions(recomputed, view_path, ["day"])
+
+
+def start_rollup_matview_exactly_once(
+    flows: DataFrame, raw_path: str, view_path: str, checkpoint: str
+):
+    """Exactly-once streaming materialized view: same (day, src_namespace,
+    dst_namespace) rollup as ``start_rollup_matview``, but crash-replay
+    safe — see ``_recompute_merge``. Needs a second storage location for
+    the per-batch landed deltas (``raw_path``); a deployment that wants
+    single-location ACID semantics should use a transactional table format
+    instead, which collapses the two paths into one MERGE."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recompute_merge(batch_df, batch_id, raw_path, view_path)
 
     return (
         flows.writeStream.foreachBatch(merge)

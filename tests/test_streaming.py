@@ -388,6 +388,63 @@ def test_streaming_matview_equals_batch_rollup(spark, flow_dir, tmp_path):
     assert snap() == got
 
 
+def test_matview_exactly_once_replay_safe(spark, flow_dir, tmp_path):
+    """The exactly-once matview equals the batch rollup after a multi-batch
+    streaming run, AND replaying a committed batch (the crash boundary
+    that double-counts in the merge variant) leaves the view unchanged."""
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        _recompute_merge,
+        start_rollup_matview_exactly_once,
+    )
+
+    day1 = BASE_MS
+    day2 = BASE_MS + 86_400_000
+    _write_lines(flow_dir / "a.json", [_flow(0, start=day1), _flow(1, start=day1, bytes_=50)])
+    _write_lines(flow_dir / "b.json", [_flow(2, start=day1, bytes_=7), _flow(3, start=day2)])
+
+    raw = str(tmp_path / "deltas")
+    view = str(tmp_path / "view")
+    q = start_rollup_matview_exactly_once(
+        P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)),
+        raw,
+        view,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    def snap():
+        return {
+            (str(r.day), r.src_namespace, r.dst_namespace,
+             r.sum_bytes, r.sum_packets, r.n_flows)
+            for r in spark.read.parquet(view).collect()
+        }
+
+    got = snap()
+    batch = flows_from_json(spark.read.text(str(flow_dir)))
+    want = {
+        (str(r.day), r.src_namespace, r.dst_namespace,
+         r.sum_bytes, r.sum_packets, r.n_flows)
+        for r in batch.withColumn(
+            "day",
+            F.date_format(F.timestamp_millis(F.col("start").cast("long")), "yyyy-MM-dd"),
+        )
+        .groupBy("day", "src_namespace", "dst_namespace")
+        .agg(
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum("packets").alias("sum_packets"),
+            F.count("*").alias("n_flows"),
+        )
+        .collect()
+    }
+    assert got == want and len({d for d, *_ in got}) == 2
+
+    # Crash-replay: re-apply an already-committed batch verbatim. The
+    # merge variant would double-count; this one must be a no-op.
+    replayed = flows_from_json(spark.read.text(str(flow_dir / "a.json")))
+    _recompute_merge(replayed, batch_id=0, raw_path=raw, view_path=view)
+    assert snap() == got
+
+
 def test_matview_corrupt_view_fails_loudly(spark, flow_dir, tmp_path):
     """A readable-path failure on the EXISTING view (corruption, schema
     drift, transient IO) must fail the merge batch, not be mistaken for
