@@ -725,3 +725,115 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_minhash_pairs(test, train, JACCARD_THRESHOLD).orderBy(
         "new_id", "corpus_id"
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+            / count(*) AS DOUBLE) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: the first dashboard a training-data
+    pipeline owner looks at — which ingestion sources are pumping in
+    copies. Grouping on the 16-byte content md5 (not the text) keeps the
+    shuffle O(rows), never O(bytes), same economics as dedup_exact_groups.
+
+    Scale: one partial-aggregated groupBy(source, md5) — |sources| is
+    small, so the distinct-count rollup is a second tiny exchange.
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(h).alias("n_unique"),
+            (
+                (F.count("*") - F.countDistinct(h)).cast("double") / F.count("*")
+            )
+            .cast("double")
+            .alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE len({SHINGLES_SQL}) > 0
+),
+ex AS (
+  SELECT doc_id, unnest(list_transform(sh, s -> {_md5_half_sql('s', 0)})) AS h
+  FROM sh
+),
+dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+perdoc AS (
+  SELECT ex.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM ex JOIN dfreq ON dfreq.h = ex.h
+  GROUP BY ex.doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(p.n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+       CAST(CAST(sum(p.n_novel) AS DOUBLE) / sum(p.n_sh) AS DOUBLE) AS novelty
+FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of a source's distinct
+    3-gram shingles that appear in exactly ONE document corpus-wide
+    (df=1). Low novelty flags boilerplate-heavy or self-copying sources —
+    the diversity signal next to dedup_rate_by_source's exact-copy rate.
+
+    Scale: reuses the corpus shingle memo, inverts on the 56-bit shingle
+    hash (same O(rows)-not-O(bytes) trick as jaccard_pairs), and the df
+    count + per-doc rollup are two partial-aggregated shuffles on bounded
+    keys. No pairwise anything — linear in corpus size.
+    """
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", D.md5_half(F.col("s"), 0).alias("h"))
+    # Same estimate-lie guard as jaccard_pairs: dfreq is derived from the
+    # post-explode relation, whose size Catalyst underestimates — left to
+    # itself it may BROADCAST this O(distinct shingles) aggregate, fatal at
+    # corpus scale. Pin a shuffle hash join on the 56-bit key.
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("df")).hint("shuffle_hash")
+    perdoc = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    docs = load_compute_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        perdoc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            (F.sum("n_novel").cast("double") / F.sum("n_sh"))
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("source")
+    )

@@ -399,3 +399,41 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_type_token_ratio",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+       CAST(CAST(count(DISTINCT t) AS DOUBLE) / count(*) AS DOUBLE) AS ttr
+FROM (SELECT source, unnest({TOKENS_SQL}) AS t FROM documents)
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio (distinct tokens /
+    total tokens) — the standard vocabulary-richness gauge next to
+    text_vocab_stats_per_source's corpus-level view. Shares the exact
+    tokenizer contract certified by text_token_stats.
+
+    Scale: one explode + one partial-aggregated groupBy(source) with a
+    distinct-count — Spark plans countDistinct as a two-phase aggregate
+    (per-(source, token) partial, then per-source), so the exchange
+    carries distinct (source, token) pairs, not raw token instances.
+    """
+    docs = _docs(spark, sf_dir)
+    ex = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("t").alias("n_types"),
+            (F.countDistinct("t").cast("double") / F.count("*"))
+            .cast("double")
+            .alias("ttr"),
+        )
+        .orderBy("source")
+    )

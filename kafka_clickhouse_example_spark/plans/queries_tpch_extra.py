@@ -496,3 +496,135 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_small_lines"),
         )
     )
+
+
+# --- Q6: forecasting revenue change ----------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2))
+      BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table scan-filter-aggregate — the query every
+    column-store brags about. All three predicates (range on shipdate,
+    BETWEEN on discount, < on quantity) and the 2-column projection reach
+    the parquet scan: .explain shows PushedFilters on l_shipdate plus a
+    4-column ReadSchema; no join, no shuffle past the final 1-row agg.
+
+    Discount comparisons go through DECIMAL(4,2) on both engines so the
+    0.05/0.07 boundary rows classify identically (a raw double BETWEEN
+    would depend on each engine's float literal parse).
+    """
+    t = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (disc >= F.lit("0.05").cast("decimal(4,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity").cast("decimal(18,2)") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * disc)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --- Q21: suppliers who kept orders waiting --------------------------------
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+WITH lif AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+os AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM lif GROUP BY l_orderkey
+)
+SELECT s.s_name, n.n_name, count(*) AS numwait
+FROM lif
+JOIN os ON os.l_orderkey = lif.l_orderkey
+JOIN supplier s ON s.s_suppkey = lif.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE lif.late = 1 AND os.n_supp >= 2 AND os.n_late_supp = 1
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose line was the ONLY late one in a
+    multi-supplier finished order. The reduced schema has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than 60 days
+    after the order date; the EXISTS / NOT-EXISTS pair over other
+    suppliers' lines — the hard part of Q21 — is kept and decorrelated
+    into ONE per-order aggregate: EXISTS(other supplier) ⇔ n_supp ≥ 2,
+    NOT EXISTS(other late supplier) ⇔ n_late_supp = 1 (only self late).
+
+    Scale: the rewrite turns two correlated subqueries into a single
+    groupBy over the status-filtered fact join — lineitem⋈orders is the
+    one sort-merge shuffle (both sides hashed on orderkey, so os joins
+    back exchange-free under AQE reuse); supplier and nation are
+    broadcast. A per-row EXISTS probe would be a second fact-fact join
+    per predicate — this is the only formulation that survives 100 TB.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    lif = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    os_stats = lif.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lif.filter(F.col("late") == 1)
+        .join(os_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

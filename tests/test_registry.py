@@ -10,10 +10,10 @@ import kafka_clickhouse_example_spark.registry as registry
 
 REPO = str(Path(__file__).resolve().parent.parent)
 
-# Round-2 floor. Raise when adding query families; never lower silently —
+# Round-3 floor. Raise when adding query families; never lower silently —
 # a drop below this means a plan module stopped registering (the exact
 # silent-shrink failure mode the round-1 judge flagged).
-MIN_QUERIES = 108
+MIN_QUERIES = 113
 
 
 def test_surface_size_floor():
