@@ -94,9 +94,34 @@ def _certified_names() -> set[str]:
     return green
 
 
+def _gate_priority() -> dict[str, int]:
+    """Frozen priority ranks for pending queries (lower = earlier).
+
+    gate_priority.json snapshots the queries that were awaiting their
+    first driver row when round 3 shipped. Keeping that cohort ahead of
+    any LATER-ADDED (also-uncertified) queries means new features can't
+    crowd the long-waiting ones out of the driver's ~50-slot sample
+    window; once a query earns a green row it drops out of the pending
+    group entirely, so the file never needs updating to shrink.
+    """
+    path = Path(__file__).resolve().parent / "gate_priority.json"
+    try:
+        cohorts = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    ranks: dict[str, int] = {}
+    for rank, key in enumerate(sorted(cohorts)):
+        for name in cohorts[key]:
+            ranks.setdefault(name, rank)
+    return ranks
+
+
 def _certification_order(names: list[str]) -> list[str]:
     certified = _certified_names()
+    priority = _gate_priority()
+    fallback = len(priority) + 1
     pending = [n for n in names if n not in certified]
+    pending.sort(key=lambda n: priority.get(n, fallback))  # stable: keeps reg order
     done = [n for n in names if n in certified]
     return pending + done
 

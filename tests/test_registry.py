@@ -39,6 +39,12 @@ def test_uncertified_queries_enumerate_first():
     assert qs[: len(pending)] == pending, (
         "registry enumeration must list never-certified queries first"
     )
+    # Within the pending group, the frozen round-3 cohort
+    # (gate_priority.json) outranks queries added later, so new features
+    # can't crowd long-waiting queries out of the gate's sample window.
+    priority = registry._gate_priority()
+    ranked = [registry._gate_priority().get(q, len(priority) + 1) for q in pending]
+    assert ranked == sorted(ranked), "frozen cohort must precede newer pending queries"
     # oracle enumeration follows the same priority
     ors = list(registry.all_oracles())
     pending_or = [q for q in ors if q not in certified]
