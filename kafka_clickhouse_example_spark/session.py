@@ -102,6 +102,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Worker interpreters get PYTHONPATH rebuilt by the JVM from
+    # sparkPythonPath + spark.executorEnv.PYTHONPATH — the driver's own
+    # $PYTHONPATH is dropped. Propagate the sitecustomize shim dir (vendored
+    # google.protobuf fallback for transformWithState) and the repo root so
+    # every spawned worker self-shims. See compat/protobuf_compat.py.
+    from kafka_clickhouse_example_spark.compat.protobuf_compat import pythonpath_entries
+
+    worker_path = [p for p in pythonpath_entries() if os.path.isdir(p)]
+    if os.environ.get("PYTHONPATH"):
+        worker_path.append(os.environ["PYTHONPATH"])
+    if worker_path:
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.pathsep.join(worker_path)
+        )
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)
     for k, v in (extra_conf or {}).items():

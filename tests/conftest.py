@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -7,6 +8,20 @@ import pytest
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
+
+# Spark Python workers are separate interpreters: prepend the sitecustomize
+# shim dir + repo root to PYTHONPATH *before* any SparkSession starts so
+# workers can self-install the vendored google.protobuf fallback (needed by
+# transformWithState's state-server protocol). See compat/protobuf_compat.py.
+from kafka_clickhouse_example_spark.compat.protobuf_compat import (  # noqa: E402
+    pythonpath_entries,
+)
+
+_extra = [p for p in pythonpath_entries() if p not in os.environ.get("PYTHONPATH", "")]
+if _extra:
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        _extra + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+    )
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"

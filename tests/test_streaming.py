@@ -558,11 +558,15 @@ def test_transform_with_state_totals_match_batch(spark, flow_dir, tmp_path):
     per-conversation totals across micro-batches equal the batch groupBy,
     and state carries across batches (update-mode emits supersede).
 
-    Skipped where google.protobuf is absent: the transformWithState
-    state-server protocol is protobuf-based, and this container has no
-    protobuf (environmental gap, same class as no-Kafka/no-ClickHouse —
-    the operator itself is plain public PySpark API)."""
-    pytest.importorskip("google.protobuf")
+    The transformWithState state-server protocol is protobuf-based; this
+    container has no pip-installed protobuf, so ensure_protobuf() installs
+    the vendored pure-Python fallback (compat/protobuf_compat.py) in the
+    driver, and conftest's PYTHONPATH sitecustomize shim does the same in
+    each Spark worker. Skips only if no vendored copy exists either."""
+    from kafka_clickhouse_example_spark.compat.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf available (native or vendored)")
     rows1 = [_flow(0), _flow(1, bytes_=50)]
     rows2 = [_flow(2, bytes_=7), _flow(3, src="10.9.9.9", bytes_=5)]
     _write_lines(flow_dir / "a.json", rows1)
