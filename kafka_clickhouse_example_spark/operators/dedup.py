@@ -483,17 +483,22 @@ def duplicate_clusters(
 SIMHASH_BITS = 16
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """16-bit SimHash per row: bit i is the sign of the sum of +-1
-    contributions from each token's hash bit i; frequency-weighted by
-    construction (duplicate tokens contribute multiply).
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash per row (default 16): bit i is the sign of the
+    sum of +-1 contributions from each token's hash bit i; frequency-weighted
+    by construction (duplicate tokens contribute multiply).
 
     One md5 per token: the hash array is materialized once, then each bit's
-    +-1 fold scans the (cheap, integer) array — 16 folds over ~doc-length
-    ints, zero hash re-evaluation. (F.shiftright requires a literal shift
-    amount, which rules out a single fold with a transform-indexed
-    accumulator.)
+    +-1 fold scans the (cheap, integer) array — ``bits`` folds over
+    ~doc-length ints, zero hash re-evaluation. (F.shiftright requires a
+    literal shift amount, which rules out a single fold with a
+    transform-indexed accumulator.) ``bits`` must stay < 63 so the
+    fingerprint fits a BIGINT in both engines (md5_half supplies 56 hash
+    bits; wider fingerprints would need the second md5 half).
     """
+    assert 0 < bits <= 56, "simhash width limited by the 56-bit md5 half"
 
     def bit_count(i: int) -> Column:
         def step(acc: Column, h: Column) -> Column:
@@ -504,7 +509,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
         return F.aggregate(F.col("_th"), F.lit(0).cast("long"), step)
 
     fingerprint = None
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         bit = F.when(F.element_at(F.col("_bits"), i + 1) >= 0, F.lit(2**i)).otherwise(
             F.lit(0)
         )
@@ -512,9 +517,149 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
     return (
         df.withColumn("_toks", _tokens(F.col(text_col)))
         .withColumn("_th", F.transform(F.col("_toks"), lambda t: md5_half(t, 0)))
-        .withColumn("_bits", F.array(*[bit_count(i) for i in range(SIMHASH_BITS)]))
+        .withColumn("_bits", F.array(*[bit_count(i) for i in range(bits)]))
         .withColumn(out, fingerprint.cast("long"))
         .drop("_toks", "_th", "_bits")
+    )
+
+
+SPAN_WINDOW = 8
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    window: int = SPAN_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the scalable approximation
+    of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): a position is duplicated
+    if its ``window``-token sliding span (stride 1, positions kept — NOT
+    the distinct-shingle set) occurs >= 2 times anywhere in the corpus.
+    Emits (doc_id, n_windows, n_dup_windows, dup_frac) for docs with at
+    least one window; a downstream pass can cut or trim high-dup_frac docs.
+
+    Scale shape (100 TB): a true distributed suffix array is impractical;
+    this is the standard fixed-window relaxation. Cost is one corpus scan
+    producing O(total_tokens) (doc, span-hash) rows (56-bit hashes, not
+    span text — ~8x less exchange IO), ONE hash-partitioned exchange for
+    the per-hash frequency (count over partition — no join back needed),
+    and a per-doc re-aggregation. Hot spans (boilerplate repeated 10^7
+    times) skew the frequency partition; mitigation at scale is the same
+    stop-key cut as ``jaccard_pairs``'s ``max_shingle_freq`` — frequency
+    capping changes nothing downstream because any freq >= 2 is already
+    "duplicated".
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (window - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), i + j) for j in range(window)]
+        ),
+    )
+    wins = (
+        toks.withColumn(
+            "_wins",
+            F.when(F.size("_toks") >= window, spans).otherwise(F.array()),
+        )
+        # materialize the UDF output BEFORE the explode (same Catalyst
+        # duplicate-the-UDF-chain trap as jaccard_pairs, dedup.py:308)
+        .withColumn("_hs", _md5half_array_udf()(F.col("_wins")))
+        .select(F.col(id_col), F.explode("_hs").alias("h"))
+    )
+    freq = wins.withColumn("freq", F.count("*").over(Window.partitionBy("h")))
+    return (
+        freq.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("freq") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+        )
+    )
+
+
+SIMHASH_PAIR_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_PAIR_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance <= ``max_hamming``,
+    via the Manku/Jain/Sarma block-permutation scheme (WWW'07): split the
+    ``bits``-wide fingerprint into ``max_hamming + 1`` equal blocks — by
+    pigeonhole, any pair within Hamming distance k must agree EXACTLY on at
+    least one block. Candidate generation is then an equi-join on
+    (block_index, block_value); only candidates pay the exact
+    bit_count(xor) verify.
+
+    Scale shape (100 TB): the all-pairs O(n^2) comparison never happens —
+    the join fans out each doc into k+1 (block, value) rows and shuffles on
+    the block key. Collision rate per block is n / 2^(bits/(k+1)): at
+    production scale run 64-bit fingerprints (k=3 -> 16-bit blocks, ~65k
+    buckets) and, per the paper, permuted re-blocking for tighter radii. The
+    fixture profile (32-bit, 8-bit blocks) keeps the DuckDB oracle's exact
+    pair check tractable while exercising the identical plan.
+
+    The self-join must not broadcast (the block table is O(corpus)) and the
+    two sides must not collapse into one Exchange reuse that AQE could
+    mis-size: shuffle_hash pins the strategy, same rationale as
+    ``jaccard_pairs``.
+    """
+    n_blocks = max_hamming + 1
+    assert bits % n_blocks == 0, "fingerprint width must split into equal blocks"
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else with_simhash(df, text_col, "sh", bits=bits).select(id_col, "sh")
+    )
+    blocks = fp.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("sh"), F.col("bk.blk"), F.col("bk.val"))
+    a = blocks.alias("a")
+    b = blocks.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        # a pair agreeing on several blocks appears once per agreeing block
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -429,6 +429,168 @@ def topk_ivf(
     )
 
 
+PQ_SUBSPACES = 8  # 64-dim fixture -> 8 dims per subspace
+PQ_CODEBOOK_K = 16  # 4-bit codes: vector compresses 256 bytes -> 4 bytes
+PQ_ITERS = 5
+PQ_SHORTLIST_MULT = 4  # ADC shortlist = mult * k per query before exact rerank
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+    sample_size: int = IVF_SAMPLE,
+):
+    """Deterministic product-quantization codebooks (Jégou et al. 2011): the
+    vector splits into ``subspaces`` contiguous slices; each slice gets its
+    own ``codebook_k``-entry k-means codebook, trained independently on the
+    same bounded md5-ordered unbiased sample as the IVF quantizer (constant-
+    size collect at any corpus scale). Returns (subspaces, codebook_k, dsub)
+    float64 — for the fixture (8, 16, 8) = 8 KiB, broadcastable anywhere.
+    """
+    import numpy as np
+
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
+    pdf = pdf.sort_values(id_col).reset_index(drop=True)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    dim = mat.shape[1]
+    assert dim % subspaces == 0, "dimension must split into equal subspaces"
+    dsub = dim // subspaces
+    kk = min(codebook_k, len(mat))
+    books = np.zeros((subspaces, kk, dsub))
+    for s in range(subspaces):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:kk].copy()  # deterministic seeds, same scheme as IVF
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = assign == c
+                if members.any():
+                    cent[c] = sub[members].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def topk_pq(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int,
+    codebooks,
+    shortlist_mult: int = PQ_SHORTLIST_MULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k: ADC scan -> global approx shortlist ->
+    exact rerank — the FAISS IVFADC shape minus the coarse quantizer.
+
+    Phase 1 (one mapInPandas corpus scan): each Arrow batch is PQ-encoded
+    (per-subspace nearest codebook entry — at production scale the 4-byte
+    codes are precomputed and STORED, shrinking a 256-byte vector 64x so the
+    scan reads codes, not floats), and each query scores the batch via
+    asymmetric distance computation: a per-query (subspaces x codebook_k)
+    lookup table of subspace dot products, summed by code gather — no
+    per-vector float math. The batch emits its local approx top-N
+    (N = shortlist_mult*k); the global approx top-N is a subset of the
+    per-batch top-Ns under the same (score desc, id) order, so the result
+    does not depend on Arrow batching.
+
+    Phase 2: the global shortlist (window over <= partitions*Q*N rows,
+    then Q*N rows broadcast) joins back to the corpus and is rescored with
+    the EXACT fold-kernel cosine — bit-identical to ``topk_bruteforce`` —
+    and the final top-k (cosine desc, id) is taken. Recall is bounded by
+    the shortlist, not float luck: contract-tested vs exact in
+    tests/test_similarity.py. No SQL oracle (k-means codebooks are not
+    SQL-expressible): rows-only.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+    n_sub, book_k, dsub = books.shape
+    qids = queries_pdf["qid"].to_numpy()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    n_short = shortlist_mult * k
+    # ADC tables: lut[q, s, c] = dot(q_subspace_s, codebook[s, c]);
+    # cn2[s, c] = ||codebook[s, c]||^2 reconstructs the approx vector norm.
+    lut = np.einsum("qsd,skd->qsk", qmat.reshape(len(qids), n_sub, dsub), books)
+    cn2 = (books * books).sum(axis=2)  # (M, K)
+    srange = np.arange(n_sub)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sub = m.reshape(len(ids), n_sub, dsub)
+            # encode: codes[b, s] = argmin_c ||sub[b,s] - books[s,c]||^2
+            d2 = (
+                (sub * sub).sum(axis=2)[:, :, None]
+                - 2.0 * np.einsum("bsd,skd->bsk", sub, books)
+                + cn2[None, :, :]
+            )
+            codes = d2.argmin(axis=2)  # (B, M)
+            approx_norm = np.sqrt(cn2[srange[None, :], codes].sum(axis=1))
+            outs = []
+            for i in range(len(qids)):
+                adot = lut[i][srange[None, :], codes].sum(axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    acos = adot / (approx_norm * qnorm[i])
+                mask = ids != qids[i]
+                acos, cid = np.nan_to_num(acos[mask], nan=-2.0), ids[mask]
+                if len(cid) > n_short:
+                    order = np.lexsort((cid, -acos))[:n_short]
+                    acos, cid = acos[order], cid[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
+                            id_col: cid,
+                            "approx_cos": acos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    approx = corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"qid long, {id_col} long, approx_cos double"
+    )
+    aw = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), F.col(id_col))
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= n_short)
+        .select("qid", id_col)
+    )
+    qdf = corpus.sparkSession.createDataFrame(queries_pdf[["qid", "qvec"]])
+    rescored = (
+        corpus.join(F.broadcast(shortlist), id_col)  # map-side: corpus never shuffles
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            F.col(id_col),
+            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "cosine_sim", "rank")
+    )
+
+
 def topk_bruteforce_pandas(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -429,6 +429,92 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
 
 
+def _simhash_fp_sql(bits: int) -> str:
+    """CTE body computing the ``bits``-wide fingerprint per doc_id as ``sh``
+    — the exact relational mirror of operators/dedup.with_simhash."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(bits))
+    return f"""
+tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents
+),
+h AS (SELECT doc_id, {_md5_half_sql('t', 0)} AS h FROM tok),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS sh FROM bits)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_simhash_fp_sql(D.SIMHASH_PAIR_BITS)}
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {D.SIMHASH_MAX_HAMMING}
+ORDER BY id1, id2
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 of a 32-bit
+    fingerprint, found by Manku-style block-permutation candidate
+    generation (equi-join on fingerprint blocks, pigeonhole-complete for
+    the radius) — never the all-pairs comparison the oracle runs.
+
+    The oracle IS O(n^2) (fine at gate scale, 500 docs): it proves the
+    block join loses no pair inside the radius and admits none outside."""
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    return (
+        D.simhash_hamming_pairs(docs)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id1", "id2")
+    )
+
+
+def _span_windows_sql(w: int) -> str:
+    cat = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(w)
+    )
+    return f"""
+tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {w}
+                THEN list_transform(range(1, len(toks) - {w - 2}), i -> {cat})
+                ELSE [] END) AS win
+  FROM tok
+),
+h AS (SELECT doc_id, {_md5_half_sql('win', 0)} AS h FROM w),
+f AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS freq FROM h)
+"""
+
+
+@register(
+    "dedup_span_stats",
+    oracle=f"""
+WITH {_span_windows_sql(D.SPAN_WINDOW)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM f GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics per document: fraction of 8-token sliding
+    windows (positions, not distinct shingles) occurring >= 2 times corpus-
+    wide — the fixed-window approximation of suffix-array substring dedup
+    (Lee et al. 2021). One corpus scan + one hash-partitioned exchange."""
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    return D.duplicated_span_stats(docs).orderBy("doc_id")
+
+
 @register(
     "dedup_candidates_editdist",
     oracle=f"""

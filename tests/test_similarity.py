@@ -87,6 +87,35 @@ def test_ivf_recall_absolute(emb_and_queries, exact_topk):
         assert abs(r["cosine_sim"] - exact[(r["qid"], r["vec_id"])]) < 1e-9
 
 
+def test_pq_recall_absolute(emb_and_queries, exact_topk):
+    """Product-quantization ANN (ADC scan + exact rerank): floor 0.5
+    absolute recall vs exact top-10, and every recalled cosine must be
+    bit-identical to the fold kernel (the rerank IS the fold kernel)."""
+    from kafka_clickhouse_example_spark.operators import similarity as S
+
+    emb, queries = emb_and_queries
+    books = S.train_pq_codebooks(emb)
+    pq = S.topk_pq(emb, queries.toPandas(), 10, books).collect()
+
+    exact = {(r["qid"], r["vec_id"]): r["cosine_sim"] for r in exact_topk}
+    hits = [r for r in pq if (r["qid"], r["vec_id"]) in exact]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"PQ recall below floor: {recall:.2f}"
+    for r in hits:
+        assert r["cosine_sim"] == exact[(r["qid"], r["vec_id"])], "rerank not fold-exact"
+
+
+def test_pq_training_deterministic(emb_and_queries):
+    import numpy as np
+
+    from kafka_clickhouse_example_spark.operators import similarity as S
+
+    emb, _ = emb_and_queries
+    b1 = S.train_pq_codebooks(emb)
+    b2 = S.train_pq_codebooks(emb.repartition(7))
+    assert np.array_equal(b1, b2), "codebooks depend on partitioning"
+
+
 def test_ivf_training_deterministic(emb_and_queries):
     import numpy as np
 
