@@ -628,3 +628,257 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# --- Q2-shape: min-cost supplier per part -----------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         min(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS offer_price
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5
+),
+target AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+),
+best AS (
+  SELECT o.l_partkey AS b_partkey, min(o.offer_price) AS best_price
+  FROM offers o JOIN target t ON t.p_partkey = o.l_partkey
+  GROUP BY 1
+)
+SELECT o.s_acctbal, o.s_name, o.n_name, t.p_partkey, t.p_name,
+       CAST(o.offer_price AS DOUBLE) AS offer_price, o.s_suppkey
+FROM offers o
+JOIN target t ON t.p_partkey = o.l_partkey
+JOIN best b ON b.b_partkey = o.l_partkey AND o.offer_price = b.best_price
+ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, t.p_partkey, o.s_suppkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each targeted part, the EUROPE supplier(s)
+    offering the minimum price — the correlated-min subquery decorrelated
+    into a per-part min + equality rejoin. The reduced schema has no
+    partsupp, so the (part, supplier) offer relation derives from
+    lineitem: offer_price = min extended price that supplier ever charged
+    for that part (exact DECIMAL, so the min-equality rejoin is safe
+    cross-engine — doubles would tie-break differently).
+
+    Scale: the region⋈nation⋈supplier chain broadcasts into the lineitem
+    scan; the offer relation shuffles once on (partkey, suppkey); the
+    per-part min is a second small aggregate exchange on partkey that AQE
+    plans from the first's statistics; the best-price rejoin is
+    broadcast (O(target parts)). No per-row subquery survives.
+    """
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    target = (
+        _t(spark, sf_dir, "part")["part"]
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    euro_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "p_name")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("offer_price"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("offer_price").alias("best_price")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("offer_price") == F.col("best_price")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("offer_price").cast("double").alias("offer_price"),
+            "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+# --- Q9-shape: product-type profit by nation and year -----------------------
+
+
+@register(
+    "q9_nation_profit",
+    oracle=f"""
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit, count(*) AS n_lines
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         {DISC_PRICE_SQL}
+           - CAST(l.l_quantity AS DECIMAL(12,2))
+             * CAST(p.p_retailprice AS DECIMAL(12,2))
+             * CAST(0.10 AS DECIMAL(3,2)) AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE p.p_name LIKE 'red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts per supplier nation per order
+    year. No partsupp means no ps_supplycost; the cost proxy is 10% of
+    p_retailprice per unit — the POINT is the plan: a name-filtered part
+    prune on the fact scan, the supplier→nation dimension chain, the
+    orders⋈lineitem fact join, and an exact-DECIMAL profit expression
+    (price factors cast to DECIMAL before multiplying; sums are
+    order-independent, one final double cast).
+
+    Scale: part (LIKE-filtered) and supplier⋈nation broadcast; the only
+    shuffle is orders⋈lineitem + the final (nation, year) aggregate.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part")
+    part = t["part"].filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = _disc_price() - (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.10").cast("decimal(3,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(amount).cast("double").alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- Q20-shape: suppliers shipping well above the per-part average ----------
+
+
+@register(
+    "q20_overactive_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey AS t_partkey,
+         sum(qty) AS total_qty,
+         count(*) AS n_supp
+  FROM shipped GROUP BY 1
+),
+qualifying AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM shipped s
+  JOIN per_part t ON t.t_partkey = s.l_partkey
+  WHERE s.qty * t.n_supp > 2 * t.total_qty
+)
+SELECT s.s_name, n.n_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE' AND s.s_suppkey IN (SELECT l_suppkey FROM qualifying)
+ORDER BY s.s_name
+""",
+)
+def q20_overactive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: EUROPE suppliers who shipped more than twice the
+    per-supplier average quantity of some 'small' part in 1996 — the
+    nested IN-subquery chain (part list → correlated availability
+    threshold → supplier semi-join) with the correlated aggregate
+    decorrelated into a per-part total + count and the threshold
+    evaluated as an exact integer/DECIMAL cross-multiplication
+    (qty·n_supp > 2·total ⇔ qty > 2·avg, no double division anywhere).
+
+    Scale: the part prune broadcasts into the date-filtered lineitem
+    scan; shipped shuffles once on (partkey, suppkey); per_part reuses
+    the partkey partitioning; the qualifying-supplier set is O(suppliers)
+    and semi-joins (left_semi) the supplier dimension.
+    """
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "part", "region")
+    part = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_supp")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") * F.col("n_supp") > F.lit(2) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    euro_nations = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            "s_name", "n_name", F.col("s_acctbal").cast("double").alias("s_acctbal")
+        )
+        .orderBy("s_name")
+    )
