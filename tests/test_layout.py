@@ -1,0 +1,130 @@
+"""Storage-layout operators: Z-order clustering pruning win (measured from
+parquet footer statistics, the same stats real readers prune with) and
+compaction content preservation."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_clickhouse_example_spark.operators.layout import compact_to_target, zorder_by
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+
+def _file_ranges(path: str, cols: list[str]):
+    """Per-file (min, max) of each column, from parquet footers only."""
+    out = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    if mins[name] is None or s.min < mins[name]:
+                        mins[name] = s.min
+                    if maxs[name] is None or s.max > maxs[name]:
+                        maxs[name] = s.max
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def _files_hit(ranges, predicate: dict[str, tuple[float, float]]) -> int:
+    """How many files a min/max-pruning reader must open for a box predicate."""
+    hit = 0
+    for r in ranges:
+        ok = True
+        for c, (lo, hi) in predicate.items():
+            fmin, fmax = r[c]
+            if fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            hit += 1
+    return hit
+
+
+N_FILES = 32
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_correctness_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    ev = load_compute_table(spark, sf_correctness_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    lin = str(base / "linear")
+    zo = str(base / "zorder")
+    # linear baseline: sorted by user_id only (what ORDER BY user_id gives)
+    ev.repartitionByRange(N_FILES, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(lin)
+    zorder_by(ev, ["user_id", "value"], N_FILES).write.parquet(zo)
+    return ev, lin, zo
+
+
+def test_zorder_preserves_content(spark, layouts):
+    ev, lin, zo = layouts
+    a = sorted(tuple(r) for r in spark.read.parquet(zo).collect())
+    b = sorted(tuple(r) for r in ev.collect())
+    assert a == b
+
+
+def test_zorder_prunes_secondary_dimension(spark, layouts):
+    """A value-only box predicate must prune files under Z-order; under the
+    user_id-sorted layout every file spans the full value range, so ALL
+    files are hit. This is footer-stat pruning, exactly what a parquet
+    reader does."""
+    ev, lin, zo = layouts
+    lin_ranges = _file_ranges(lin, ["user_id", "value"])
+    zo_ranges = _file_ranges(zo, ["user_id", "value"])
+    assert len(lin_ranges) == len(zo_ranges) == N_FILES
+
+    for a, b in ((0.1, 0.2), (0.4, 0.5), (0.6, 0.7)):
+        stats = ev.selectExpr(
+            f"percentile(value, {a}) lo", f"percentile(value, {b}) hi"
+        ).first()
+        pred = {"value": (stats.lo, stats.hi)}
+        lin_hit = _files_hit(lin_ranges, pred)
+        zo_hit = _files_hit(zo_ranges, pred)
+        assert lin_hit == N_FILES, "baseline sanity: user_id sort can't prune on value"
+        assert zo_hit <= N_FILES // 2, f"z-order pruned too little: {zo_hit}/{N_FILES}"
+
+
+def test_zorder_still_prunes_primary_dimension(spark, layouts):
+    """Z-order trades per-dimension locality down to ~sqrt of the files for
+    2 dims — a 10% user_id box must still skip at least half the files
+    (measured: 12/32 at every decile position)."""
+    ev, lin, zo = layouts
+    zo_ranges = _file_ranges(zo, ["user_id", "value"])
+    for a, b in ((0.1, 0.2), (0.4, 0.5), (0.6, 0.7)):
+        stats = ev.selectExpr(
+            f"percentile(user_id, {a}) lo", f"percentile(user_id, {b}) hi"
+        ).first()
+        hit = _files_hit(zo_ranges, {"user_id": (stats.lo, stats.hi)})
+        assert hit <= N_FILES // 2, f"z-order lost primary pruning: {hit}/{N_FILES}"
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    ev = load_compute_table(spark, sf_dir, "events")
+    path = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(path)  # the small-files problem
+    assert len(glob.glob(path + "/*.parquet")) == 64
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n = compact_to_target(spark, path, target_bytes=1 << 30)  # everything -> 1 file
+    files = glob.glob(path + "/*.parquet")
+    assert n == 1 and len(files) == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # idempotent: compacting a compacted dir keeps one file and all rows
+    n2 = compact_to_target(spark, path, target_bytes=1 << 30)
+    assert n2 == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
