@@ -249,7 +249,7 @@ def run_until_signal(query) -> None:
 
 
 def correlated_flows_stream(
-    flows_with_time: DataFrame, horizon: str = "1 minute"
+    flows_with_time: DataFrame, horizon: str = "1 minute", join_type: str = "inner"
 ) -> DataFrame:
     """Stream-stream event-time interval join: each flow joined to
     reverse-direction flows (src/dst swapped — the response leg of a
@@ -261,6 +261,14 @@ def correlated_flows_stream(
     its ``event_time + horizon``), so join state is O(traffic in the
     horizon), not O(stream history). Without the range bound a
     stream-stream join would buffer both streams unboundedly.
+
+    ``join_type="left_outer"`` turns it into an unanswered-request detector:
+    a request row whose horizon expires with no matching response emits
+    once, null-padded, WHEN the watermark passes ``event_time + horizon`` —
+    i.e. the null row appears in a later micro-batch than the request, and
+    requests still inside the watermark tail when the stream stops never
+    emit (they are not yet provably unanswered). That timing is the
+    semantic difference from the batch left join, which tests pin.
 
     The same expression tree executes in batch mode for ground-truthing
     (tests compare against the identical join on the static frame).
@@ -277,6 +285,7 @@ def correlated_flows_stream(
                 AND rsp.event_time <= req.event_time + interval {horizon}
                 """
             ),
+            join_type,
         )
         .select(
             F.col("req.src_ip").alias("src_ip"),

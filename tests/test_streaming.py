@@ -295,6 +295,59 @@ def test_stream_stream_interval_join_matches_batch(spark, flow_dir, tmp_path):
     assert pairs == {(0, 30), (30, 70), (70, 90)}
 
 
+def test_stream_stream_left_outer_join_emits_expired_unmatched(
+    spark, flow_dir, tmp_path
+):
+    """LEFT OUTER stream-stream interval join (unanswered-request detector):
+    matched pairs equal the inner join; a request with no response emits a
+    null-padded row once the watermark passes its horizon; requests still
+    inside the watermark tail when the stream ends emit nothing (not yet
+    provably unanswered). Streaming result == batch left join minus exactly
+    those tail rows."""
+    a, b = "10.0.0.1", "10.0.0.2"
+    rows = [
+        _flow(0, src=a, dst=b, start=BASE_MS),           # answered by flow 1
+        _flow(1, src=b, dst=a, start=BASE_MS + 30_000),  # answered by flow 3
+        _flow(2, src=b, dst=a, start=BASE_MS + 90_000),  # never answered
+        _flow(3, src=a, dst=b, start=BASE_MS + 70_000),  # answered by flow 2
+        _flow(4, src="10.0.0.3", dst="10.0.0.4", start=BASE_MS + 5_000),  # never
+    ]
+    flush = [
+        _flow(5, src="10.0.0.5", dst="10.0.0.6", start=BASE_MS + 30 * 60_000),
+        _flow(6, src="10.0.0.7", dst="10.0.0.8", start=BASE_MS + 31 * 60_000),
+    ]
+    _write_lines(flow_dir / "a.json", rows)
+    _write_lines(flow_dir / "b.json", [flush[0]])
+    _write_lines(flow_dir / "c.json", [flush[1]])
+
+    def outer(df):
+        return P.correlated_flows_stream(
+            P.with_event_time(df, watermark="30 seconds"), join_type="left_outer"
+        )
+
+    q = (
+        outer(P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)))
+        .writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("ss_left_outer").collect()}
+
+    want_all = {
+        tuple(r)
+        for r in outer(flows_from_json(spark.read.text(str(flow_dir)))).collect()
+    }
+    flush_times = {BASE_MS + 30 * 60_000, BASE_MS + 31 * 60_000}
+    want = {r for r in want_all if int(r[2].timestamp() * 1000) not in flush_times}
+    assert got == want
+    # the two unanswered in-window requests DID emit null-padded rows
+    unmatched = {(r[0], r[1]) for r in got if r[3] is None}
+    assert unmatched == {(b, a), ("10.0.0.3", "10.0.0.4")}
+
+
 def test_stream_static_enrichment_matches_batch(spark, flow_dir, tmp_path):
     """Stream-static broadcast enrichment: per-batch map-side join against
     a static dimension; streaming result equals the identical batch join,
