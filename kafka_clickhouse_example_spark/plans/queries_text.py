@@ -437,3 +437,56 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_token_commonness",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, {TOKEN_HASH_SQL.replace('md5(t)', 'md5(tok)')} AS h
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+),
+df AS (
+  SELECT h, count(DISTINCT doc_id) AS doc_freq FROM pos GROUP BY h
+)
+SELECT p.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(d.doc_freq) AS BIGINT) AS sum_df,
+       CAST(CAST(sum(d.doc_freq) AS DOUBLE) / count(*) AS DOUBLE) AS avg_df
+FROM pos p JOIN df d ON d.h = p.h
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+""",
+)
+def text_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary commonness: the mean corpus document-
+    frequency of the doc's token occurrences — a cheap fluency/quality
+    proxy (rare-vocabulary-heavy docs score low; boilerplate scores high)
+    used to triage corpus slices before expensive model-based scoring.
+    All-integer until one final division.
+
+    Scale: the doc-frequency relation is vocabulary-sized (countDistinct
+    plans as a two-phase aggregate over distinct (token, doc) pairs); the
+    positions⋈df join shuffles on 60-bit token hashes, never token
+    strings. Hot tokens (stopwords) skew that exchange at corpus scale —
+    AQE skew-join splits them, and the standard refinement is
+    broadcasting the top-K head tokens' frequencies map-side (the same
+    stop-key treatment as jaccard_pairs' max_shingle_freq).
+    """
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", T.token_hash(F.col("tok")).alias("h"))
+    df_rel = pos.groupBy("h").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    return (
+        pos.join(df_rel.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("doc_freq").alias("sum_df"),
+            (F.sum("doc_freq").cast("double") / F.count("*"))
+            .cast("double")
+            .alias("avg_df"),
+        )
+        .orderBy("doc_id")
+    )
