@@ -621,11 +621,15 @@ def simhash_hamming_pairs(
     assert bits % n_blocks == 0, "fingerprint width must split into equal blocks"
     width = bits // n_blocks
     mask = (1 << width) - 1
-    fp = (
-        fingerprints
-        if fingerprints is not None
-        else with_simhash(df, text_col, "sh", bits=bits).select(id_col, "sh")
-    )
+    if fingerprints is not None:
+        fp = fingerprints
+    else:
+        # Materialize the (id, fingerprint) relation — 16 bytes/doc — so the
+        # tokenize + ``bits`` md5-fold subtree runs ONE corpus scan, not once
+        # per join side (the self-join would otherwise duplicate it).
+        fp = materialize(
+            with_simhash(df, text_col, "sh", bits=bits).select(id_col, "sh")
+        )
     blocks = fp.select(
         F.col(id_col),
         F.col("sh"),
