@@ -138,3 +138,46 @@ def with_token_quota(
     return df.withColumn(before_col, cum_before).filter(
         F.col(before_col) < F.lit(budget)
     )
+
+
+TEMPERATURE_BUCKETS = 10000
+
+
+def temperature_sample(
+    df,
+    stratum_col: str,
+    key_col: str,
+    buckets: int = TEMPERATURE_BUCKETS,
+):
+    """Temperature-balanced (τ=2) stratum sampling — the standard
+    multilingual-corpus rebalancing rule (sample source s with probability
+    ∝ p_s^(1/τ)), realized with NO floating randomness: expected kept mass
+    per stratum ∝ sqrt(count_s), implemented as keep-if
+    hash_bucket(key) < rate_s with
+
+        rate_s = (buckets · isqrt(count_min)) div isqrt(count_s)
+
+    so the smallest stratum keeps everything and a stratum k× larger keeps
+    ~1/sqrt(k) of its rows. isqrt = floor∘sqrt on BIGINT-exact doubles —
+    IEEE sqrt is correctly rounded, so both engines floor the same value;
+    the rate division is integer `div`. Deterministic under appends per
+    stratum composition (a row's bucket never changes; rates move only
+    when counts do).
+
+    Scale: the rate table is |strata|-sized and broadcast; the filter is
+    map-side over the scan — no shuffle of the corpus.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    rates = (
+        counts.crossJoin(F.broadcast(mn))
+        .withColumn("_isq_n", F.floor(F.sqrt(F.col("_n").cast("double"))).cast("long"))
+        .withColumn(
+            "_isq_mn", F.floor(F.sqrt(F.col("_mn").cast("double"))).cast("long")
+        )
+        .withColumn("_rate", F.expr(f"(cast({buckets} as bigint) * _isq_mn) div _isq_n"))
+        .select(stratum_col, "_n", "_rate")
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        hash_bucket(F.col(key_col), buckets) < F.col("_rate")
+    )

@@ -331,6 +331,49 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {PAIRS_CTE_SQL},
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS size FROM labels GROUP BY cluster_id
+)
+SELECT size, count(*) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY size ORDER BY size
+""",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup REPORT a pipeline
+    operator actually reads (how much boilerplate mass, how big the worst
+    clusters): sizes of the connected components, histogrammed. Derived
+    from the memoized cluster labels; two tiny aggregates past them.
+    """
+    configure_runtime(spark)
+    sizes = (
+        _clusters_cached(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.col("size") * F.count("*")).cast("long").alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
 _DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "

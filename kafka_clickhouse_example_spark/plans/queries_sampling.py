@@ -257,3 +257,48 @@ def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+_BUCKET_T = (
+    f"(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    f" % {SP.TEMPERATURE_BUCKETS})"
+)
+
+
+@register(
+    "sample_documents_temperature",
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (
+  SELECT lang, n,
+         ({SP.TEMPERATURE_BUCKETS} * CAST(floor(sqrt(CAST(mn AS DOUBLE))) AS BIGINT))
+           // CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS keep_rate
+  FROM c CROSS JOIN m
+)
+SELECT d.lang, r.n AS n_docs, r.keep_rate, count(*) AS n_kept
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE {_BUCKET_T} < r.keep_rate
+GROUP BY 1, 2, 3
+ORDER BY d.lang
+""",
+)
+def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=2 temperature rebalancing report per LANGUAGE (the skewed
+    stratum: en is ~3x fr at sf0.01): original count, the derived integer
+    keep rate (∝ 1/sqrt of the language's share), and the docs actually
+    kept by the deterministic hash-bucket rule. The smallest language
+    keeps all rows; a 4x-larger one keeps ~half. All integer math
+    (isqrt + integer div) — no RNG, no libm divergence."""
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.temperature_sample(docs, "lang", "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.first("_n").alias("n_docs"),
+            F.first("_rate").alias("keep_rate"),
+            F.count("*").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
