@@ -490,3 +490,96 @@ def text_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+Q30 = 1073741824  # 2^30 fixed-point scale (power of two: no product rounding)
+
+
+@register(
+    "text_bigram_transition_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(pr[1]), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(pr[2]), 1, 15))::BIGINT AS h12
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                       i -> [toks[i], toks[i] || ' ' || toks[i+1]])
+                  ELSE [] END) AS pr
+    FROM t
+  )
+),
+f AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY h12) AS c2,
+         count(*) OVER (PARTITION BY h1) AS c1
+  FROM pos
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum((c2 * {Q30}) // c1) AS BIGINT) AS sum_q30,
+       CAST(CAST(sum((c2 * {Q30}) // c1) AS DOUBLE)
+            / (count(*) * {Q30}.0) AS DOUBLE) AS avg_transition
+FROM f GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_bigram_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram transition probability — a KenLM-style
+    fluency score without the log: for each adjacent token pair, the
+    corpus-level P(t2 | t1) = count(t1 t2) / count(t1·), averaged over the
+    doc. Docs whose transitions are common corpus-wide score high;
+    word-salad scores low. Each term is Q30 FIXED POINT ((c2 << 30) div c1
+    — exact integers, order-independent sum) with ONE double division at
+    the end, so cross-engine results are bit-identical despite being a
+    probability average.
+
+    Scale: no n-gram LM table is materialized — both counts are window
+    aggregates over the positions relation (two hash exchanges: (h1,h12)
+    then h1), and the Q30 numerators stay < 2^63 until c2 > 8.5e9
+    occurrences of one bigram (switch sum to DECIMAL(38,0) past that).
+    Stopword-prefix skew on the h1 exchange is the known hazard — AQE
+    splits it (same note as text_token_commonness).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    pairs = toks.withColumn(
+        "prs",
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    T.token_hash(F.element_at("toks", i)).alias("h1"),
+                    T.token_hash(
+                        F.concat_ws(
+                            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                        )
+                    ).alias("h12"),
+                ),
+            ),
+        ).otherwise(F.array()),
+    ).select("doc_id", F.explode("prs").alias("pr")).select(
+        "doc_id", F.col("pr.h1").alias("h1"), F.col("pr.h12").alias("h12")
+    )
+    f = pairs.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("h12")).alias("c2"),
+        F.count("*").over(Window.partitionBy("h1")).alias("c1"),
+    )
+    return (
+        f.withColumn("q30", F.expr(f"(c2 * cast({Q30} as bigint)) div c1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("q30").alias("sum_q30"),
+            (F.sum("q30").cast("double") / (F.count("*") * F.lit(float(Q30))))
+            .cast("double")
+            .alias("avg_transition"),
+        )
+        .orderBy("doc_id")
+    )

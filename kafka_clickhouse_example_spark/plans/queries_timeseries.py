@@ -293,3 +293,77 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@register(
+    "events_intraday_value_bands",
+    oracle="""
+WITH c AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+g AS (SELECT hh, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+w AS (
+  SELECT hh, cents, cnt,
+         sum(cnt) OVER (PARTITION BY hh ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY hh) AS n
+  FROM g
+)
+SELECT hh, CAST(max(n) AS BIGINT) AS n_events,
+       max(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                THEN cents END) AS p50_cents,
+       max(CASE WHEN cum - cnt < (19 * n + 19) // 20 AND (19 * n + 19) // 20 <= cum
+                THEN cents END) AS p95_cents,
+       max(CASE WHEN cum - cnt < (99 * n + 99) // 100 AND (99 * n + 99) // 100 <= cum
+                THEN cents END) AS p99_cents
+FROM w GROUP BY hh ORDER BY hh
+""",
+)
+def events_intraday_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday value profile: EXACT p50/p95/p99 per hour-of-day, computed
+    the way exact grouped percentiles survive 100 TB — never sorting rows
+    within a group. Rows collapse to (hour, cents) frequency counts first
+    (the exchange carries distinct values, ~50k cents cells per group max,
+    regardless of row count); a cumulative sum over each group's VALUE
+    histogram then finds the order statistic by crossing (cum−cnt < k ≤
+    cum with k = ceil(q·n) as integer arithmetic). Compare ranking.py's
+    range-exchange ntile: same philosophy, histogram instead of sort.
+    Cents go through DECIMAL(10,2) so 6.55 → 655 exactly (the
+    events_value_outliers convention)."""
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    c = events.select(
+        F.hour("ts").cast("long").alias("hh"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("long").alias("cents"),
+    )
+    g = c.groupBy("hh", "cents").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("hh").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("hh")
+    w = g.select(
+        "hh",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def pick(knum: str) -> F.Column:
+        k = F.expr(knum)
+        return F.max(
+            F.when((F.col("cum") - F.col("cnt") < k) & (k <= F.col("cum")), F.col("cents"))
+        )
+
+    return (
+        w.groupBy("hh")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            pick("(n + 1) div 2").alias("p50_cents"),
+            pick("(19 * n + 19) div 20").alias("p95_cents"),
+            pick("(99 * n + 99) div 100").alias("p99_cents"),
+        )
+        .orderBy("hh")
+    )
