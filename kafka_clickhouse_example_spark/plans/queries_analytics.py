@@ -1605,3 +1605,48 @@ def orders_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                                AS n_events,
+       min(CAST(props->>'$.k' AS BIGINT))                      AS vmin_k,
+       max(CAST(props->>'$.k' AS BIGINT))                      AS vmax_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)      AS vsum_k,
+       CAST(count(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) IS NULL)
+            AS BIGINT)                                         AS vn_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4's VARIANT type — the
+    schema-LESS twin of events_props_extract: ``parse_json`` ingests the
+    whole document into a binary variant (no declared schema, unknown keys
+    preserved), ``try_variant_get`` does typed path access at query time.
+    Same aggregate, same oracle — certifying that the variant path and the
+    schema-on-read path agree.
+
+    At scale variant beats re-parsing JSON strings per query: the binary
+    encoding is parsed once at ingest (or shredded into parquet), and path
+    access is a field lookup, not a string scan. try_variant_get (not
+    variant_get) so a missing key degrades to NULL like from_json does.
+    """
+    t = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("vmin_k"),
+            F.max("k").alias("vmax_k"),
+            F.sum("k").alias("vsum_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("vn_missing"),
+        )
+        .orderBy("event_type")
+    )
