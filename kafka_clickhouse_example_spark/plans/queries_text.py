@@ -583,3 +583,39 @@ def text_bigram_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_feature_matrix",
+    oracle=f"""
+SELECT doc_id,
+       len({TOKENS_SQL})                                        AS n_tokens,
+       length(text)                                             AS n_chars,
+       {ALPHA_RATIO_SQL}                                        AS alpha_ratio,
+       {STOPWORD_RATIO_SQL}                                     AS stopword_ratio,
+       {QUALITY_SCORE_SQL}                                      AS quality_score,
+       ({_lang_case_sql()})                                     AS predicted_lang,
+       {FINGERPRINT_SQL}                                        AS rolling_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled per-document feature matrix a quality-classifier
+    training job consumes: every cheap map-side signal (token/char counts,
+    alpha and stopword ratios, composite quality, predicted language,
+    order-sensitive fingerprint) in ONE scan with zero shuffles — the
+    composition proof that the signal operators share a single pass
+    rather than each re-reading the corpus."""
+    docs = T.with_lang_id(T.with_quality_metrics(_docs(spark, sf_dir)))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        "alpha_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "predicted_lang",
+        T.doc_fingerprint(t).alias("rolling_fp"),
+    ).orderBy("doc_id")

@@ -643,11 +643,15 @@ def test_transform_with_state_totals_match_batch(spark, flow_dir, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        # update mode: keep the LAST emission per key
+        # update mode: the FINAL state per key is the emission with the
+        # largest n_flows (totals only grow) — robust to collect() not
+        # preserving batch append order (ADVICE r2).
         rows = spark.table("tws_totals").collect()
         last = {}
         for r in rows:
-            last[(r.src_ip, r.dst_ip)] = (r.n_flows, r.sum_bytes, r.sum_packets)
+            key = (r.src_ip, r.dst_ip)
+            if key not in last or r.n_flows > last[key][0]:
+                last[key] = (r.n_flows, r.sum_bytes, r.sum_packets)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
