@@ -217,6 +217,34 @@ def _session_fn(
     )
 
 
+def session_traffic(flows_with_time: DataFrame, gap: str = "30 seconds") -> DataFrame:
+    """Native dynamic-gap sessionization (``session_window``): per-source
+    sessions that close after ``gap`` of inactivity, with per-session flow/
+    byte totals. The engine merges overlapping session state across
+    micro-batches; with a watermark + append mode a session finalizes (and
+    its state drops) once the watermark passes session_end + gap — bounded
+    state, same policy as the tumbling rollup. The identical expression
+    runs in batch for ground truth (user_session_windows certifies the
+    batch semantics against a gaps-and-islands oracle; the streaming test
+    certifies streaming ≡ batch)."""
+    return (
+        flows_with_time.groupBy(
+            F.session_window("event_time", gap).alias("sw"), "src_ip"
+        )
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("sum_bytes"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "src_ip",
+            "n_flows",
+            "sum_bytes",
+        )
+    )
+
+
 def conversation_sessions(flows_with_time: DataFrame) -> DataFrame:
     """Custom stateful operator: per-(src_ip, dst_ip) conversation rollup
     with 60s event-time session close — ``applyInPandasWithState``, the

@@ -155,6 +155,59 @@ def test_windowed_traffic_append_with_watermark(spark, flow_dir, tmp_path):
     assert ("2023-11-14T22:14:00", 50, 1, 1) in got
 
 
+def test_session_window_streaming_matches_batch(spark, flow_dir, tmp_path):
+    """Native session_window in STREAMING mode: sessions merge across
+    micro-batches, close after the 30 s gap, and the finalized append-mode
+    output equals the identical batch expression (minus sessions still
+    open inside the watermark tail)."""
+    a, b = "10.0.0.1", "10.0.0.9"
+    rows1 = [
+        _flow(0, src=a, bytes_=100),                          # session A1
+        _flow(1, src=b, start=BASE_MS + 5_000, bytes_=10),    # session B1
+        _flow(2, src=a, start=BASE_MS + 10_000, bytes_=50),   # merges into A1
+    ]
+    rows2 = [
+        _flow(3, src=a, start=BASE_MS + 20_000, bytes_=7),    # extends A1 again
+        _flow(4, src=a, start=BASE_MS + 120_000, bytes_=1),   # new session A2
+    ]
+    sentinel = [_flow(5, src="10.9.9.9", start=BASE_MS + 30 * 60_000)]
+    _write_lines(flow_dir / "a.json", rows1)
+    _write_lines(flow_dir / "b.json", rows2)
+
+    def sessions(df):
+        return P.session_traffic(P.with_event_time(df))
+
+    q = (
+        sessions(P.normalized_stream(read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)))
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_lines(flow_dir / "c.json", sentinel)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.table("sess_stream").collect()}
+    batch = {
+        tuple(r)
+        for r in sessions(flows_from_json(spark.read.text(str(flow_dir)))).collect()
+    }
+    # the sentinel's own session is still open when the stream stops
+    sentinel_sessions = {r for r in batch if r[2] == "10.9.9.9"}
+    assert got == batch - sentinel_sessions
+    by_key = {(r[2], r[0].isoformat()): (r[3], r[4]) for r in got}
+    # A1 merged three flows across two micro-batches: 100+50+7 bytes
+    assert by_key[(a, "2023-11-14T22:13:20")] == (3, 157)
+    # A2 opened 120 s later as its own session
+    assert by_key[(a, "2023-11-14T22:15:20")] == (1, 1)
+    assert by_key[(b, "2023-11-14T22:13:25")] == (1, 10)
+
+
 def test_streaming_dedup_within_watermark(spark, flow_dir, tmp_path):
     """Redelivered duplicates (T1's failure mode) are dropped by
     dropDuplicatesWithinWatermark on the flow identity key."""
