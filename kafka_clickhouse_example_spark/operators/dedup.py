@@ -673,6 +673,8 @@ def incremental_minhash_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_shingles: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: near-dup pairs between a NEW batch and the
     EXISTING corpus, without re-deduping the corpus against itself.
@@ -695,12 +697,25 @@ def incremental_minhash_pairs(
     no < ordering is needed. Same signatures/bands/threshold as
     `minhash_lsh_pairs`, so batch-mode and incremental-mode agree on what a
     duplicate is.
+
+    ``new_shingles``/``corpus_shingles`` accept precomputed (doc_id, sh)
+    relations — the production shape, where the accumulated corpus's
+    shingles were materialized at ingest and each batch reads them instead
+    of re-tokenizing the whole corpus per run.
     """
     # The new batch is small by contract; materialize its shingles once —
     # three consumers (banding, candidate broadcast, verify broadcast)
     # would otherwise each recompute the Arrow shingle/minhash kernels.
-    new_sh = with_shingles(new_df, text_col, id_col).localCheckpoint(eager=True)
-    corp_sh = with_shingles(corpus_df, text_col, id_col)
+    new_sh = (
+        new_shingles
+        if new_shingles is not None
+        else with_shingles(new_df, text_col, id_col)
+    ).localCheckpoint(eager=True)
+    corp_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else with_shingles(corpus_df, text_col, id_col)
+    )
     new_banded = (
         with_minhash_signature(new_sh)
         .withColumn("bk", F.explode(band_keys(F.col("mh"))))

