@@ -1,0 +1,94 @@
+"""End-to-end training-corpus preparation: the composed job a user of this
+engine actually runs, wiring the operator library into one pipeline:
+
+    load documents
+      -> quality gate        (text.with_quality_metrics, map-side)
+      -> exact dedup         (content-hash canonical, keeps min doc_id)
+      -> near-dup dedup      (Jaccard pairs -> connected components ->
+                              keep the highest-quality member per cluster)
+      -> decontamination     (drop docs sharing n-grams with the eval set)
+      -> split assignment    (deterministic hash 80/10/10)
+      -> partitioned write   (parquet partitioned by split, lang)
+
+Every stage is the certified operator from the registry — this module adds
+only the composition and a per-stage accounting report. Scale notes live
+with each operator; the composition itself adds no new shuffle beyond the
+operators' own (the gates are map-side filters; the near-dup drop list and
+contamination report are broadcast anti-joins, KB-to-MB-scale by
+construction at any corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import dedup as D
+from kafka_clickhouse_example_spark.operators import text as T
+from kafka_clickhouse_example_spark.operators.decontam import contamination_hits
+from kafka_clickhouse_example_spark.operators.sampling import with_split
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    eval_df: DataFrame | None = None,
+    quality_floor: float = 0.35,
+    jaccard_threshold: float = 0.3,
+) -> dict[str, int]:
+    """Run the full preparation pipeline; write the training corpus to
+    ``out_dir`` partitioned by (split, lang); return per-stage counts.
+
+    Dedup keep-rules: exact duplicates keep the minimum doc_id; near-dup
+    clusters keep the highest-quality member (doc_id tiebreak) — the same
+    decisions the certified dedup_exact_groups / dedup_canonical_selection
+    queries make, so the pipeline's behavior is oracle-anchored.
+    """
+    stats: dict[str, int] = {"input": docs.count()}
+
+    # 1. quality gate — map-side filter, no shuffle
+    scored = T.with_quality_metrics(docs)
+    kept_q = scored.filter(F.col("quality_score") >= quality_floor)
+    stats["after_quality"] = kept_q.count()
+
+    # 2. exact dedup — keep the canonical (min id) copy of each text
+    canon = D.exact_duplicate_groups(kept_q).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept_e = kept_q.join(canon, "doc_id", "left_semi")
+    stats["after_exact_dedup"] = kept_e.count()
+
+    # 3. near-dup dedup — pair graph -> components -> best-quality survivor
+    pairs = D.jaccard_pairs(kept_e, jaccard_threshold).select("id1", "id2")
+    clusters = D.duplicate_clusters(pairs)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    losers = (
+        clusters.join(
+            kept_e.select("doc_id", "quality_score"), "doc_id"
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    kept_n = kept_e.join(F.broadcast(losers), "doc_id", "left_anti")
+    stats["after_neardup"] = kept_n.count()
+
+    # 4. decontamination — drop anything sharing an n-gram with eval
+    if eval_df is not None:
+        hits = contamination_hits(kept_n, eval_df).select("doc_id")
+        kept_c = kept_n.join(F.broadcast(hits), "doc_id", "left_anti")
+    else:
+        kept_c = kept_n
+    stats["after_decontam"] = kept_c.count()
+
+    # 5. split + partitioned write
+    final = with_split(kept_c, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars", "split"
+    )
+    final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
+    stats["written"] = spark.read.parquet(out_dir).count()
+    return stats

@@ -1,0 +1,69 @@
+"""End-to-end corpus-preparation pipeline: stage accounting is monotonic,
+the output really is exact- and near-dup free at the pipeline's own
+thresholds, decontamination removes the planted contamination, splits are
+disjoint/exhaustive, and the layout is partitioned by (split, lang)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import dedup as D
+from kafka_clickhouse_example_spark.pipelines.corpus_prep import prepare_corpus
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+JACCARD = 0.3
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("prep") / "corpus")
+    base = load_compute_table(spark, sf_dir, "documents")
+    # the synthetic corpus plants NEAR-dups but no byte-identical copies;
+    # add exact copies under fresh ids so the exact-dedup stage has work
+    copies = base.filter(F.col("doc_id") % 101 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs = base.unionByName(copies)
+    # plant an eval set that overlaps real docs so decontamination must act
+    eval_df = base.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    stats = prepare_corpus(spark, docs, out, eval_df=eval_df)
+    return base, out, stats
+
+
+def test_stage_accounting_monotonic(prepared):
+    docs, out, stats = prepared
+    order = ["input", "after_quality", "after_exact_dedup", "after_neardup",
+             "after_decontam", "written"]
+    vals = [stats[k] for k in order]
+    assert vals[0] > 0 and all(a >= b for a, b in zip(vals, vals[1:])), stats
+    assert stats["written"] == stats["after_decontam"]
+    # every dedup/decontam stage did real work: the fixture plants exact
+    # copies, the corpus plants near-dups, the eval set overlaps by
+    # construction
+    assert stats["after_exact_dedup"] < stats["after_quality"]
+    assert stats["after_neardup"] < stats["after_exact_dedup"]
+    assert stats["after_decontam"] < stats["after_neardup"]
+
+
+def test_output_is_dedup_clean(spark, prepared):
+    docs, out, stats = prepared
+    final = spark.read.parquet(out)
+    n = final.count()
+    assert final.select(F.md5(F.col("text").cast("binary"))).distinct().count() == n
+    assert D.jaccard_pairs(final, JACCARD).count() == 0
+
+
+def test_output_is_decontaminated_and_split(spark, prepared):
+    docs, out, stats = prepared
+    final = spark.read.parquet(out)
+    eval_ids = {r.doc_id for r in docs.filter(F.col("doc_id") % 97 == 3).collect()}
+    # eval docs themselves (exact n-gram sharers) must be gone
+    assert final.filter(F.col("doc_id").isin(list(eval_ids))).count() == 0
+    splits = {r.split for r in final.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # hive layout: partition dirs by split then lang
+    assert glob.glob(out + "/split=train/lang=*/*.parquet")
