@@ -132,3 +132,38 @@ def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("thumb_md5"),
         F.substring(F.hex(F.col("payload")), 1, 32).alias("thumb_hex_prefix"),
     ).orderBy("media_id")
+
+
+@register(
+    "mm_audio_window_energy",
+    oracle=f"""
+WITH audio AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 2 AS n_samp
+  FROM documents WHERE doc_id % 3 = 1
+),
+samp AS (
+  SELECT media_id, (i - 1) // {M.AUDIO_WINDOW_SAMPLES} AS win_no,
+         (('0x' || substring(hx, 4*i - 3, 2))::BIGINT
+          + 256 * ('0x' || substring(hx, 4*i - 1, 2))::BIGINT
+          - CASE WHEN ('0x' || substring(hx, 4*i - 1, 2))::BIGINT >= 128
+                 THEN 65536 ELSE 0 END) AS s
+  FROM audio, unnest(range(1, n_samp + 1)) AS t(i)
+)
+SELECT media_id, CAST(win_no AS BIGINT) AS win_no,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq
+FROM samp GROUP BY 1, 2 ORDER BY media_id, win_no
+""",
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact s16le PCM window energy per audio payload — real signal math
+    (numpy square-sums over 16-sample frames), certified against a DuckDB
+    oracle that re-derives every sample from the payload's hex bytes
+    (little-endian sign reconstruction included). Proves the binary column
+    round-trips bit-exactly through the Arrow boundary, not just that
+    metadata matches."""
+    return (
+        M.audio_window_energy(_media(spark, sf_dir))
+        .orderBy("media_id", "win_no")
+    )
