@@ -115,3 +115,54 @@ def test_chunking_covers_and_slices_exactly(spark, texts):
             c[CHUNK - STRIDE :] for _, c in chunks[1:]
         )
         assert reconstructed == t
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.lists(st.integers(min_value=0, max_value=31), min_size=0, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_simhash_block_scheme_is_pigeonhole_complete(fp, flip_bits):
+    """Manku block candidacy is LOSSLESS inside the radius: flip <= k bits
+    of any 32-bit fingerprint and at least one of the k+1 8-bit blocks is
+    untouched (the equi-join therefore finds every in-radius pair). Pure
+    arithmetic mirror of operators/dedup.simhash_hamming_pairs."""
+    from kafka_clickhouse_example_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_PAIR_BITS,
+    )
+
+    other = fp
+    for b in set(flip_bits):  # distinct positions => hamming = len(set)
+        other ^= 1 << b
+    n_blocks = SIMHASH_MAX_HAMMING + 1
+    width = SIMHASH_PAIR_BITS // n_blocks
+    mask = (1 << width) - 1
+    shared = any(
+        (fp >> (i * width)) & mask == (other >> (i * width)) & mask
+        for i in range(n_blocks)
+    )
+    assert shared, (fp, other)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10**7), min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_temperature_rates_monotone_and_bounded(counts):
+    """The tau=2 keep-rate rule: the smallest stratum keeps everything
+    (rate == buckets), larger strata get smaller rates, and expected kept
+    mass n*rate/buckets is non-decreasing in n (bigger strata never end up
+    smaller than smaller strata after sampling). Pure mirror of
+    operators/sampling.temperature_sample's integer arithmetic."""
+    import math
+
+    from kafka_clickhouse_example_spark.operators.sampling import TEMPERATURE_BUCKETS
+
+    mn = min(counts)
+    rates = {
+        n: (TEMPERATURE_BUCKETS * math.isqrt(mn)) // math.isqrt(n) for n in counts
+    }
+    assert rates[mn] == TEMPERATURE_BUCKETS
+    ordered = sorted(rates)
+    for a, b in zip(ordered, ordered[1:]):
+        assert rates[a] >= rates[b]           # bigger stratum, smaller rate
+        assert a * rates[a] <= b * rates[b] * 1.0 + b  # kept mass non-decreasing (+1 doc slack for floor)
