@@ -1650,3 +1650,35 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("events_daily_users_sketch_merge")  # rows-only: sketch binaries are engine-specific
+def events_daily_users_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch certification — the property that makes sketches
+    the 100 TB answer to COUNT(DISTINCT): per-day Datasketches-HLL user
+    sketches are built independently (one pass, fixed memory per day/
+    partition), then hll_union_agg merges the day sketches and the merged
+    estimate is compared with a direct whole-relation sketch. HLL union is
+    register-wise max, so merged == direct EXACTLY at equal lgK — pinned
+    by tests/test_pipeline_ops.py along with a 5%-of-exact accuracy bound.
+    This is the matview/rollup story for distincts: store day sketches,
+    answer any date-range distinct query by merging, never rescan."""
+    events = _t(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_components"),
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est")
+    )
+    return (
+        merged.crossJoin(direct)  # two 1-row frames
+        .select(
+            F.col("est").cast("long").alias("merged_estimate"),
+            F.col("direct_est").cast("long").alias("direct_estimate"),
+            "n_components",
+        )
+    )

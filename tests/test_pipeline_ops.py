@@ -209,3 +209,25 @@ def test_backfill_overwrites_only_incoming_partitions(spark, tmp_path):
     overwrite_partitions(fix, path, ["day"])
     again = {(str(r.day), r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_hll_sketch_merge_is_lossless_and_accurate(spark, sf_correctness_dir):
+    """Union of per-day HLL sketches must estimate EXACTLY what the direct
+    whole-relation sketch estimates (register-wise max merge), and both
+    must sit within 5% of the exact distinct count."""
+    from kafka_clickhouse_example_spark.registry import all_queries
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+    from pyspark.sql import functions as F
+
+    row = all_queries()["events_daily_users_sketch_merge"](
+        spark, sf_correctness_dir
+    ).first()
+    assert row.merged_estimate == row.direct_estimate
+    assert row.n_components > 1  # the merge actually merged something
+    exact = (
+        load_compute_table(spark, sf_correctness_dir, "events")
+        .select(F.countDistinct("user_id").alias("n"))
+        .first()
+        .n
+    )
+    assert abs(row.merged_estimate - exact) <= 0.05 * exact
