@@ -1682,3 +1682,59 @@ def events_daily_users_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFra
             "n_components",
         )
     )
+
+
+@register(
+    "events_segment_overlap_sketch",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND value >= 150),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 150)
+SELECT (SELECT count(*) FROM a) AS seg_a_users,
+       (SELECT count(*) FROM b) AS seg_b_users,
+       (SELECT count(*) FROM a JOIN b USING(user_id)) AS both_users,
+       (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+         AS either_users,
+       (SELECT count(*) FROM a ANTI JOIN b USING(user_id)) AS only_a_users
+""",
+)
+def events_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via Datasketches THETA set algebra: distinct users
+    per behavioral segment as theta sketches, then intersection / union /
+    difference ESTIMATED from the sketches — the only set-operation
+    strategy that scales (exact overlap needs a distinct-user shuffle per
+    segment pair; sketches are built once per segment and composed in
+    driver-side microseconds for any boolean combination).
+
+    Certified with a full oracle, not rows-only: below the sketch's
+    nominal entries (default 2^12 = 4096) theta runs in exact mode —
+    every hash is retained, so estimates ARE the exact counts; the
+    certified regime covers both gate (150 users) and sweep (1.5k) scales.
+    Past ~4k distinct the same plan degrades gracefully to ~2% relative
+    error (documented, and the 5%-bounded HLL test pattern applies).
+    """
+    events = _t(spark, sf_dir, "events")["events"]
+
+    def seg(etype: str):
+        return events.filter(
+            (F.col("event_type") == etype) & (F.col("value") >= 150)
+        ).agg(F.theta_sketch_agg("user_id").alias(f"sk_{etype}"))
+
+    return (
+        seg("click")
+        .crossJoin(seg("purchase"))  # two 1-row sketch frames
+        .select(
+            F.theta_sketch_estimate("sk_click").cast("long").alias("seg_a_users"),
+            F.theta_sketch_estimate("sk_purchase").cast("long").alias("seg_b_users"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_click", "sk_purchase")
+            ).cast("long").alias("both_users"),
+            F.theta_sketch_estimate(F.theta_union("sk_click", "sk_purchase"))
+            .cast("long")
+            .alias("either_users"),
+            F.theta_sketch_estimate(
+                F.theta_difference("sk_click", "sk_purchase")
+            ).cast("long").alias("only_a_users"),
+        )
+    )
