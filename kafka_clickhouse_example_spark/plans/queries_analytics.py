@@ -1738,3 +1738,34 @@ def events_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("long").alias("only_a_users"),
         )
     )
+
+
+@register("events_value_quantiles_kll")  # rows-only: KLL sketch binaries engine-specific
+def events_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via Datasketches KLL: per-day value sketches
+    merged into one, quantiles read from the merged sketch — the
+    percentile matview pattern (store day sketches, answer any range's
+    p50/p95/p99 by merging; the exact path is events_intraday_value_bands'
+    histogram crossing). KLL merge is deterministic but lossy within a
+    proven rank-error bound; tests/test_pipeline_ops.py pins the merged
+    p50/p95 within KLL's k=200 normalized rank error (~1.65%) of the
+    exact order statistics."""
+    events = _t(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar (no merge aggregate in
+    # this release): fold the O(#days) collected sketch list — sorted, so
+    # the merge order (and thus the sketch) is deterministic run-over-run.
+    merged = daily.agg(F.sort_array(F.collect_list("sk")).alias("sks")).select(
+        F.expr(
+            "reduce(slice(sks, 2, size(sks) - 1), sks[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("msk")
+    )
+    return merged.select(
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_n_double("msk").alias("n_values"),
+    )

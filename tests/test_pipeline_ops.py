@@ -231,3 +231,21 @@ def test_hll_sketch_merge_is_lossless_and_accurate(spark, sf_correctness_dir):
         .n
     )
     assert abs(row.merged_estimate - exact) <= 0.05 * exact
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, sf_correctness_dir):
+    """Per-day KLL sketches merged must report p50/p95 whose true RANK sits
+    within the k=200 sketch's normalized rank error (~1.65%, doubled for
+    the merge) of the requested rank, and n must be exact."""
+    from kafka_clickhouse_example_spark.registry import all_queries
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+    from pyspark.sql import functions as F
+
+    row = all_queries()["events_value_quantiles_kll"](spark, sf_correctness_dir).first()
+    ev = load_compute_table(spark, sf_correctness_dir, "events")
+    n = ev.count()
+    assert row.n_values == n
+    eps = 2 * 0.0165  # merged-sketch slack on the single-sketch bound
+    for q, est in ((0.5, row.p50), (0.95, row.p95)):
+        rank = ev.filter(F.col("value") <= est).count() / n
+        assert abs(rank - q) <= eps, (q, est, rank)
