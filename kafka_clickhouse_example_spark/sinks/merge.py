@@ -86,3 +86,52 @@ def merge_into_partitioned(
         .parquet(path)
     )
     return len(touched)
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    checkpoint: str,
+    version_col: str | None = None,
+):
+    """Streaming CDC upsert sink: each micro-batch MERGEs into the
+    partitioned parquet table via :func:`merge_into_partitioned`.
+
+    Delivery semantics: the checkpoint gives at-least-once batch delivery,
+    and latest-version-wins merging makes a REPLAYED batch a content
+    no-op — so with a ``version_col`` (any monotone CDC sequence) the
+    table state is effectively exactly-once: replays cannot double-apply
+    (upserts are idempotent) and stale records cannot clobber newer ones
+    (version-wins). That is strictly stronger than the append sink's
+    at-least-once, and it is the standard lakehouse CDC landing pattern.
+
+    Cost per batch: O(touched partitions + batch), same as the batch
+    MERGE; untouched partitions are never read or rewritten.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from kafka_clickhouse_example_spark.sinks.backfill import _table_exists
+
+        if not _table_exists(spark, path):
+            if batch_df.isEmpty():
+                return
+            # bootstrap: the first batch may itself carry several versions
+            # of a key — collapse to latest before the initial write
+            first = apply_upserts(
+                batch_df.filter(F.lit(False)), batch_df, keys, version_col=version_col
+            )
+            first.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+            return
+        merge_into_partitioned(
+            spark, path, batch_df, keys, partition_col, version_col=version_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
