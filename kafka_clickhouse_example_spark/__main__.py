@@ -3,6 +3,7 @@
     python -m kafka_clickhouse_example_spark <query> [--sf-dir DIR]
         [--limit N] [--explain]
     python -m kafka_clickhouse_example_spark --list
+    python -m kafka_clickhouse_example_spark --prepare-corpus OUT_DIR [--sf-dir DIR]
 
 Prints result rows as JSON lines on stdout (timestamps ISO-8601), so the
 output composes with jq/duckdb the way the reference's clickhouse-client
@@ -27,7 +28,26 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--explain", action="store_true")
     ap.add_argument("--list", action="store_true", dest="list_queries")
+    ap.add_argument(
+        "--prepare-corpus",
+        metavar="OUT_DIR",
+        help="run the end-to-end corpus-preparation pipeline, write the "
+        "prepared corpus to OUT_DIR, print per-stage counts as JSON",
+    )
     args = ap.parse_args(argv)
+
+    if args.prepare_corpus:
+        import json
+
+        from kafka_clickhouse_example_spark.pipelines.corpus_prep import prepare_corpus
+        from kafka_clickhouse_example_spark.session import configure_runtime
+        from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+        spark = configure_runtime(get_spark())
+        docs = load_compute_table(spark, args.sf_dir, "documents")
+        stats = prepare_corpus(spark, docs, args.prepare_corpus)
+        print(json.dumps(stats), file=out)
+        return 0
 
     queries = all_queries()
     if args.list_queries or not args.query:
