@@ -79,6 +79,12 @@ def zorder_by(
     bucketing (rather than min/max linear scaling) keeps buckets equal-
     weight under skew, which is what makes every file's min/max span
     ~1/2^(bits/ndims) of each dimension's mass.
+
+    Columns must be numeric/temporal (approxQuantile's domain): min/max
+    pruning over strings needs order-preserving bucketing that a sample
+    sort would provide — cast dates/timestamps to epoch numbers before
+    clustering; hashing strings would destroy the locality that makes
+    Z-order work.
     """
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
