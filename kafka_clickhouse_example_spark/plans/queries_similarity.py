@@ -254,6 +254,37 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_pq(emb, queries_pdf, TOP_K, books).orderBy("qid", "rank")
 
 
+_IVFPQ_CACHE: dict[tuple[str, str], object] = {}
+
+
+@register("sim_topk_ivfpq")  # rows-only: two k-means trainings are not SQL
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 (the full FAISS IVFADC composition): coarse cells
+    prune the scan to nprobe cells; residual PQ codes ADC-score candidates
+    within probed cells; the global approx shortlist is exactly rescored
+    with the fold kernel. The 10^9-vector shape: stored state per vector
+    is one cell id + M code bytes, not the floats.
+    tests/test_similarity.py pins absolute recall >= 0.5 vs exact (measured 0.76 at sf0.01)."""
+    emb = _emb(spark, sf_dir)
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    trained = _IVFPQ_CACHE.get(key)
+    if trained is None:
+        cent = _IVF_CACHE.get(key)
+        if cent is None:
+            cent = S.train_ivf_centroids(emb)
+            _IVF_CACHE[key] = cent
+        books = S.train_pq_codebooks_residual(emb, cent)
+        trained = (cent, books)
+        _IVFPQ_CACHE[key] = trained
+    cent, books = trained
+    return S.topk_ivfpq(emb, queries_pdf, TOP_K, cent, books).orderBy("qid", "rank")
+
+
 @register("sim_topk_pandas")  # rows-only: BLAS summation order != fold kernel
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force top-k — the throughput kernel (10-100x the

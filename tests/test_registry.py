@@ -13,7 +13,7 @@ REPO = str(Path(__file__).resolve().parent.parent)
 # Round-3 floor. Raise when adding query families; never lower silently —
 # a drop below this means a plan module stopped registering (the exact
 # silent-shrink failure mode the round-1 judge flagged).
-MIN_QUERIES = 130
+MIN_QUERIES = 131
 
 
 def test_surface_size_floor():

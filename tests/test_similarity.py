@@ -105,6 +105,25 @@ def test_pq_recall_absolute(emb_and_queries, exact_topk):
         assert r["cosine_sim"] == exact[(r["qid"], r["vec_id"])], "rerank not fold-exact"
 
 
+def test_ivfpq_recall_absolute(emb_and_queries, exact_topk):
+    """IVF-PQ (coarse cells + residual ADC + exact rerank): floor 0.5
+    absolute recall vs exact top-10; recalled cosines bit-identical to the
+    fold kernel."""
+    from kafka_clickhouse_example_spark.operators import similarity as S
+
+    emb, queries = emb_and_queries
+    cent = S.train_ivf_centroids(emb)
+    books = S.train_pq_codebooks_residual(emb, cent)
+    got = S.topk_ivfpq(emb, queries.toPandas(), 10, cent, books).collect()
+
+    exact = {(r["qid"], r["vec_id"]): r["cosine_sim"] for r in exact_topk}
+    hits = [r for r in got if (r["qid"], r["vec_id"]) in exact]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall below floor: {recall:.2f}"
+    for r in hits:
+        assert r["cosine_sim"] == exact[(r["qid"], r["vec_id"])]
+
+
 def test_pq_training_deterministic(emb_and_queries):
     import numpy as np
 
