@@ -128,3 +128,24 @@ def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path)
     n2 = compact_to_target(spark, path, target_bytes=1 << 30)
     assert n2 == 1
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_zorder_three_columns(spark, sf_correctness_dir, tmp_path):
+    """ndims generalization: clustering on three columns still prunes on
+    the third (each dim gets ~cube-root locality; a 10% box must skip
+    SOME files, where a (user_id, value) layout could never prune on
+    event_id)."""
+    ev = load_compute_table(spark, sf_correctness_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zo = str(tmp_path / "zo3")
+    zorder_by(ev, ["user_id", "value", "event_id"], N_FILES).write.parquet(zo)
+    ranges = _file_ranges(zo, ["user_id", "value", "event_id"])
+    assert len(ranges) == N_FILES
+    stats = ev.selectExpr(
+        "percentile(event_id, 0.1) lo", "percentile(event_id, 0.2) hi"
+    ).first()
+    hit = _files_hit(ranges, {"event_id": (stats.lo, stats.hi)})
+    assert hit < N_FILES, f"no pruning on the third dimension: {hit}/{N_FILES}"
+    # content preserved
+    assert spark.read.parquet(zo).count() == ev.count()
