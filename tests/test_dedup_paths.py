@@ -133,3 +133,27 @@ def test_production_profile_candidate_recall(spark, sf_dir):
     assert got <= truth, "exact verify must keep precision at 1.0"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"production-profile recall {recall:.2f} below floor"
+
+
+def test_simhash_arrow_path_equals_column_path(spark, sf_dir):
+    """The Arrow numpy simhash must be BIT-IDENTICAL to the column-fold
+    plan at both the 16-bit default and the 32-bit pair width (the Arrow
+    path is what keeps dedup_simhash_* oracle-green)."""
+    from kafka_clickhouse_example_spark.operators import dedup as D
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+    docs = load_compute_table(spark, sf_dir, "documents")
+    for bits in (16, 32):
+        fast = {
+            (r["doc_id"], r["sh"])
+            for r in D.with_simhash(docs, out="sh", bits=bits, use_arrow=True)
+            .select("doc_id", "sh")
+            .collect()
+        }
+        ref = {
+            (r["doc_id"], r["sh"])
+            for r in D.with_simhash(docs, out="sh", bits=bits, use_arrow=False)
+            .select("doc_id", "sh")
+            .collect()
+        }
+        assert fast == ref and len(fast) > 0
