@@ -142,8 +142,18 @@ def compact_to_target(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     out.write.mode("overwrite").parquet(tmp)
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(hpath, True)
-    fs.rename(tmp_path, hpath)
+    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    # two-rename swap: the original is parked (not deleted) until the new
+    # layout is in place, so a failed rename leaves the data recoverable at
+    # __compact_old and a reader never sees a half-written directory.
+    fs.delete(old_path, True)  # clear any crashed prior swap's parking dir
+    if not fs.rename(hpath, old_path):
+        raise IOError(f"compaction: could not park {path} at {old}")
+    if not fs.rename(tmp_path, hpath):
+        fs.rename(old_path, hpath)  # roll back; original data intact
+        raise IOError(f"compaction: could not publish {tmp} at {path}")
+    fs.delete(old_path, True)
     return n_files
