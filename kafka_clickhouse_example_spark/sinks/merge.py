@@ -72,7 +72,11 @@ def merge_into_partitioned(
     partition value must be stable (a moved row would be an insert in the
     new partition and a stale survivor in the old — the classic
     partitioned-merge caveat; use a delete marker + compaction pass for
-    repartitioning updates).
+    repartitioning updates). Partition values that LOOK numeric get
+    type-inferred by the hive reader — keep
+    spark.sql.sources.partitionColumnTypeInference consistent between the
+    writer and this reader, or use non-ambiguous (string) partition values
+    as the tests do.
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not touched:
