@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# SparkContext id -> reliable_dir we last configured on it (see materialize).
+_CONFIGURED_CHECKPOINT_DIR: dict[int, str] = {}
+
 
 def materialize(df: DataFrame, reliable_dir: str | None = None, *, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage: executor-local by default, reliable when
@@ -26,10 +29,14 @@ def materialize(df: DataFrame, reliable_dir: str | None = None, *, eager: bool =
     if reliable_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None or not sc.getCheckpointDir().startswith(
-        reliable_dir
-    ):
+    # Dedupe via our own record: Spark fully qualifies the configured dir
+    # AND appends a random UUID subdirectory, so comparing
+    # getCheckpointDir() against the caller's path never matches — the
+    # naive guard re-ran setCheckpointDir (one FS mkdirs + abandoned UUID
+    # dir) on every propagation round of an iterative operator.
+    if _CONFIGURED_CHECKPOINT_DIR.get(id(sc)) != reliable_dir:
         sc.setCheckpointDir(reliable_dir)
+        _CONFIGURED_CHECKPOINT_DIR[id(sc)] = reliable_dir
     # Reliable checkpoint is only written on materialization; eager=False
     # would silently keep the full lineage until some later action, so
     # force eager here regardless.

@@ -88,9 +88,11 @@ def zorder_by(
     """
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column approxQuantile pass: the per-column form would scan
+    # the full table once per clustering dimension.
+    all_bounds = df.approxQuantile(cols, qs, sample_error)
     buckets = []
-    for c in cols:
-        bounds = df.approxQuantile(c, qs, sample_error)
+    for c, bounds in zip(cols, all_bounds):
         # Dedupe (low-cardinality columns repeat boundaries), then RESCALE
         # the 0..m index onto the full 0..2^bits-1 range: without this a
         # 150-distinct-value column would only ever set its low ~7 bits,

@@ -148,6 +148,7 @@ def temperature_sample(
     stratum_col: str,
     key_col: str,
     buckets: int = TEMPERATURE_BUCKETS,
+    keep_stats: bool = False,
 ):
     """Temperature-balanced (τ=2) stratum sampling — the standard
     multilingual-corpus rebalancing rule (sample source s with probability
@@ -166,6 +167,10 @@ def temperature_sample(
 
     Scale: the rate table is |strata|-sized and broadcast; the filter is
     map-side over the scan — no shuffle of the corpus.
+
+    Returns the input schema (like every sampler here); ``keep_stats=True``
+    additionally exposes the per-stratum ``_n`` (original count) and
+    ``_rate`` columns for report queries.
     """
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
     mn = counts.agg(F.min("_n").alias("_mn"))
@@ -178,6 +183,7 @@ def temperature_sample(
         .withColumn("_rate", F.expr(f"(cast({buckets} as bigint) * _isq_mn) div _isq_n"))
         .select(stratum_col, "_n", "_rate")
     )
-    return df.join(F.broadcast(rates), stratum_col).filter(
+    kept = df.join(F.broadcast(rates), stratum_col).filter(
         hash_bucket(F.col(key_col), buckets) < F.col("_rate")
     )
+    return kept if keep_stats else kept.drop("_n", "_rate")

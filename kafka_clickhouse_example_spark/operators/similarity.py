@@ -284,6 +284,52 @@ def topk_lsh_probe(
     )
 
 
+
+def _md5_ordered_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_size: int
+):
+    """The shared deterministic UNBIASED training sample every trainer uses:
+    rows ordered by (md5(id), id) — a salted-hash shuffle stable across
+    partitionings but uncorrelated with insertion order — bounded collect,
+    then re-sorted by id for a stable seed order. Returns (n, dim) float64.
+    """
+    import numpy as np
+
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
+    pdf = pdf.sort_values(id_col).reset_index(drop=True)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+
+
+def _subspace_kmeans(mat, subspaces: int, codebook_k: int, iters: int):
+    """Deterministic per-subspace Lloyd (subspaces=1 == plain k-means):
+    seeds are the first k sample rows, fixed ``iters`` rounds, empty
+    clusters keep their previous centroid. Returns (subspaces, k, dsub)."""
+    import numpy as np
+
+    dim = mat.shape[1]
+    assert dim % subspaces == 0, "dimension must split into equal subspaces"
+    dsub = dim // subspaces
+    kk = min(codebook_k, len(mat))
+    books = np.zeros((subspaces, kk, dsub))
+    for s in range(subspaces):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:kk].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = assign == c
+                if members.any():
+                    cent[c] = sub[members].mean(axis=0)
+        books[s] = cent
+    return books
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -294,39 +340,16 @@ def train_ivf_centroids(
 ):
     """Deterministic k-means coarse quantizer for IVF ANN.
 
-    Trains on a bounded, deterministic, UNBIASED sample: rows ordered by
-    md5(id) — a salted-hash shuffle that is stable across partitionings but
-    uncorrelated with insertion order, unlike the round-2 lowest-id sample
-    whose bias would track whatever the id encodes (time, source, shard).
-    Constant-size collect at any corpus scale; production IVF trains on
-    ~1e5 sampled vectors even for 1e9-vector indexes. Seeds are the first
-    ``k`` sample vectors and Lloyd runs a fixed ``iters`` rounds, so the
-    same data always yields the same centroids regardless of partitioning.
-    Empty clusters keep their previous centroid. Returns a (k, dim) float64
-    numpy array, small enough to broadcast into every scoring task.
+    Trains on the shared bounded md5-ordered unbiased sample
+    (``_md5_ordered_sample`` — constant-size collect at any corpus scale;
+    production IVF trains on ~1e5 sampled vectors even for 1e9-vector
+    indexes) with the shared fixed-iteration Lloyd (``_subspace_kmeans``
+    at subspaces=1), so the same data always yields the same centroids
+    regardless of partitioning. Returns a (k, dim) float64 numpy array,
+    small enough to broadcast into every scoring task.
     """
-    import numpy as np
-
-    pdf = (
-        corpus.select(id_col, vec_col)
-        # TakeOrdered by (md5(id), id) — the id tiebreak keeps the order
-        # total even if two ids ever hashed alike.
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample_size)
-        .toPandas()
-    )
-    pdf = pdf.sort_values(id_col).reset_index(drop=True)  # stable seed order
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    k = min(k, len(mat))
-    cent = mat[:k].copy()
-    for _ in range(iters):
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = assign == c
-            if members.any():
-                cent[c] = mat[members].mean(axis=0)
-    return cent
+    mat = _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
+    return _subspace_kmeans(mat, 1, k, iters)[0]
 
 
 def topk_ivf(
@@ -447,37 +470,12 @@ def train_pq_codebooks(
     """Deterministic product-quantization codebooks (Jégou et al. 2011): the
     vector splits into ``subspaces`` contiguous slices; each slice gets its
     own ``codebook_k``-entry k-means codebook, trained independently on the
-    same bounded md5-ordered unbiased sample as the IVF quantizer (constant-
-    size collect at any corpus scale). Returns (subspaces, codebook_k, dsub)
-    float64 — for the fixture (8, 16, 8) = 8 KiB, broadcastable anywhere.
+    shared bounded md5-ordered unbiased sample. Returns (subspaces,
+    codebook_k, dsub) float64 — for the fixture (8, 16, 8) = 8 KiB,
+    broadcastable anywhere.
     """
-    import numpy as np
-
-    pdf = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample_size)
-        .toPandas()
-    )
-    pdf = pdf.sort_values(id_col).reset_index(drop=True)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    dim = mat.shape[1]
-    assert dim % subspaces == 0, "dimension must split into equal subspaces"
-    dsub = dim // subspaces
-    kk = min(codebook_k, len(mat))
-    books = np.zeros((subspaces, kk, dsub))
-    for s in range(subspaces):
-        sub = mat[:, s * dsub : (s + 1) * dsub]
-        cent = sub[:kk].copy()  # deterministic seeds, same scheme as IVF
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(kk):
-                members = assign == c
-                if members.any():
-                    cent[c] = sub[members].mean(axis=0)
-        books[s] = cent
-    return books
+    mat = _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
+    return _subspace_kmeans(mat, subspaces, codebook_k, iters)
 
 
 def topk_pq(
@@ -600,47 +598,31 @@ def train_pq_codebooks_residual(
     codebook_k: int = PQ_CODEBOOK_K,
     iters: int = PQ_ITERS,
     sample_size: int = IVF_SAMPLE,
+    sample=None,
 ):
     """PQ codebooks trained on IVF RESIDUALS (vector − assigned centroid):
     what IVFADC requires — residuals live near the origin with a fraction
     of the vectors' spread, so the codebook's 16 cells resolve them far
-    more finely than whole-vector codebooks would. Same deterministic
-    md5-ordered sample and fixed-iteration Lloyd as every other trainer.
+    more finely than whole-vector codebooks would. Shares the trainer
+    building blocks; pass ``sample`` to reuse an already-collected
+    ``_md5_ordered_sample`` matrix (sim_topk_ivfpq trains the coarse
+    quantizer from the same sample — one collect, not two).
     """
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
-    pdf = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample_size)
-        .toPandas()
+    mat = (
+        sample
+        if sample is not None
+        else _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
     )
-    pdf = pdf.sort_values(id_col).reset_index(drop=True)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     d2 = (
         (mat * mat).sum(axis=1)[:, None]
         - 2.0 * (mat @ cent.T)
         + (cent * cent).sum(axis=1)[None, :]
     )
     resid = mat - cent[d2.argmin(axis=1)]
-    dim = resid.shape[1]
-    assert dim % subspaces == 0
-    dsub = dim // subspaces
-    kk = min(codebook_k, len(resid))
-    books = np.zeros((subspaces, kk, dsub))
-    for s in range(subspaces):
-        sub = resid[:, s * dsub : (s + 1) * dsub]
-        c = sub[:kk].copy()
-        for _ in range(iters):
-            dd = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = dd.argmin(axis=1)
-            for j in range(kk):
-                members = assign == j
-                if members.any():
-                    c[j] = sub[members].mean(axis=0)
-        books[s] = c
-    return books
+    return _subspace_kmeans(resid, subspaces, codebook_k, iters)
 
 
 def topk_ivfpq(

@@ -48,16 +48,23 @@ def prepare_corpus(
     """
     stats: dict[str, int] = {"input": docs.count()}
 
+    # Each kept_* stage is materialized (eager localCheckpoint, same memo
+    # pattern as queries_dedup._shingled): the per-stage accounting counts
+    # and every downstream stage would otherwise re-execute the whole
+    # uncached upstream chain — ~5 full corpus re-computations by the
+    # final write.
     # 1. quality gate — map-side filter, no shuffle
     scored = T.with_quality_metrics(docs)
-    kept_q = scored.filter(F.col("quality_score") >= quality_floor)
+    kept_q = scored.filter(F.col("quality_score") >= quality_floor).localCheckpoint(
+        eager=True
+    )
     stats["after_quality"] = kept_q.count()
 
     # 2. exact dedup — keep the canonical (min id) copy of each text
     canon = D.exact_duplicate_groups(kept_q).select(
         F.col("canonical_id").alias("doc_id")
     )
-    kept_e = kept_q.join(canon, "doc_id", "left_semi")
+    kept_e = kept_q.join(canon, "doc_id", "left_semi").localCheckpoint(eager=True)
     stats["after_exact_dedup"] = kept_e.count()
 
     # 3. near-dup dedup — pair graph -> components -> best-quality survivor
@@ -74,13 +81,17 @@ def prepare_corpus(
         .filter(F.col("_rn") > 1)
         .select("doc_id")
     )
-    kept_n = kept_e.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept_n = kept_e.join(F.broadcast(losers), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     stats["after_neardup"] = kept_n.count()
 
     # 4. decontamination — drop anything sharing an n-gram with eval
     if eval_df is not None:
         hits = contamination_hits(kept_n, eval_df).select("doc_id")
-        kept_c = kept_n.join(F.broadcast(hits), "doc_id", "left_anti")
+        kept_c = kept_n.join(F.broadcast(hits), "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
     else:
         kept_c = kept_n
     stats["after_decontam"] = kept_c.count()

@@ -8,7 +8,9 @@ incremental_minhash_pairs):
 
 1. batch-internal dedup: exact + near-dup within the batch itself (a batch
    can contain its own duplicates);
-2. batch-vs-corpus: incremental LSH — batch band keys broadcast, corpus
+2. batch-vs-corpus: an EXACT content-hash leg (batch hashes broadcast —
+   catches byte-identical copies including docs too short to shingle)
+   plus incremental near-dup LSH — batch band keys broadcast, corpus
    scanned in place, never self-joined;
 3. survivors append to the corpus store; rejected docs append to a
    quarantine report (doc_id, matched corpus doc, jaccard) for audit.
@@ -50,12 +52,29 @@ def gate_batch(
 
     # 2. batch-vs-corpus
     if corpus is not None:
-        hits = D.incremental_minhash_pairs(batch2, corpus, threshold)
-        rejects = hits.select(
+        # 2a. EXACT content hash — covers every doc, including ones too
+        # short to shingle (near-dup LSH drops <n-token docs, which would
+        # otherwise bypass the gate entirely and break replay idempotency).
+        # Batch hashes broadcast; corpus scanned map-side, same asymmetric
+        # shape as the LSH leg.
+        bh = batch2.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("_h")
+        )
+        exact_hits = (
+            corpus.select(
+                F.col("doc_id").alias("matched_doc_id"),
+                F.md5(F.col("text").cast("binary")).alias("_h"),
+            )
+            .join(F.broadcast(bh), "_h")
+            .select("doc_id", "matched_doc_id", F.lit(1.0).alias("jaccard"))
+        )
+        # 2b. near-dup LSH on whatever survives shingling
+        near_hits = D.incremental_minhash_pairs(batch2, corpus, threshold).select(
             F.col("new_id").alias("doc_id"),
             F.col("corpus_id").alias("matched_doc_id"),
             "jaccard",
         )
+        rejects = exact_hits.unionByName(near_hits)
         # one report row per doc: best match wins (ties by corpus id)
         w = Window.partitionBy("doc_id").orderBy(
             F.col("jaccard").desc(), F.col("matched_doc_id")

@@ -292,7 +292,7 @@ def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (isqrt + integer div) — no RNG, no libm divergence."""
     configure_runtime(spark)
     docs = load_table(spark, sf_dir, "documents")
-    kept = SP.temperature_sample(docs, "lang", "doc_id")
+    kept = SP.temperature_sample(docs, "lang", "doc_id", keep_stats=True)
     return (
         kept.groupBy("lang")
         .agg(

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
-    """True iff the table directory exists, via Hadoop FileSystem.
+    """True iff the table directory holds COMMITTED data, via Hadoop
+    FileSystem — existence of the directory alone is not enough: a crash
+    during the very first write leaves the directory (plus ``_temporary``)
+    with zero committed part-files, and treating that as "table exists"
+    poisons the stream permanently (every retry reads an empty-schema
+    table and fails). So: exists AND contains at least one non-hidden
+    file anywhere beneath (partitioned layouts nest files one level down).
 
     Used instead of try/except around the read: "view doesn't exist yet"
     is the ONLY condition that may legitimately skip the merge. A transient
@@ -35,7 +41,21 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    if not fs.exists(jpath):
+        return False
+
+    def _has_data(p) -> bool:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue  # _temporary, _SUCCESS, hidden files
+            if st.isFile():
+                return True
+            if st.isDirectory() and _has_data(st.getPath()):
+                return True
+        return False
+
+    return _has_data(jpath)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:

@@ -17,11 +17,14 @@ from kafka_clickhouse_example_spark.compat.protobuf_compat import (  # noqa: E40
     pythonpath_entries,
 )
 
-_extra = [p for p in pythonpath_entries() if p not in os.environ.get("PYTHONPATH", "")]
+# entry-wise comparison, not substring: "/root/repo" IS a substring of
+# "/root/repo/contrib/pyworker_compat", and a substring test would then
+# silently skip appending the repo root — workers couldn't import the
+# package and the protobuf shim would no-op with no visible cause.
+_existing = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+_extra = [p for p in pythonpath_entries() if p not in _existing]
 if _extra:
-    os.environ["PYTHONPATH"] = os.pathsep.join(
-        _extra + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
-    )
+    os.environ["PYTHONPATH"] = os.pathsep.join(_extra + _existing)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"

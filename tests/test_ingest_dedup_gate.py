@@ -57,27 +57,33 @@ def test_gate_lands_novel_and_quarantines_dups(spark, paths):
     # batch 1: one doc + an exact in-batch copy; batch 2: a near-dup of
     # batch 1's doc (one word changed), plus a genuinely novel doc
     near = BASE.replace("kappa", "kappa2")
+    short = "tiny doc"  # 2 tokens: zero 3-gram shingles, invisible to LSH
     (paths["src"] / "b1.json").write_text(
-        "\n".join([_doc(1, BASE), _doc(2, BASE), _doc(3, OTHER)])
+        "\n".join([_doc(1, BASE), _doc(2, BASE), _doc(3, OTHER), _doc(4, short)])
     )
-    (paths["src"] / "b2.json").write_text("\n".join([_doc(10, near), _doc(11, NOVEL)]))
+    (paths["src"] / "b2.json").write_text(
+        "\n".join([_doc(10, near), _doc(11, NOVEL), _doc(12, short)])
+    )
     _run(spark, paths, paths["ckpt"])
 
     corpus = {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()}
-    assert corpus == {1, 3, 11}  # 2 = exact in-batch dup, 10 = near-dup of 1
+    # 2 = exact in-batch dup, 10 = near-dup of 1, 12 = exact copy of the
+    # SHORT doc 4 — caught by the content-hash leg, not LSH
+    assert corpus == {1, 3, 4, 11}
     report = {
         (r.doc_id, r.matched_doc_id)
         for r in spark.read.parquet(paths["report"]).collect()
     }
-    assert report == {(10, 1)}
+    assert report == {(10, 1), (12, 4)}
 
     # crash-replay: re-run the whole stream with a FRESH checkpoint — every
     # replayed doc self-rejects against its landed copy; corpus unchanged
     _run(spark, paths, paths["ckpt"] + "2")
     corpus2 = [r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()]
-    assert sorted(corpus2) == [1, 3, 11], "replay double-landed documents"
-    # replayed self-matches were quarantined at jaccard 1.0
+    assert sorted(corpus2) == [1, 3, 4, 11], "replay double-landed documents"
+    # replayed self-matches (incl. the un-shingle-able short doc) were
+    # quarantined at jaccard 1.0
     rr = spark.read.parquet(paths["report"])
     self_hits = rr.filter(F.col("doc_id") == F.col("matched_doc_id")).collect()
-    assert {r.doc_id for r in self_hits} == {1, 3, 11}
+    assert {r.doc_id for r in self_hits} == {1, 3, 4, 11}
     assert all(r.jaccard == 1.0 for r in self_hits)
