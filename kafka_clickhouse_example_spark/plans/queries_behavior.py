@@ -15,9 +15,10 @@ with a 10-row aggregate. Nothing materializes per-event state on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
@@ -196,4 +197,306 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
         .orderBy("bucket")
+    )
+
+
+DAY_MS = 86_400_000
+Q30 = 1 << 30  # shared Q30 fixed-point scale (see verify notes: exact
+# cross-engine float aggregation = floor(v * 2^30) summed as BIGINT)
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT epoch_ms(ts) // 86400000 AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM daily),
+dau AS (SELECT d, count(DISTINCT user_id) AS n FROM daily GROUP BY d),
+wau AS (
+  SELECT days.d, count(DISTINCT daily.user_id) AS n
+  FROM days JOIN daily ON daily.d BETWEEN days.d - 6 AND days.d
+  GROUP BY days.d
+),
+mau AS (
+  SELECT days.d, count(DISTINCT daily.user_id) AS n
+  FROM days JOIN daily ON daily.d BETWEEN days.d - 27 AND days.d
+  GROUP BY days.d
+)
+SELECT strftime(epoch_ms(days.d * 86400000), '%Y-%m-%d') AS day,
+       CAST(dau.n AS BIGINT) AS dau,
+       CAST(wau.n AS BIGINT) AS wau,
+       CAST(mau.n AS BIGINT) AS mau,
+       round(CAST(dau.n AS DOUBLE) / mau.n, 4) AS stickiness
+FROM days JOIN dau USING (d) JOIN wau USING (d) JOIN mau USING (d)
+ORDER BY day
+""",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / weekly / monthly active users with the DAU/MAU stickiness
+    ratio — the standard engagement panel.
+
+    Scale design: raw events first collapse to the DISTINCT (day, user)
+    relation — the only pass over the 100 TB input, a single shuffle on a
+    compact key. Rolling distinct counts then EXPLODE each (day, user) row
+    into the 7 / 28 observation days it contributes to and count distinct
+    per day; the explode runs over days x users rows (not events), so the
+    7x/28x fan-out is bounded by the active-user matrix, never the event
+    volume. Day arithmetic is integer epoch-days (no calendar math); the
+    day axis is emitted as a STRING (DATE columns are hash-dead
+    cross-engine, see verify notes).
+
+    The (day, user) relation is materialized once (localCheckpoint, the
+    flows-family memo pattern): dau/wau/mau all branch from it, and without
+    the cut Catalyst would re-scan the raw events input once per branch —
+    four full scans of the 100 TB table instead of one.
+    """
+    events = _events(spark, sf_dir)
+    daily = (
+        events.select(
+            F.expr(f"unix_millis(ts) div {DAY_MS}").alias("d"), "user_id"
+        ).distinct()
+    )
+    daily = materialize(daily)
+    days = daily.select("d").distinct()
+    dau = daily.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+
+    def rolling(width: int, name: str) -> DataFrame:
+        exploded = daily.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + (width - 1))).alias("d"),
+            "user_id",
+        )
+        # inner join to observed days: windows never extend past the data
+        return (
+            exploded.join(days, "d")
+            .groupBy("d")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    out = (
+        dau.join(rolling(7, "wau"), "d")
+        .join(rolling(28, "mau"), "d")
+        .select(
+            F.date_format(F.timestamp_millis(F.col("d") * DAY_MS), "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+        )
+    )
+    return out.orderBy("day")
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH carried AS (
+  SELECT event_type, ts, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS src_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS src_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+attributed AS (
+  SELECT CASE WHEN src_ts IS NOT NULL
+                   AND epoch_ms(ts) - epoch_ms(src_ts) <= 7 * 86400000
+              THEN src_type ELSE 'direct' END AS channel,
+         CAST(floor(CAST(value AS DOUBLE) * 1073741824) AS BIGINT) AS v_q30
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(v_q30) AS DOUBLE) / 1073741824, 4) AS attributed_value
+FROM attributed GROUP BY channel ORDER BY channel
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent preceding non-purchase event within a 7-day lookback, else
+    'direct'.
+
+    Scale design: ONE window pass per user (the same user_id shuffle key the
+    rest of the behavior family reuses) carries the last touch forward;
+    there is no self-join of purchases against touches. src_type and src_ts
+    are carried as two IGNORE NULLS columns nulled by the SAME predicate, so
+    they always come from the same source row. Revenue sums use the Q30
+    fixed-point convention (exact integer partials -> order-independent,
+    hash-stable cross-engine).
+    """
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    carried = events.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("src_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("src_ts"),
+    )
+    attributed = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("src_ts").isNotNull()
+            & (F.unix_millis("ts") - F.unix_millis("src_ts") <= 7 * DAY_MS),
+            F.col("src_type"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        F.floor(F.col("value").cast("double") * Q30).cast("bigint").alias("v_q30"),
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("v_q30").cast("double") / Q30, 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_DECAY_LAGS = 16  # window depth: weights 2^-1 .. 2^-16 (sum < 1, exact)
+
+
+def _decay_terms_sql() -> str:
+    terms = []
+    for j in range(_DECAY_LAGS):
+        w = 1 << (_DECAY_LAGS - 1 - j)
+        terms.append(f"coalesce(lag(v_q30, {j}) OVER w, 0) * {w}")
+    return " + ".join(terms)
+
+
+@register(
+    "events_decayed_value_sum",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(CAST(value AS DOUBLE) * 1073741824) AS BIGINT) AS v_q30
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id,
+       round(CAST(({_decay_terms_sql()}) AS DOUBLE) / {1 << 46}, 6) AS decayed_value
+FROM purchases
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def events_decayed_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed purchase-value sum per user (EWMA-style
+    smoothing, alpha = 1/2) computed EXACTLY: binary weights 2^-(j+1) over
+    the last 16 purchases as integer Q30 arithmetic — no float recursion, no
+    cross-engine rounding drift. s_i = sum_j v[i-j] * 2^-(j+1), expressed as
+    16 lag() terms scaled by 2^(15-j) over one window pass, then one exact
+    power-of-two descale to double.
+
+    Scale design: a single user-partitioned window (bounded 16-row state per
+    row in the worst case for lag chains); integer partial products stay
+    under 2^59 so BIGINT never overflows at any row count (the bound is
+    per-row, not per-group).
+    """
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * Q30).cast("bigint").alias("v_q30"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    acc = None
+    for j in range(_DECAY_LAGS):
+        weight = 1 << (_DECAY_LAGS - 1 - j)
+        term = F.coalesce(F.lag("v_q30", j).over(w), F.lit(0)) * weight
+        acc = term if acc is None else acc + term
+    return purchases.select(
+        "event_id",
+        "user_id",
+        F.round(acc.cast("double") / (1 << 46), 6).alias("decayed_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+),
+paths AS (
+  SELECT array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+  FROM sessions GROUP BY user_id, session_no
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: sessionize per user (30-minute gap, the house
+    convention), take each session's first five event types as a '>'-joined
+    path, and rank paths by frequency — the product-analytics 'common
+    journeys' report.
+
+    Scale design: gaps-and-islands via two window passes on the one
+    user_id shuffle key; per-session lists are collected AFTER grouping to
+    (user, session) — bounded by slice(5) only at projection, but session
+    length is data-bounded (a session is minutes, not the corpus); the
+    final path rollup is a tiny aggregate + TakeOrdered(20).
+    """
+    events = _events(spark, sf_dir)
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = (
+        F.when(
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w_order)) > 1_800_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session")
+    )
+    sessions = events.select("user_id", "ts", "event_id", "event_type", new_session).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda s: s.getField("event_type"),
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
     )

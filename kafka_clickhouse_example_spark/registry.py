@@ -51,6 +51,7 @@ def _load_all() -> None:
         queries_dedup,
         queries_flows,
         queries_multimodal,
+        queries_pii,
         queries_sampling,
         queries_similarity,
         queries_temporal,
