@@ -1,0 +1,90 @@
+"""Count-Min sketch: mergeable heavy-hitter frequency estimation.
+
+Completes the engine's mergeable-sketch family (HLL distinct counts, theta
+set algebra, KLL quantiles — see plans/queries_analytics.py) with the
+classic frequency sketch (Cormode & Muthukrishnan 2005): a depth x width
+counter matrix where row r increments cell hash_r(key) % width; the
+estimate for a key is the MIN over rows of its cells. Estimates never
+undercount, and overcount by more than (e/width)*N with probability at most
+exp(-depth) — with fixed hash seeds on fixed data the sketch is fully
+deterministic.
+
+Spark-first design: the sketch is a SPARSE DataFrame of (r, idx, cnt)
+cells — groupBy aggregation gives map-side partial counting for free, and
+a 4x2048 sketch is at most 8,192 rows regardless of input size, so sketch
+construction is one shuffle of bounded width and merging partials (e.g.
+per-day sketches) is a union + re-aggregate of KB-scale relations. Probing
+broadcasts the (tiny) sketch against the probe keys. All hashing is
+xxhash64 JVM-side — no Python boundary anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cell(key, r: int, width: int):
+    # seed the row hash by mixing r in as an extra hashed column
+    return F.pmod(F.xxhash64(key, F.lit(r)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the sparse sketch: one (r, idx, cnt) row per touched cell.
+
+    One pass over the input: each row fans out to ``depth`` cells via an
+    inline array (no join, no extra scan), then a bounded-cardinality
+    groupBy (<= depth*width groups) with map-side partials.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[F.struct(F.lit(r).alias("r"), _cell(key, r, width).alias("idx")) for r in range(depth)]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge partial sketches (same depth/width/seeds): cell-wise sum.
+
+    CMS merge is exact: merge(build(A), build(B)) == build(A union B)
+    cell-for-cell, which tests assert as frame equality.
+    """
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches)
+    return unioned.groupBy("r", "idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimate each probe key's frequency: min over rows of its cells.
+
+    The sketch side is bounded (depth*width rows) so Spark broadcasts it;
+    a probe key hashing into a never-touched cell scores 0 via the left
+    join's coalesce — correct, since absence proves count 0 for that row.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[F.struct(F.lit(r).alias("r"), _cell(key, r, width).alias("idx")) for r in range(depth)]
+    )
+    probe_cells = probes.select(key_col, F.explode(cells).alias("c")).select(
+        key_col, F.col("c.r").alias("r"), F.col("c.idx").alias("idx")
+    )
+    joined = probe_cells.join(F.broadcast(sketch), ["r", "idx"], "left").select(
+        key_col, F.coalesce("cnt", F.lit(0)).alias("cell_cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est_n"))

@@ -318,3 +318,50 @@ def compression_ratio_udf():
     # resolve 'pd.Series' from a function-local import.
     _compressed_len.__annotations__ = {"text": pd.Series, "return": pd.Series}
     return pandas_udf(_compressed_len, "long")
+
+
+# --- markup stripping + unicode normalization (corpus cleaning) -----------
+
+MARKUP_TAG_RE = r"<[^>]+>"
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&")]
+# &amp; decodes LAST: decoding it first would create new '&lt;'-style
+# sequences from literal '&amp;lt;' input (double-decode bug).
+
+
+def strip_markup(col: Column) -> Column:
+    """Drop HTML/XML tags (replaced by a space so adjacent words don't
+    fuse) and decode the four basic character entities. Pure JVM regex /
+    string ops — whole-stage codegen, no Python."""
+    out = F.regexp_replace(col, MARKUP_TAG_RE, " ")
+    for entity, ch in _ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(ch))
+    return out
+
+
+def collapse_whitespace(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC unicode normalization (composes e+COMBINING ACUTE
+    into é, etc.). Spark has no built-in normalizer, so this is one of the
+    engine's few sanctioned Python boundaries — vectorized per batch, pure
+    stdlib on the workers."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(text):
+        return text.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    _nfc.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")
+
+
+def clean_text_expr(col: Column) -> Column:
+    """The full cleaning ladder: strip markup -> decode entities ->
+    collapse whitespace (all JVM) -> NFC normalize (one Arrow pass)."""
+    return nfc_normalize_udf()(collapse_whitespace(strip_markup(col)))

@@ -1,0 +1,122 @@
+"""Operational diagnostics: the reports an engineer runs BEFORE launching a
+100 TB job — join-key skew profiling (does this key need salting / AQE skew
+handling?) and Count-Min frequency estimation quality.
+
+Scale design: both reports aggregate to per-key frequencies first (one
+shuffle on the key being profiled — the same shuffle the real join would
+do, so the profile predicts the join's behavior), then reduce to a few
+rows. Nothing here is proportional to input size on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import sketches as SK
+from kafka_clickhouse_example_spark.registry import register
+from kafka_clickhouse_example_spark.session import configure_runtime
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+
+@register(
+    "diag_join_key_skew",
+    oracle="""
+WITH li AS (
+  SELECT 'lineitem.l_orderkey' AS domain, count(*) AS freq
+  FROM lineitem GROUP BY l_orderkey
+),
+ev AS (
+  SELECT 'events.user_id' AS domain, count(*) AS freq
+  FROM events GROUP BY user_id
+),
+freqs AS (SELECT * FROM li UNION ALL SELECT * FROM ev),
+stats AS (
+  SELECT domain,
+         CAST(sum(freq) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(freq) AS BIGINT) AS max_freq
+  FROM freqs GROUP BY domain
+),
+hot AS (
+  SELECT f.domain, CAST(count(*) AS BIGINT) AS hot_keys
+  FROM freqs f JOIN stats s ON f.domain = s.domain
+  WHERE f.freq * s.n_keys > 2 * s.n_rows
+  GROUP BY f.domain
+)
+SELECT s.domain, s.n_rows, s.n_keys, s.max_freq,
+       coalesce(h.hot_keys, 0) AS hot_keys,
+       round(CAST(s.max_freq * s.n_keys AS DOUBLE) / s.n_rows, 4) AS skew_ratio
+FROM stats s LEFT JOIN hot h ON s.domain = h.domain
+ORDER BY s.domain
+""",
+)
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of the two highest-volume join/agg keys (lineitem's
+    order key, events' user id): max/avg frequency ratio and the count of
+    hot keys (> 2x average) — the inputs to a salting / AQE-skew decision.
+
+    The per-key frequency shuffle is the same shuffle the profiled join
+    would perform, so cost and skew seen here transfer directly. Stats
+    reduce per domain; the hot-key test multiplies integers (freq * n_keys
+    vs 2 * n_rows) instead of dividing, staying exact.
+    """
+    configure_runtime(spark)
+
+    def profile(df: DataFrame, key: str, domain: str) -> DataFrame:
+        freq = df.groupBy(key).agg(F.count("*").alias("freq"))
+        stats = freq.agg(
+            F.sum("freq").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("freq").cast("bigint").alias("max_freq"),
+        ).withColumn("domain", F.lit(domain))
+        hot = (
+            freq.crossJoin(F.broadcast(stats))
+            .filter(F.col("freq") * F.col("n_keys") > 2 * F.col("n_rows"))
+            .agg(F.count("*").cast("bigint").alias("hot_keys"))
+        )
+        return stats.crossJoin(F.broadcast(hot)).select(
+            "domain",
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.coalesce("hot_keys", F.lit(0)).cast("bigint").alias("hot_keys"),
+            F.round(
+                (F.col("max_freq") * F.col("n_keys")).cast("double") / F.col("n_rows"), 4
+            ).alias("skew_ratio"),
+        )
+
+    lineitem = load_compute_table(spark, sf_dir, "lineitem")
+    events = load_compute_table(spark, sf_dir, "events")
+    return (
+        profile(lineitem, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(events, "user_id", "events.user_id"))
+        .orderBy("domain")
+    )
+
+
+@register("events_user_counts_cms")  # rows-only: xxhash64 cells are engine-specific
+def events_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy report: estimate every user's event count
+    from a 4x2048 sketch and compare to the exact count. est_n >= true_n
+    always (CMS never undercounts); the overestimate column is the
+    measurable collision error. Rows-only (xxhash64 cell layout is
+    engine-specific); the one-sided error contract and exact mergeability
+    are pinned by tests/test_sketches.py.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    sketch = SK.cms_build(events, "user_id")
+    probes = events.select("user_id").distinct()
+    est = SK.cms_probe(sketch, probes, "user_id")
+    true = events.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    return (
+        est.join(true, "user_id")
+        .select(
+            "user_id",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("true_n")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )

@@ -619,3 +619,69 @@ def text_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         T.doc_fingerprint(t).alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+# --- corpus cleaning: markup strip + entity decode + NFC ------------------
+
+# Injected markup/NFD content (the synthetic corpus is plain ASCII, so the
+# cleaning ladder needs deterministic dirty input to be non-vacuous). The
+# Python constants are embedded into BOTH the Spark plan and the oracle SQL,
+# so the bytes are identical by construction.
+NFD_SUFFIX = " Café résumé"  # NFD: 'e' + COMBINING ACUTE
+ENT_SUFFIX = ' &amp; x &lt;tag&gt; &quot;q&quot;'
+
+_CLEAN_SQL = (
+    "nfc_normalize(trim(regexp_replace("
+    "replace(replace(replace(replace("
+    "regexp_replace(raw, '<[^>]+>', ' ', 'g'),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&amp;', '&'),"
+    " '\\s+', ' ', 'g')))"
+)
+
+
+@register(
+    "text_clean_normalize",
+    oracle=f"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<p>' || text || '</p>'
+         || CASE WHEN doc_id % 2 = 0 THEN ' {NFD_SUFFIX.strip()}' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' {ENT_SUFFIX.strip()}' ELSE '' END
+         AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT)          AS len_raw,
+       CAST(length({_CLEAN_SQL}) AS BIGINT) AS len_clean,
+       md5({_CLEAN_SQL})                    AS clean_md5
+FROM dirty
+ORDER BY doc_id
+""",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning ladder certified bit-exact: strip tags, decode
+    entities, collapse whitespace (JVM regex in codegen), then NFC unicode
+    normalization (Arrow-batched Python — Spark has no built-in normalizer;
+    the oracle is DuckDB's native nfc_normalize). md5 equality proves the
+    composed characters, entity order (&amp; last), and space handling all
+    match an independent implementation.
+
+    Scale: map-only over the corpus; the only Python boundary is one
+    vectorized batch pass.
+    """
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(did % 2 == 0, F.lit(" " + NFD_SUFFIX.strip())).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit(" " + ENT_SUFFIX.strip())).otherwise(F.lit("")),
+    )
+    clean = T.clean_text_expr(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("len_raw"),
+        F.length(clean).cast("bigint").alias("len_clean"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")

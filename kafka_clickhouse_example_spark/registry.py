@@ -49,6 +49,7 @@ def _load_all() -> None:
         queries_behavior,
         queries_corpus,
         queries_dedup,
+        queries_diagnostics,
         queries_flows,
         queries_multimodal,
         queries_pii,
