@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import sketches as SK
+from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
@@ -64,7 +65,10 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
 
     def profile(df: DataFrame, key: str, domain: str) -> DataFrame:
-        freq = df.groupBy(key).agg(F.count("*").alias("freq"))
+        # materialize the per-key frequencies once: both the stats and the
+        # hot-key branches read them, and without the cut each branch would
+        # re-scan (and re-shuffle) the full profiled table
+        freq = materialize(df.groupBy(key).agg(F.count("*").alias("freq")))
         stats = freq.agg(
             F.sum("freq").cast("bigint").alias("n_rows"),
             F.count("*").cast("bigint").alias("n_keys"),
