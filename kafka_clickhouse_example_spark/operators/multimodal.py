@@ -325,3 +325,65 @@ def audio_window_energy(
     return media.select("media_id", "kind", "payload").mapInPandas(
         scan, PCM_ENERGY_SCHEMA
     )
+
+
+# --- perceptual image hashing (near-duplicate images) ---------------------
+
+PHASH_SIZE = 8  # 8x8 grid -> 64-bit fingerprint
+
+
+def image_phash(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """64-bit perceptual hash per image: 'ahash' (pixel > grid mean) or
+    'dhash' (pixel > right neighbor on an 8x9 grid) over a nearest-neighbor
+    downsample of the synthetic/v1 raster (raster_decode — same honest
+    codec boundary as resize_image; the hash math is real pixel math).
+
+    Why dhash is the near-dup default: a single changed source pixel moves
+    the grid mean, which under ahash can flip every bit whose pixel sits
+    near the mean; under dhash it only perturbs the <=2 horizontal
+    comparisons that touch the sampled pixel, so Hamming distance is
+    BOUNDED by the number of touched samples — the property the pigeonhole
+    pair join's radius guarantee rests on (tests pin the bound).
+
+    Both hashes are invariant under exact 2x nearest-neighbor upscaling
+    (floor((y*2s)/8)//2 == floor(y*s/8): the sample grid lands on the same
+    source pixels), which tests also pin — that's the 'perceptual' part.
+
+    mapInPandas, one Arrow pass, output (media_id, phash long) — 16 bytes a
+    row at any corpus size.
+    """
+    assert method in ("ahash", "dhash")
+    n = PHASH_SIZE
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+        def one(payload: bytes) -> int:
+            side, arr = raster_decode(bytes(payload))
+            ys = (np.arange(n) * side) // n
+            if method == "ahash":
+                xs = (np.arange(n) * side) // n
+                g = arr[np.ix_(ys, xs)]
+                bits = (g > g.mean()).flatten()
+            else:
+                xs = (np.arange(n + 1) * side) // (n + 1)
+                g = arr[np.ix_(ys, xs)].astype(np.int16)
+                bits = (g[:, :-1] > g[:, 1:]).flatten()
+            v = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+            return int(v.astype(np.int64))
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batches, "media_id long, phash long"
+    )

@@ -167,3 +167,41 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.audio_window_energy(_media(spark, sf_dir))
         .orderBy("media_id", "win_no")
     )
+
+
+@register("mm_image_phash_pairs")  # rows-only: pixel hashing isn't SQL-expressible
+def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection via 64-bit dHash + the pigeonhole
+    block join (operators/dedup.simhash_hamming_pairs reused on image
+    fingerprints — one dedup engine, two modalities).
+
+    The corpus gets deterministic near-dup twins injected (every 10th
+    document's payload with its first byte replaced: media_id + 10^6, one
+    changed source pixel), so the query demonstrably FINDS planted
+    near-dups rather than reporting an empty relation on the synthetic
+    corpus. dHash bounds a one-pixel edit to Hamming <= 3 (see
+    image_phash), and blocks of 16 bits at max_hamming=3 guarantee every
+    such pair surfaces — pinned by tests/test_multimodal_phash.py.
+
+    Scale: hashing is one Arrow pass producing 16-byte rows; the pair join
+    fans each fingerprint into 4 (block, value) keys — no all-pairs
+    comparison at any corpus size.
+    """
+    from kafka_clickhouse_example_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = load_compute_table(spark, sf_dir, "documents")
+    twins = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("text", F.concat(F.lit("x"), F.expr("substr(text, 2)")))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    media = M.attach_media(docs.select("doc_id", "text").unionByName(twins.select("doc_id", "text")))
+    hashes = M.image_phash(media, method="dhash").withColumnRenamed("phash", "sh")
+    pairs = simhash_hamming_pairs(
+        media, max_hamming=3, bits=64, id_col="media_id", fingerprints=hashes
+    )
+    return pairs.select(
+        F.col("id1").cast("bigint").alias("id1"),
+        F.col("id2").cast("bigint").alias("id2"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("id1", "id2")
