@@ -159,3 +159,61 @@ def compact_to_target(
         raise IOError(f"compaction: could not publish {tmp} at {path}")
     fs.delete(old_path, True)
     return n_files
+
+
+def retention_sweep(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    cutoff: str,
+    *,
+    dry_run: bool = False,
+    purge_trash: bool = False,
+) -> dict:
+    """Retention for a partitioned parquet table: expire partitions whose
+    value sorts strictly below ``cutoff`` (ISO day strings compare
+    lexicographically, so ``cutoff='2024-01-15'`` keeps the 15th onward).
+
+    Safety model mirrors compact_to_target's park-then-publish: expired
+    partition directories are MOVED (renamed) into ``<path>__trash`` — a
+    metadata-only operation, no data copied, crash leaves every byte
+    recoverable — and only an explicit ``purge_trash=True`` pass deletes
+    bytes. ``dry_run=True`` reports what would expire without touching
+    anything. Returns {"kept", "expired", "purged"} partition-value lists.
+
+    Scale: the sweep lists one directory level and renames — O(#partitions)
+    driver-side name operations, never proportional to data size; readers
+    using partition pruning see an atomic per-partition disappearance.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    prefix = f"{partition_col}="
+    kept: list[str] = []
+    expired: list[str] = []
+    entries = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        (expired if value < cutoff else kept).append(value)
+        entries.append((value, status.getPath()))
+    purged: list[str] = []
+    if not dry_run:
+        trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__trash")
+        if expired:
+            fs.mkdirs(trash)
+        for value, ppath in entries:
+            if value >= cutoff:
+                continue
+            target = jvm.org.apache.hadoop.fs.Path(trash, ppath.getName())
+            fs.delete(target, True)  # clear a crashed prior sweep's copy
+            if not fs.rename(ppath, target):
+                raise IOError(f"retention: could not park {ppath} in trash")
+        if purge_trash and fs.exists(trash):
+            for status in fs.listStatus(trash):
+                purged.append(status.getPath().getName()[len(prefix):])
+                fs.delete(status.getPath(), True)
+    return {"kept": sorted(kept), "expired": sorted(expired), "purged": sorted(purged)}

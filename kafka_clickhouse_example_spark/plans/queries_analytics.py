@@ -1769,3 +1769,107 @@ def events_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99"),
         F.kll_sketch_get_n_double("msk").alias("n_values"),
     )
+
+
+@register(
+    "events_value_skew_kurtosis",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(vc)                  AS s1,
+         sum(vc * vc)             AS s2,
+         sum(vc * vc * vc)        AS s3,
+         sum(vc * vc * vc * vc)   AS s4
+  FROM c GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS ex2,
+         CAST(s3 AS DOUBLE) / n AS ex3,
+         CAST(s4 AS DOUBLE) / n AS ex4
+  FROM s
+),
+mm AS (
+  SELECT event_type, n, mean,
+         ex2 - mean * mean AS m2,
+         ex3 - 3 * mean * ex2 + 2 * mean * mean * mean AS m3,
+         ex4 - 4 * mean * ex3 + 6 * mean * mean * ex2
+             - 3 * mean * mean * mean * mean AS m4
+  FROM m
+)
+SELECT event_type, n,
+       round(mean / 100, 4)                 AS mean_value,
+       round(sqrt(m2) / 100, 4)             AS std_value,
+       round(m3 / (m2 * sqrt(m2)), 6)       AS skewness,
+       round(m4 / (m2 * m2) - 3, 6)         AS kurtosis_excess
+FROM mm
+ORDER BY event_type
+""",
+)
+def events_value_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of event values per type via
+    EXACT integer moment sums — the same engine-portable recipe as
+    orders_price_lines_correlation extended to 3rd/4th moments: values to
+    integer cents with one double multiply+floor (identical op both
+    engines), raw sums Σv..Σv⁴ in DECIMAL(38,0) (DuckDB: HUGEINT), then
+    one fixed left-associative chain of double ops. Built-in skewness() /
+    kurtosis() run order-dependent float accumulators and also disagree
+    between engines on sample-vs-population convention — this does neither.
+
+    Scale: one map-side-combined groupBy to 5 rows; cent⁴ products are
+    ≤1e20 per row, so DECIMAL(38,0) partials hold past 1e17 rows.
+    """
+    events = _t(spark, sf_dir, "events")["events"]
+    dec = "decimal(38,0)"
+    vc = F.floor(F.col("value").cast("double") * 100).cast("long")
+    s = (
+        events.select("event_type", vc.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("vc").cast(dec)).alias("s1"),
+            F.sum((F.col("vc") * F.col("vc")).cast(dec)).alias("s2"),
+            F.sum((F.col("vc") * F.col("vc") * F.col("vc")).cast(dec)).alias("s3"),
+            F.sum(
+                (F.col("vc") * F.col("vc") * F.col("vc") * F.col("vc")).cast(dec)
+            ).alias("s4"),
+        )
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        (F.col("s2").cast("double") / F.col("n")).alias("ex2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("ex3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("ex4"),
+    )
+    mean = F.col("mean")
+    mm = m.select(
+        "event_type",
+        "n",
+        "mean",
+        (F.col("ex2") - mean * mean).alias("m2"),
+        (F.col("ex3") - F.lit(3) * mean * F.col("ex2") + F.lit(2) * mean * mean * mean).alias("m3"),
+        (
+            F.col("ex4")
+            - F.lit(4) * mean * F.col("ex3")
+            + F.lit(6) * mean * mean * F.col("ex2")
+            - F.lit(3) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return mm.select(
+        "event_type",
+        "n",
+        F.round(F.col("mean") / 100, 4).alias("mean_value"),
+        F.round(F.sqrt(m2) / 100, 4).alias("std_value"),
+        F.round(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(F.col("m4") / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("event_type")

@@ -149,3 +149,36 @@ def test_zorder_three_columns(spark, sf_correctness_dir, tmp_path):
     assert hit < N_FILES, f"no pruning on the third dimension: {hit}/{N_FILES}"
     # content preserved
     assert spark.read.parquet(zo).count() == ev.count()
+
+
+def test_retention_sweep_two_phase(spark, tmp_path):
+    from kafka_clickhouse_example_spark.operators.layout import retention_sweep
+
+    table = str(tmp_path / "events_lake")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in range(10, 16) for i in range(20)],
+        "v int, day string",
+    )
+    df.write.partitionBy("day").parquet(table)
+
+    # dry run: reports, touches nothing
+    rep = retention_sweep(spark, table, "day", "2024-01-13", dry_run=True)
+    assert rep["expired"] == ["2024-01-10", "2024-01-11", "2024-01-12"]
+    assert spark.read.parquet(table).select("day").distinct().count() == 6
+
+    # sweep: expired partitions parked in trash, readers see only kept days
+    rep = retention_sweep(spark, table, "day", "2024-01-13")
+    # str(): partition-type inference reads ISO day strings back as DATEs
+    kept = {str(r.day) for r in spark.read.parquet(table).select("day").distinct().collect()}
+    assert kept == {"2024-01-13", "2024-01-14", "2024-01-15"}
+    trash = table + "__trash"
+    parked = spark.read.parquet(trash + "/day=2024-01-10")
+    assert parked.count() == 20  # every byte recoverable before purge
+
+    # idempotent re-run, then purge actually deletes
+    rep = retention_sweep(spark, table, "day", "2024-01-13", purge_trash=True)
+    assert rep["expired"] == []
+    assert rep["purged"] == ["2024-01-10", "2024-01-11", "2024-01-12"]
+    import os
+
+    assert os.listdir(trash) == []
