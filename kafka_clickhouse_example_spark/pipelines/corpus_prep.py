@@ -7,6 +7,7 @@ engine actually runs, wiring the operator library into one pipeline:
       -> near-dup dedup      (Jaccard pairs -> connected components ->
                               keep the highest-quality member per cluster)
       -> decontamination     (drop docs sharing n-grams with the eval set)
+      -> PII scrub           (pii.pii_redact in place + incidence count)
       -> split assignment    (deterministic hash 80/10/10)
       -> partitioned write   (parquet partitioned by split, lang)
 
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import dedup as D
+from kafka_clickhouse_example_spark.operators import pii as P
 from kafka_clickhouse_example_spark.operators import text as T
 from kafka_clickhouse_example_spark.operators.decontam import contamination_hits
 from kafka_clickhouse_example_spark.operators.sampling import with_split
@@ -96,8 +98,15 @@ def prepare_corpus(
         kept_c = kept_n
     stats["after_decontam"] = kept_c.count()
 
-    # 5. split + partitioned write
-    final = with_split(kept_c, "doc_id").select(
+    # 5. PII scrub — redact in place (map-side, no shuffle) and account for
+    # how many surviving docs carried any identifier; a release gate would
+    # alert on this number rather than ship it
+    scanned = P.pii_scan(kept_c)
+    stats["docs_with_pii"] = scanned.filter(F.col("n_pii") > 0).count()
+    kept_p = P.pii_redact(kept_c).withColumn("text", F.col("redacted")).drop("redacted")
+
+    # 6. split + partitioned write
+    final = with_split(kept_p, "doc_id").select(
         "doc_id", "text", "lang", "source", "n_chars", "split"
     )
     final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)

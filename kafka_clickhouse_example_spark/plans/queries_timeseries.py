@@ -367,3 +367,128 @@ def events_intraday_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hh")
     )
+
+
+@register(
+    "events_hourly_autocorrelation",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, h
+),
+paired AS (
+  SELECT a.event_type, a.n AS x, b.n AS y
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.h = a.h + 1
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM paired GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS lag1_autocorr
+FROM s
+ORDER BY event_type
+""",
+)
+def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type —
+    the burstiness/periodicity signal a capacity planner reads. Pearson
+    over consecutive-hour count pairs with EXACT integer moment sums
+    (counts are integers; the only doubles are the final fixed chain), so
+    the result is bit-stable across engines and partitionings.
+
+    Scale: events collapse to the (type, hour) rollup first — cardinality
+    is the time range — and the consecutive-hour self-join runs on that
+    compact relation, not on raw events. Missing hours simply contribute no
+    pair (gap semantics, mirrored in the oracle join).
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.expr("unix_millis(ts) div 3600000").alias("h")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.h") == F.col("a.h") + 1),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    s = paired.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / (denx * deny), 6).alias("lag1_autocorr"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_value_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM events
+  WHERE floor(CAST(value AS DOUBLE) * 100) >= 1
+),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT d AS first_digit, n,
+       round(CAST(n AS DOUBLE) / t, 6) AS observed_p,
+       round(log10(1.0 + CAST(1 AS DOUBLE) / d), 6) AS benford_p
+FROM counts, total
+ORDER BY first_digit
+""",
+)
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the value column — the classic
+    fabricated-data / instrumentation-bug screen: observed first-digit
+    shares next to the Benford expectation log10(1 + 1/d).
+
+    Integer extraction (cents via the shared floor(v*100) op, first digit
+    via string head) keeps counting exact; log10 on the 9 constant
+    ratios is the only libm call and is evaluated identically by both
+    engines on identical rational inputs. Scale: map + 9-row aggregate.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value").cast("double") * 100).cast("bigint")
+    digits = events.select(vc.alias("vc")).filter(F.col("vc") >= 1).select(
+        F.substring(F.col("vc").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed_p"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0).cast("double") / F.col("d")), 6).alias("benford_p"),
+        )
+        .orderBy("first_digit")
+    )

@@ -27,7 +27,17 @@ def prepared(spark, sf_dir, tmp_path_factory):
     copies = base.filter(F.col("doc_id") % 101 == 7).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
-    docs = base.unionByName(copies)
+    # plant one PII-bearing doc (unique English text so it survives the
+    # quality gate and both dedup stages) so the scrub stage has real work
+    pii_text = (
+        "the quick brown fox jumps over the lazy dog and then writes to "
+        "john.doe@example.com about the weather in the city where the river runs"
+    )
+    planted_pii = spark.createDataFrame(
+        [(3_000_000, pii_text, "en", "src0", len(pii_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = base.unionByName(copies).unionByName(planted_pii)
     # plant an eval set that overlaps real docs so decontamination must act
     eval_df = base.filter(F.col("doc_id") % 97 == 3).select("doc_id", "text")
     stats = prepare_corpus(spark, docs, out, eval_df=eval_df)
@@ -67,3 +77,17 @@ def test_output_is_decontaminated_and_split(spark, prepared):
     assert splits <= {"train", "val", "test"} and "train" in splits
     # hive layout: partition dirs by split then lang
     assert glob.glob(out + "/split=train/lang=*/*.parquet")
+
+
+def test_output_is_pii_scrubbed(spark, prepared):
+    from kafka_clickhouse_example_spark.operators import pii as P
+
+    docs, out, stats = prepared
+    final = spark.read.parquet(out)
+    # the planted PII doc survived to the scrub stage and was counted
+    assert stats["docs_with_pii"] >= 1
+    planted = final.filter(F.col("doc_id") == 3_000_000).collect()
+    assert len(planted) == 1
+    assert "[EMAIL]" in planted[0].text and "@" not in planted[0].text
+    # nothing that ships still matches any PII pattern
+    assert P.pii_scan(final).filter(F.col("n_pii") > 0).count() == 0
