@@ -1873,3 +1873,72 @@ def events_value_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(F.col("m4") / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_value_mad_outliers",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, v.vc, abs(v.vc - med.med) AS adev, med.med
+  FROM v JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(max(d.med) AS DOUBLE) / 100, 4) AS median_value,
+       round(CAST(max(m.mad) AS DOUBLE) / 100, 4) AS mad_value,
+       CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via median absolute deviation — the
+    z-score gate's (events_value_outliers) heavy-tail-safe sibling: flag
+    values beyond 3 × 1.4826 × MAD of the per-type median.
+
+    Cross-engine exactness: values are integer cents, so the p=0.5
+    interpolation midpoint is exact (the orders_median trick); absolute
+    deviations are then half-integers and THEIR median is a quarter-integer
+    — still exact in double. The 3×1.4826 scale factor multiplies
+    identically-computed doubles on both engines, so even boundary rows
+    classify identically.
+
+    Scale: three column-pruned scans of (type, value) with 5-row broadcast
+    joins between them — at 100 TB, re-scanning a 2-column projection
+    beats materializing O(rows) state; each pass is a map + tiny agg.
+    """
+    events = _t(spark, sf_dir, "events")["events"]
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100).cast("bigint").alias("vc"),
+    )
+    med = v.groupBy("event_type").agg(F.percentile("vc", F.lit(0.5)).alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("vc") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("med").cast("double") / 100, 4).alias("median_value"),
+            F.round(F.max("mad").cast("double") / 100, 4).alias("mad_value"),
+            F.count_if(F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,6 +1,7 @@
 """Operational diagnostics: the reports an engineer runs BEFORE launching a
 100 TB job — join-key skew profiling (does this key need salting / AQE skew
-handling?) and Count-Min frequency estimation quality.
+handling?), exact join-output cardinality prediction (will this join
+explode?), and Count-Min frequency estimation quality.
 
 Scale design: both reports aggregate to per-key frequencies first (one
 shuffle on the key being profiled — the same shuffle the real join would
@@ -123,4 +124,72 @@ def events_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).cast("bigint").alias("overestimate"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "diag_join_cardinality",
+    oracle="""
+WITH ol AS (
+  SELECT 'orders x lineitem ON orderkey' AS join_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS left_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS right_rows,
+         (SELECT CAST(sum(a.n * b.n) AS BIGINT) FROM
+            (SELECT o_orderkey k, count(*) n FROM orders GROUP BY 1) a
+            JOIN (SELECT l_orderkey k, count(*) n FROM lineitem GROUP BY 1) b
+            USING (k)) AS predicted_rows
+),
+co AS (
+  SELECT 'customer x orders ON custkey' AS join_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS left_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS right_rows,
+         (SELECT CAST(sum(a.n * b.n) AS BIGINT) FROM
+            (SELECT c_custkey k, count(*) n FROM customer GROUP BY 1) a
+            JOIN (SELECT o_custkey k, count(*) n FROM orders GROUP BY 1) b
+            USING (k)) AS predicted_rows
+)
+SELECT * FROM ol UNION ALL SELECT * FROM co
+ORDER BY join_name
+""",
+)
+def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-output cardinality prediction — Σ_k freq_left(k) ×
+    freq_right(k) over the key histograms — without executing the join.
+    What a planner's estimator approximates with sketches, computed
+    exactly here as the pre-flight check for 'will this join explode'.
+
+    Scale: two per-key frequency aggregates (compact histograms) joined on
+    the key — the histograms are #distinct-keys rows, so the prediction
+    costs two rollups plus a histogram join, not the join's own output.
+    """
+    configure_runtime(spark)
+
+    def predict(left: DataFrame, lk: str, right: DataFrame, rk: str, name: str) -> DataFrame:
+        fa = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("na"))
+        fb = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("nb"))
+        pred = fa.join(fb, "k").agg(
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("predicted_rows")
+        )
+        counts = left.agg(F.count("*").cast("bigint").alias("left_rows")).crossJoin(
+            right.agg(F.count("*").cast("bigint").alias("right_rows"))
+        )
+        return (
+            counts.crossJoin(F.broadcast(pred))
+            .select(
+                F.lit(name).alias("join_name"),
+                "left_rows",
+                "right_rows",
+                F.coalesce("predicted_rows", F.lit(0)).alias("predicted_rows"),
+            )
+        )
+
+    orders = load_compute_table(spark, sf_dir, "orders")
+    lineitem = load_compute_table(spark, sf_dir, "lineitem")
+    customer = load_compute_table(spark, sf_dir, "customer")
+    return (
+        predict(orders, "o_orderkey", lineitem, "l_orderkey", "orders x lineitem ON orderkey")
+        .unionByName(
+            predict(customer, "c_custkey", orders, "o_custkey", "customer x orders ON custkey")
+        )
+        .orderBy("join_name")
     )
