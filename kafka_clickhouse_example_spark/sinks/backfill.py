@@ -225,3 +225,47 @@ def start_rollup_matview_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cms_matview(
+    stream_df: DataFrame, key_col: str, partials_path: str, checkpoint: str
+):
+    """Incrementally-maintained Count-Min sketch over a stream — heavy-
+    hitter frequencies without ever storing per-key state.
+
+    Exactly-once by construction: each micro-batch's partial sketch lands
+    under ``batch=<id>`` with mode("overwrite"), so a crash-replayed batch
+    overwrites ITS OWN partial instead of double-counting (the idempotence
+    trick the exactly-once rollup uses, applied to mergeable sketch
+    state). The queryable sketch is the cell-wise sum of all partials —
+    CMS merge is exact (tests/test_sketches.py), so the streamed sketch is
+    bit-identical to one built over the full history in batch.
+
+    Scale: each partial is <= depth*width (8,192) rows regardless of batch
+    size; a year of 5-minute batches is ~10^5 partials x KBs — compact the
+    partials directory with cms_merge + overwrite when it grows.
+    """
+    from kafka_clickhouse_example_spark.operators.sketches import cms_build
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        cms_build(batch_df, key_col).write.mode("overwrite").parquet(
+            f"{partials_path}/batch={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
+    """The queryable sketch: cell-wise sum over all landed partials."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(partials_path)
+        .groupBy("r", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -60,3 +60,44 @@ def test_cms_sketch_is_bounded(spark, sf_dir):
     events = _events(spark, sf_dir)
     n_cells = SK.cms_build(events, "event_id").count()  # worst case: unique keys
     assert n_cells <= SK.CMS_DEPTH * SK.CMS_WIDTH
+
+
+def test_cms_streaming_matview_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed sketch (per-batch partials, exactly-once landing) is
+    cell-for-cell identical to a batch build over the full history, and a
+    replayed batch does not double-count."""
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        read_cms_matview,
+        start_cms_matview,
+    )
+
+    events = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # several input files -> several micro-batches (maxFilesPerTrigger=1)
+    events.select("user_id").repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    partials = str(tmp_path / "partials")
+    q = start_cms_matview(stream, "user_id", partials, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    streamed = {(r.r, r.idx): r.cnt for r in read_cms_matview(spark, partials).collect()}
+    direct = {(r.r, r.idx): r.cnt for r in SK.cms_build(events, "user_id").collect()}
+    assert streamed == direct
+
+    # replay: re-landing a batch overwrites its own partial -> no drift
+    import glob
+
+    batch_dirs = sorted(glob.glob(partials + "/batch=*"))
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+    # collect the partial first: a lazy read of the same path we overwrite
+    # would execute after the overwrite deleted its input files
+    partial = spark.read.parquet(batch_dirs[0])
+    replay = spark.createDataFrame(partial.collect(), partial.schema)
+    replay.write.mode("overwrite").parquet(batch_dirs[0])
+    replayed = {(r.r, r.idx): r.cnt for r in read_cms_matview(spark, partials).collect()}
+    assert replayed == direct
