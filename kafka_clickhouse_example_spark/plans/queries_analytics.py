@@ -1942,3 +1942,160 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_part_affinity",
+    oracle="""
+WITH pair_orders AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2, a.l_orderkey
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pair_n AS (
+  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pair_orders GROUP BY p1, p2
+),
+part_n AS (
+  SELECT l_partkey AS p, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS t FROM lineitem
+)
+SELECT pn.p1, pn.p2, pn.n_pair,
+       round(CAST(pn.n_pair * tot.t AS DOUBLE) / (pa.n * pb.n), 4) AS lift
+FROM pair_n pn
+JOIN part_n pa ON pa.p = pn.p1
+JOIN part_n pb ON pb.p = pn.p2
+CROSS JOIN tot
+ORDER BY pn.n_pair DESC, pn.p1, pn.p2
+LIMIT 20
+""",
+)
+def orders_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top part pairs bought in the same order,
+    with lift = P(pair) / (P(a)·P(b)) — support counts exact, lift one
+    double division.
+
+    Scale: the pair explosion is a per-order self-join, bounded by
+    lines-per-order (≤7 in TPC-H shape), so it generates O(rows × lines)
+    pair rows — NOT an all-parts cartesian; per-part order counts and the
+    pair rollup are ordinary partial-agg shuffles on compact keys. The
+    result is TakeOrdered(20).
+    """
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pair_orders = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("a.l_orderkey").alias("l_orderkey"),
+        )
+        .distinct()
+    )
+    pair_n = pair_orders.groupBy("p1", "p2").agg(
+        F.count("*").cast("bigint").alias("n_pair")
+    )
+    part_n = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("t"))
+    pa = part_n.alias("pa")
+    pb = part_n.alias("pb")
+    return (
+        pair_n.join(pa, F.col("p1") == F.col("pa.p"))
+        .join(pb, F.col("p2") == F.col("pb.p"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(
+                (F.col("n_pair") * F.col("t")).cast("double")
+                / (F.col("pa.n") * F.col("pb.n")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "events_signup_to_purchase_latency",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS purchase_ms
+  FROM events e JOIN signups s
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase'
+   AND epoch_ms(e.ts) >= s.signup_ms
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT s.user_id,
+         s.signup_ms // 604800000 AS cohort_week,
+         fp.purchase_ms - s.signup_ms AS latency_ms
+  FROM signups s JOIN first_purchase fp USING (user_id)
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(quantile_cont(latency_ms, 0.5) AS DOUBLE) / 60000, 4) AS median_minutes
+FROM lat
+GROUP BY cohort_week
+ORDER BY cohort_week
+""",
+)
+def events_signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: per signup-week cohort, the exact median minutes
+    from a user's first signup to their first subsequent purchase.
+    Latencies are integer milliseconds, so the p=0.5 midpoint is exact in
+    double (the house exact-median trick); week bucketing is integer
+    epoch arithmetic.
+
+    Scale: two user-keyed aggregates and one user-keyed join — all on the
+    behavior family's one shuffle key; the median aggregates per cohort
+    over at most #users values.
+    """
+    events = _t(spark, sf_dir, "events")["events"]
+    ms = F.unix_millis("ts")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("signup_ms"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", ms.alias("pms")
+    )
+    first_purchase = (
+        purchases.join(signups, "user_id")
+        .filter(F.col("pms") >= F.col("signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("pms").alias("purchase_ms"))
+    )
+    lat = signups.join(first_purchase, "user_id").select(
+        F.expr("signup_ms div 604800000").alias("cohort_week"),
+        (F.col("purchase_ms") - F.col("signup_ms")).alias("latency_ms"),
+    )
+    return (
+        lat.groupBy(F.col("cohort_week").cast("bigint").alias("cohort_week"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.percentile("latency_ms", F.lit(0.5)).cast("double") / 60000, 4
+            ).alias("median_minutes"),
+        )
+        .orderBy("cohort_week")
+    )
