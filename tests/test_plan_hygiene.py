@@ -32,11 +32,24 @@ SWEEP = [
     "text_vocab_stats_per_source", "quality_gate_above_source_avg",
     "vocab_src_full_outer_diff", "sample_fixed_k_per_lang",
     "sample_documents_10pct",
+    # round-3 session-2 additions
+    "text_pii_scan", "text_pii_redact", "text_clean_normalize",
+    "events_dau_wau_mau", "events_attribution_last_touch",
+    "events_decayed_value_sum", "events_session_paths",
+    "events_value_skew_kurtosis", "events_hourly_autocorrelation",
+    "events_value_benford", "events_value_mad_outliers",
+    "orders_part_affinity", "events_signup_to_purchase_latency",
+    "diag_join_key_skew", "diag_join_cardinality",
 ]
 
 # Queries whose cross/nested-loop join is deliberate: a 1-row (or
 # |groups|-row) broadcast scalar/threshold side crossed into the scan.
-CROSS_OK = {"q11_important_parts", "events_value_outliers", "q22_idle_rich_customers"}
+CROSS_OK = {
+    "q11_important_parts", "events_value_outliers", "q22_idle_rich_customers",
+    # 1-row broadcast totals/stats crossed into compact relations
+    "events_value_benford", "diag_join_key_skew", "diag_join_cardinality",
+    "orders_part_affinity",
+}
 
 
 @pytest.fixture(scope="module")
