@@ -1780,12 +1780,13 @@ WITH c AS (
   FROM events
 ),
 s AS (
+  -- first factor HUGEINT: cent^4 tops BIGINT from ~55k cents (9.2e18)
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
-         sum(vc)                  AS s1,
-         sum(vc * vc)             AS s2,
-         sum(vc * vc * vc)        AS s3,
-         sum(vc * vc * vc * vc)   AS s4
+         sum(vc)                                         AS s1,
+         sum(CAST(vc AS HUGEINT) * vc)                   AS s2,
+         sum(CAST(vc AS HUGEINT) * vc * vc)              AS s3,
+         sum(CAST(vc AS HUGEINT) * vc * vc * vc)         AS s4
   FROM c GROUP BY event_type
 ),
 m AS (
@@ -1827,19 +1828,24 @@ def events_value_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤1e20 per row, so DECIMAL(38,0) partials hold past 1e17 rows.
     """
     events = _t(spark, sf_dir, "events")["events"]
-    dec = "decimal(38,0)"
     vc = F.floor(F.col("value").cast("double") * 100).cast("long")
+    # Products run in DECIMAL from the FIRST factor: cent^4 exceeds BIGINT
+    # from ~55k cents (9.2e18) — a LONG multiply chain overflows (ANSI
+    # throws; legacy wraps silently while DuckDB widens to HUGEINT, the
+    # exact cross-engine divergence ADVICE r2 flagged in the z-score gate).
+    # DECIMAL(9,0) factors: the 4-way product's declared precision caps at
+    # 38, and actual values (<=1e20 for cents<=1e5) fit DECIMAL(38,0) with
+    # room to spare, so the cap never truncates.
+    vcd = F.col("vc").cast("decimal(9,0)")
     s = (
         events.select("event_type", vc.alias("vc"))
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("vc").cast(dec)).alias("s1"),
-            F.sum((F.col("vc") * F.col("vc")).cast(dec)).alias("s2"),
-            F.sum((F.col("vc") * F.col("vc") * F.col("vc")).cast(dec)).alias("s3"),
-            F.sum(
-                (F.col("vc") * F.col("vc") * F.col("vc") * F.col("vc")).cast(dec)
-            ).alias("s4"),
+            F.sum(F.col("vc").cast("decimal(18,0)")).alias("s1"),
+            F.sum(vcd * vcd).alias("s2"),
+            F.sum(vcd * vcd * vcd).alias("s3"),
+            F.sum(vcd * vcd * vcd * vcd).alias("s4"),
         )
     )
     m = s.select(
@@ -1964,7 +1970,7 @@ tot AS (
   SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS t FROM lineitem
 )
 SELECT pn.p1, pn.p2, pn.n_pair,
-       round(CAST(pn.n_pair * tot.t AS DOUBLE) / (pa.n * pb.n), 4) AS lift
+       round(CAST(pn.n_pair AS DOUBLE) * tot.t / (CAST(pa.n AS DOUBLE) * pb.n), 4) AS lift
 FROM pair_n pn
 JOIN part_n pa ON pa.p = pn.p1
 JOIN part_n pb ON pb.p = pn.p2
@@ -2018,9 +2024,13 @@ def orders_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             "n_pair",
+            # doubles from the FIRST factor: n_pair*t and na*nb overflow a
+            # LONG at full scale (support counts reach 1e9-scale); the
+            # double chain is identical both engines, so still hash-stable
             F.round(
-                (F.col("n_pair") * F.col("t")).cast("double")
-                / (F.col("pa.n") * F.col("pb.n")),
+                F.col("n_pair").cast("double")
+                * F.col("t")
+                / (F.col("pa.n").cast("double") * F.col("pb.n")),
                 4,
             ).alias("lift"),
         )

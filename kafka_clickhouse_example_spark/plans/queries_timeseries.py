@@ -427,13 +427,17 @@ def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("a.n").alias("x"),
         F.col("b.n").alias("y"),
     )
+    # moment sums in DECIMAL (DuckDB: HUGEINT): n*sxx etc. would overflow a
+    # LONG once hourly counts reach ~1e7 at full scale — same widening rule
+    # as orders_price_lines_correlation
+    dec = "decimal(27,0)"
     s = paired.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
