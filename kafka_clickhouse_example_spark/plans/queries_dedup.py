@@ -979,3 +979,55 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- recursive CTE surface (Spark 4) --------------------------------------
+
+# One SQL text, two engines: {table} is the only dialect difference. Spark 4
+# supports WITH RECURSIVE with UNION ALL only (UNION-distinct recursion is
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), so the traversal carries
+# an explicit depth bound — which also makes it cycle-safe on the undirected
+# duplicate graph and caps the iteration count at 3 joins regardless of data.
+_REACH3_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM {table} a JOIN {table} b
+    ON md5(a.text) = md5(b.text) AND a.doc_id <> b.doc_id
+),
+seeds AS (
+  SELECT src AS seed FROM edges GROUP BY src
+  HAVING src < min(dst)
+),
+reach(seed, node, depth) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 3
+)
+SELECT seed AS canonical_id,
+       CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reachable
+FROM reach GROUP BY seed ORDER BY canonical_id
+"""
+
+
+@register("dedup_reach3_sql_recursive", oracle=_REACH3_SQL.format(table="documents"))
+def dedup_reach3_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded duplicate reachability via a RECURSIVE CTE — the SQL
+    surface a warehouse user expects, executed by Spark 4's iterative CTE
+    runtime on the exact same SQL text the DuckDB oracle runs (only the
+    table name differs). Seeds are each duplicate group's canonical (the
+    doc smaller than every sibling); the traversal walks the undirected
+    exact-dup edge graph at most 3 hops.
+
+    Scale honesty: each recursion level is a full join + union step, so
+    depth-bounded traversals (3 iterations here) are fine, but UNBOUNDED
+    closure over big graphs belongs to operators/dedup.duplicate_clusters
+    (the driver-loop CC operator with lineage cuts) — this query is the
+    SQL-parity surface, not the 100 TB path. The edge relation itself is
+    an md5 equi-join (hash-bucketed, never all-pairs).
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_rcte")
+    return spark.sql(_REACH3_SQL.format(table="documents_rcte"))

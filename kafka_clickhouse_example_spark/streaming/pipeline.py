@@ -57,6 +57,22 @@ def normalized_stream(raw: DataFrame) -> DataFrame:
     return flows_from_json(raw)
 
 
+def normalized_stream_observed(raw: DataFrame) -> DataFrame:
+    """normalized_stream plus OBSERVABLE METRICS: the reference logs every
+    dropped record at ingest (ingest_kafka.go:40-42); the Spark-first
+    equivalent is ``observe()`` accounting surfaced through query progress
+    — per-micro-batch n_raw (pre-decode) and n_flows (post-drop) counts in
+    ``observedMetrics``, so malformed-drop rates are monitorable without a
+    second pass or a side channel. Metrics ride the existing plan
+    (AggregateMetrics nodes), adding no shuffle and no extra scan.
+    """
+    from pyspark.sql import functions as F
+
+    observed_raw = raw.observe("ingest", F.count(F.lit(1)).alias("n_raw"))
+    flows = flows_from_json(observed_raw)
+    return flows.observe("normalize", F.count(F.lit(1)).alias("n_flows"))
+
+
 def with_event_time(flows: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Attach an event-time column (epoch-ms double -> timestamp) + watermark.
 

