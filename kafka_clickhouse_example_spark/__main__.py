@@ -4,6 +4,8 @@
         [--limit N] [--explain]
     python -m kafka_clickhouse_example_spark --list
     python -m kafka_clickhouse_example_spark --prepare-corpus OUT_DIR [--sf-dir DIR]
+    python -m kafka_clickhouse_example_spark --retention-sweep DIR COL CUTOFF
+        [--dry-run] [--purge-trash]
 
 Prints result rows as JSON lines on stdout (timestamps ISO-8601), so the
 output composes with jq/duckdb the way the reference's clickhouse-client
@@ -34,7 +36,33 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
         help="run the end-to-end corpus-preparation pipeline, write the "
         "prepared corpus to OUT_DIR, print per-stage counts as JSON",
     )
+    ap.add_argument(
+        "--retention-sweep",
+        nargs=3,
+        metavar=("TABLE_DIR", "PARTITION_COL", "CUTOFF"),
+        help="expire partitions below CUTOFF into <dir>__trash (two-phase; "
+        "add --purge-trash to delete parked bytes); prints the report as JSON",
+    )
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--purge-trash", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.retention_sweep:
+        import json
+
+        from kafka_clickhouse_example_spark.operators.layout import retention_sweep
+
+        table_dir, col, cutoff = args.retention_sweep
+        report = retention_sweep(
+            get_spark(),
+            table_dir,
+            col,
+            cutoff,
+            dry_run=args.dry_run,
+            purge_trash=args.purge_trash,
+        )
+        print(json.dumps(report), file=out)
+        return 0
 
     if args.prepare_corpus:
         import json
