@@ -205,3 +205,39 @@ def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id2").cast("bigint").alias("id2"),
         F.col("hamming").cast("bigint").alias("hamming"),
     ).orderBy("id1", "id2")
+
+
+@register(
+    "mm_video_scene_changes",
+    oracle=f"""
+WITH videos AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         least(octet_length(encode(text)) // {M.FRAME_SIZE}, {M.MAX_FRAMES}) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+bytes AS (
+  SELECT media_id, (i - 1) // {M.FRAME_SIZE} AS frame_no,
+         ('0x' || substring(hx, 2*i - 1, 2))::BIGINT AS b
+  FROM videos, unnest(range(1, n_frames * {M.FRAME_SIZE} + 1)) AS t(i)
+),
+sums AS (
+  SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+         CAST(sum(b) AS BIGINT) AS frame_sum
+  FROM bytes GROUP BY media_id, frame_no
+)
+SELECT media_id, frame_no, frame_sum,
+       coalesce(abs(frame_sum - lag(frame_sum)
+                    OVER (PARTITION BY media_id ORDER BY frame_no))
+                > {M.SCENE_DELTA_THRESHOLD}, FALSE) AS is_change
+FROM sums
+ORDER BY media_id, frame_no
+""",
+)
+def mm_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level scene boundaries for the video corpus: the oracle
+    re-derives every byte from hex (the audio-energy certification
+    pattern), so a hash match proves the Arrow pass computed the exact
+    same frame sums and boundary flags as an independent per-byte SQL
+    reconstruction."""
+    videos = _media(spark, sf_dir).filter(F.col("kind") == "video")
+    return M.video_scene_changes(videos).orderBy("media_id", "frame_no")
