@@ -685,3 +685,23 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("bigint").alias("len_clean"),
         F.md5(clean.cast("binary")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@register("text_bpe_learned_merges")  # rows-only: iterative argmax training isn't SQL
+def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 BPE merge rules learned from the corpus (rank, pair,
+    weighted count) — tokenizer TRAINING as a first-class distributed
+    operator (operators/bpe.py). Deterministic on any partitioning via the
+    (count DESC, left, right) argmax tiebreak; certified against a pure-
+    Python reference implementation in tests/test_bpe.py rather than a SQL
+    oracle (the greedy loop is iterative by nature).
+
+    Scale: training state is the word-frequency table — vocabulary-sized,
+    built in ONE corpus pass; each merge is a bounded pair-count shuffle
+    plus a TakeOrdered(1).
+    """
+    from kafka_clickhouse_example_spark.operators import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    merges = B.train_bpe(docs, n_merges=8)
+    return B.merges_df(spark, merges).orderBy("rank")
