@@ -165,13 +165,16 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
 
     def predict(left: DataFrame, lk: str, right: DataFrame, rk: str, name: str) -> DataFrame:
-        fa = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("na"))
-        fb = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("nb"))
+        # one scan per table: the freq histograms are the only pass, and
+        # row counts derive from them (sum of freqs) instead of a second
+        # count() scan — the histograms materialize once for both uses
+        fa = materialize(left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("na")))
+        fb = materialize(right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("nb")))
         pred = fa.join(fb, "k").agg(
             F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("predicted_rows")
         )
-        counts = left.agg(F.count("*").cast("bigint").alias("left_rows")).crossJoin(
-            right.agg(F.count("*").cast("bigint").alias("right_rows"))
+        counts = fa.agg(F.sum("na").cast("bigint").alias("left_rows")).crossJoin(
+            fb.agg(F.sum("nb").cast("bigint").alias("right_rows"))
         )
         return (
             counts.crossJoin(F.broadcast(pred))
