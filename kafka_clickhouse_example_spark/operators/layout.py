@@ -192,22 +192,23 @@ def retention_sweep(
     prefix = f"{partition_col}="
     kept: list[str] = []
     expired: list[str] = []
-    entries = []
+    expired_paths = []
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if not (status.isDirectory() and name.startswith(prefix)):
             continue
         value = name[len(prefix):]
-        (expired if value < cutoff else kept).append(value)
-        entries.append((value, status.getPath()))
+        if value < cutoff:
+            expired.append(value)
+            expired_paths.append(status.getPath())
+        else:
+            kept.append(value)
     purged: list[str] = []
     if not dry_run:
         trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__trash")
         if expired:
             fs.mkdirs(trash)
-        for value, ppath in entries:
-            if value >= cutoff:
-                continue
+        for ppath in expired_paths:
             target = jvm.org.apache.hadoop.fs.Path(trash, ppath.getName())
             fs.delete(target, True)  # clear a crashed prior sweep's copy
             if not fs.rename(ppath, target):

@@ -103,7 +103,11 @@ def prepare_corpus(
     # alert on this number rather than ship it
     scanned = P.pii_scan(kept_c)
     stats["docs_with_pii"] = scanned.filter(F.col("n_pii") > 0).count()
-    kept_p = P.pii_redact(kept_c).withColumn("text", F.col("redacted")).drop("redacted")
+    # redact in place and recompute n_chars — shipping the pre-redaction
+    # length would silently desync metadata for every scrubbed doc
+    kept_p = kept_c.withColumn("text", P.redact_expr(F.col("text"))).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
 
     # 6. split + partitioned write
     final = with_split(kept_p, "doc_id").select(

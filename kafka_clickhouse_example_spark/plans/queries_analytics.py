@@ -1833,10 +1833,12 @@ def events_value_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from ~55k cents (9.2e18) — a LONG multiply chain overflows (ANSI
     # throws; legacy wraps silently while DuckDB widens to HUGEINT, the
     # exact cross-engine divergence ADVICE r2 flagged in the z-score gate).
-    # DECIMAL(9,0) factors: the 4-way product's declared precision caps at
-    # 38, and actual values (<=1e20 for cents<=1e5) fit DECIMAL(38,0) with
-    # room to spare, so the cap never truncates.
-    vcd = F.col("vc").cast("decimal(9,0)")
+    # DECIMAL(18,0) factors: the 4-way product's declared precision caps at
+    # 38; actual values fit DECIMAL(38,0) for cents up to ~3e9 (values to
+    # ~$30M) — the per-VALUE domain is the binding constraint here, not row
+    # count. A narrower factor type would itself overflow on large single
+    # values (ANSI throw / silent NULL divergence).
+    vcd = F.col("vc").cast("decimal(18,0)")
     s = (
         events.select("event_type", vc.alias("vc"))
         .groupBy("event_type")

@@ -134,7 +134,7 @@ WITH ol AS (
   SELECT 'orders x lineitem ON orderkey' AS join_name,
          (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS left_rows,
          (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS right_rows,
-         (SELECT CAST(sum(a.n * b.n) AS BIGINT) FROM
+         (SELECT coalesce(CAST(sum(a.n * b.n) AS BIGINT), 0) FROM
             (SELECT o_orderkey k, count(*) n FROM orders GROUP BY 1) a
             JOIN (SELECT l_orderkey k, count(*) n FROM lineitem GROUP BY 1) b
             USING (k)) AS predicted_rows
@@ -143,7 +143,7 @@ co AS (
   SELECT 'customer x orders ON custkey' AS join_name,
          (SELECT CAST(count(*) AS BIGINT) FROM customer) AS left_rows,
          (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS right_rows,
-         (SELECT CAST(sum(a.n * b.n) AS BIGINT) FROM
+         (SELECT coalesce(CAST(sum(a.n * b.n) AS BIGINT), 0) FROM
             (SELECT c_custkey k, count(*) n FROM customer GROUP BY 1) a
             JOIN (SELECT o_custkey k, count(*) n FROM orders GROUP BY 1) b
             USING (k)) AS predicted_rows

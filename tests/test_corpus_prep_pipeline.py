@@ -91,3 +91,5 @@ def test_output_is_pii_scrubbed(spark, prepared):
     assert "[EMAIL]" in planted[0].text and "@" not in planted[0].text
     # nothing that ships still matches any PII pattern
     assert P.pii_scan(final).filter(F.col("n_pii") > 0).count() == 0
+    # n_chars metadata stays consistent with the REDACTED text
+    assert final.filter(F.col("n_chars") != F.length("text")).count() == 0
