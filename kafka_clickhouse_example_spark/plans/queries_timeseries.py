@@ -496,3 +496,138 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "events_revenue_trend_ols",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_ms(ts) // 86400000 AS d,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS rev_c
+  FROM events WHERE event_type = 'purchase' GROUP BY d
+),
+x AS (
+  SELECT d - (SELECT min(d) FROM daily) AS t, rev_c FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(t AS HUGEINT))          AS st,
+         sum(CAST(t AS HUGEINT) * t)      AS stt,
+         sum(CAST(rev_c AS HUGEINT))      AS sy,
+         sum(CAST(t AS HUGEINT) * rev_c)  AS sty
+  FROM x
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             / 100, 4) AS slope_per_day,
+       round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100, 4) AS intercept
+FROM s
+""",
+)
+def events_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend of daily purchase revenue: slope and intercept
+    from exact integer moment sums (normal equations), one fixed double
+    chain at the end — no iterative fitting, no float accumulators, same
+    recipe as the correlation/moments family. Day index is zero-based from
+    the observed minimum so the sums stay small.
+
+    Scale: one rollup to #days rows, one 1-row moment aggregate over it.
+    Moment sums run in DECIMAL (HUGEINT in the oracle): t*rev_c reaches
+    ~1e16 per day-row at full scale and sums past LONG.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_millis(ts) div 86400000").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value").cast("double") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    dmin = daily.agg(F.min("d").alias("mn"))
+    x = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("mn")).alias("t"), "rev_c"
+    )
+    dec = "decimal(27,0)"
+    s = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+        F.sum(F.col("rev_c").cast(dec)).alias("sy"),
+        F.sum((F.col("t") * F.col("rev_c")).cast(dec)).alias("sty"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    sy = F.col("sy").cast("double")
+    sty = F.col("sty").cast("double")
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    return s.select(
+        "n",
+        F.round(slope / 100, 4).alias("slope_per_day"),
+        F.round((sy - slope * st) / n / 100, 4).alias("intercept"),
+    )
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, d
+),
+paired AS (
+  SELECT a.event_type, a.n AS actual, b.n AS forecast
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(abs(actual - forecast)) AS DOUBLE) / count(*), 4) AS mae,
+       round(CAST(sum(abs(actual - forecast)) AS DOUBLE) / sum(actual), 6) AS wape
+FROM paired GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today = same
+    weekday last week) on daily counts per type: MAE and weighted absolute
+    percentage error, all-integer until two final divisions. The honest
+    baseline every fancier forecaster must beat — and the error metric
+    pipeline is the reusable part.
+
+    Scale: rollup to (type, day), self-join on the compact rollup at
+    lag 7 — cardinality is the time range, never the event count.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") == F.col("a.d") - 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("actual"),
+        F.col("b.n").alias("forecast"),
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.sum(err).cast("double") / F.count("*"), 4).alias("mae"),
+            F.round(F.sum(err).cast("double") / F.sum("actual"), 6).alias("wape"),
+        )
+        .orderBy("event_type")
+    )
