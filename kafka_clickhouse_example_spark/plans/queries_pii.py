@@ -196,3 +196,53 @@ def text_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+K_ANONYMITY = 5
+BUCKET = 100  # n_chars quasi-identifier coarsening
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, n_chars // {BUCKET} AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source, len_bucket
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                                   AS n_cells,
+       CAST(count(*) FILTER (WHERE n < {K_ANONYMITY}) AS BIGINT)  AS risky_cells,
+       CAST(coalesce(sum(n) FILTER (WHERE n < {K_ANONYMITY}), 0) AS BIGINT) AS risky_docs,
+       CAST(min(n) AS BIGINT)                                     AS min_cell_size
+FROM cells GROUP BY lang
+ORDER BY lang
+""",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier cell (lang, source,
+    coarsened length): cells smaller than k=5 mark documents
+    re-identifiable by metadata alone even after text redaction — the
+    release check that complements the content-level PII scrub.
+
+    Scale: one groupBy to the quasi-identifier cells (bounded by the
+    attribute cross-product, not row count), then a #langs-row rollup.
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang", "source", F.expr(f"n_chars div {BUCKET}").alias("len_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    risky = F.col("n") < K_ANONYMITY
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.count_if(risky).cast("bigint").alias("risky_cells"),
+            F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0))
+            .cast("bigint")
+            .alias("risky_docs"),
+            F.min("n").cast("bigint").alias("min_cell_size"),
+        )
+        .orderBy("lang")
+    )

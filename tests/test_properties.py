@@ -166,3 +166,57 @@ def test_temperature_rates_monotone_and_bounded(counts):
     for a, b in zip(ordered, ordered[1:]):
         assert rates[a] >= rates[b]           # bigger stratum, smaller rate
         assert a * rates[a] <= b * rates[b] * 1.0 + b  # kept mass non-decreasing (+1 doc slack for floor)
+
+
+# --- PII scrubber properties ----------------------------------------------
+
+
+def _ref_luhn(digits: str) -> bool:
+    ds = [int(c) for c in digits if c.isdigit()]
+    if len(ds) < 12:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=16, max_size=16),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_luhn_matches_python_reference(spark, numbers):
+    from kafka_clickhouse_example_spark.operators.pii import luhn_valid
+
+    df = spark.createDataFrame([(n,) for n in numbers], "cc string")
+    got = {r.cc: r.ok for r in df.select("cc", luhn_valid(F.col("cc")).alias("ok")).collect()}
+    assert got == {n: _ref_luhn(n) for n in numbers}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.sampled_from("word data spark value row table".split()), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=10**9),
+)
+def test_planted_email_always_found_and_scrubbed(spark, words, uid):
+    """Whatever benign text surrounds it, a planted email is detected and
+    the redacted output carries no '@' and no residual pattern match."""
+    from kafka_clickhouse_example_spark.operators import pii as P
+
+    text = " ".join(words[: len(words) // 2]) + f" u{uid}@example.org " + " ".join(words[len(words) // 2 :])
+    df = spark.createDataFrame([(text,)], "text string")
+    row = P.pii_scan(P.pii_redact(df)).collect()[0]
+    assert row.n_email >= 1
+    assert "@" not in row.redacted
+    rescan = P.pii_scan(
+        spark.createDataFrame([(row.redacted,)], "text string")
+    ).collect()[0]
+    assert rescan.n_pii == 0
