@@ -40,3 +40,43 @@ def test_value_outliers_products_exceed_int64(spark, tmp_path):
 
     got = {r.event_id for r in events_value_outliers(spark, str(tmp_path)).collect()}
     assert got == expected
+
+
+def test_skew_kurtosis_survives_large_values_both_ansi_modes(spark, tmp_path):
+    """cent^4 for a $25M value is ~4e37 — far past int64 (a LONG chain
+    would throw under ANSI and silently wrap otherwise). The DECIMAL-first
+    multiply must produce identical results under both ANSI settings."""
+    from kafka_clickhouse_example_spark.plans.queries_analytics import (
+        events_value_skew_kurtosis,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, 1_700_000_000_000 + i, i % 7, "a", v, "{}")
+            for i, v in enumerate([25_000_000.0, 24_000_000.0, 10.0, 20.0, 30.0])
+        ],
+        "event_id long, ms long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out_dir = str(tmp_path / "big_events")
+    ev.write.parquet(out_dir + "/events.parquet")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    results = {}
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            results[mode] = [
+                tuple(r) for r in events_value_skew_kurtosis(spark, out_dir).collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert results["true"] == results["false"]
+    (row,) = results["true"]
+    assert row[1] == 5  # n: no row silently dropped to NULL products
+    assert all(v is not None for v in row)
