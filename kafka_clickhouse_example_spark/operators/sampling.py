@@ -187,3 +187,33 @@ def temperature_sample(
         hash_bucket(F.col(key_col), buckets) < F.col("_rate")
     )
     return kept if keep_stats else kept.drop("_n", "_rate")
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame, weight_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets priority u^(1/w) for a deterministic
+    hash-uniform u in (0,1); the k largest priorities are the sample, and
+    inclusion probabilities follow the successive-weighted-draw model the
+    Bernoulli sampler (weighted_bernoulli_sample) cannot express — that one
+    fixes RATE, this one fixes SIZE.
+
+    Implemented on the equivalent log scale (ln(u)/w, larger is better:
+    ln(u) < 0 so dividing by a larger weight moves the key toward 0) to
+    avoid pow() underflow for tiny weights. u derives from xxhash64 of the
+    key column — deterministic across runs, partitionings, and cluster
+    sizes.
+
+    Scale: a map pass to compute priorities + TakeOrdered(k) — no shuffle
+    of the data, no per-group state; k rows to the driver.
+    """
+    # 53-bit mantissa-sized uniform in (0, 1]; +1 avoids ln(0)
+    u = (F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 53)) + 1) / float(1 << 53)
+    priority = F.ln(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_priority", priority)
+        .orderBy(F.col("_priority").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_priority")
+    )

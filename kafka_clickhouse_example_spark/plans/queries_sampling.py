@@ -302,3 +302,25 @@ def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("sample_documents_weighted_k")  # rows-only: ln() priorities are libm-order sensitive
+def sample_documents_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 documents drawn WITHOUT replacement with probability
+    proportional to length (Efraimidis-Spirakis priorities over
+    hash-uniform draws; operators/sampling.py). Deterministic across
+    partitionings — pinned by tests/test_skew.py — but registered
+    rows-only: the ln() priority puts a libm call on the selection
+    boundary, which the cross-engine hash could flip on a last-ulp tie.
+    """
+    from kafka_clickhouse_example_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample_without_replacement(docs, "n_chars", "doc_id", 50)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

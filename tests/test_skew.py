@@ -69,3 +69,30 @@ def test_approx_cardinality_within_bound(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+def test_weighted_sample_without_replacement_contracts(spark):
+    from kafka_clickhouse_example_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 1000.0 if i == 7 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_without_replacement(df, "w", "id", 10)
+    ids = {r.id for r in got.collect()}
+    assert len(ids) == 10  # exactly k, no replacement
+    assert 7 in ids  # a 1000x weight is effectively always drawn
+    # deterministic across partitionings
+    ids2 = {
+        r.id
+        for r in weighted_sample_without_replacement(
+            df.repartition(13), "w", "id", 10
+        ).collect()
+    }
+    assert ids == ids2
+    # inclusion rate tracks weight: double-weight stratum should win more
+    rows2 = [(i, 2.0 if i < 500 else 1.0) for i in range(1000)]
+    df2 = spark.createDataFrame(rows2, "id long, w double")
+    picked = {r.id for r in weighted_sample_without_replacement(df2, "w", "id", 200).collect()}
+    heavy = sum(1 for i in picked if i < 500)
+    assert heavy > 100  # more than the uniform expectation
