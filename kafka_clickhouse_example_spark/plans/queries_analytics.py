@@ -2111,3 +2111,81 @@ def events_signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cohort_week")
     )
+
+
+@register(
+    "orders_pareto_8020",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+o AS (
+  SELECT o_custkey, rev,
+         coalesce(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_ex
+  FROM cr
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS total FROM cr)
+SELECT t.n AS n_customers,
+       CAST(count(*) FILTER (WHERE cum_ex * 5 < total * 4) AS BIGINT) AS top_customers,
+       round(CAST(count(*) FILTER (WHERE cum_ex * 5 < total * 4) AS DOUBLE) / t.n, 6)
+         AS pct_customers,
+       round(CAST(sum(rev) FILTER (WHERE cum_ex * 5 < total * 4) AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS top_share
+FROM o, t
+GROUP BY t.n, t.total
+""",
+)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest customer prefix (by revenue,
+    descending) whose cumulative share reaches 80% — how top-heavy the
+    revenue base is.
+
+    Scale design: the cumulative share needs a GLOBAL prefix sum over
+    customers sorted by revenue — the naive single-partition window is the
+    classic cliff at 1e9 customers. This reuses the packing family's exact
+    distributed prefix sum (range exchange + O(P) partition offsets, see
+    operators/packing.with_stream_offsets), so the only driver-side state
+    is one number per partition. The 80% test is exact integer
+    cross-multiplication (cum*5 < total*4) in DECIMAL — no ratio rounding
+    on the boundary.
+    """
+    from kafka_clickhouse_example_spark.operators.packing import with_stream_offsets
+
+    t = _t(spark, sf_dir, "orders")
+    cr = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        .withColumn("neg_rev", -F.col("rev"))
+    )
+    off = with_stream_offsets(cr, "rev", ["neg_rev", "o_custkey"], "cum_ex")
+    totals = off.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("decimal(27,0)").alias("total"),
+    )
+    dec = "decimal(27,0)"
+    in_top = F.col("cum_ex").cast(dec) * 5 < F.col("total") * 4
+    return (
+        off.crossJoin(F.broadcast(totals))
+        .groupBy("n_customers", "total")
+        .agg(
+            F.count_if(in_top).cast("bigint").alias("top_customers"),
+            F.round(
+                F.count_if(in_top).cast("double") / F.col("n_customers"), 6
+            ).alias("pct_customers"),
+            F.round(
+                F.sum(F.when(in_top, F.col("rev"))).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .select("n_customers", "top_customers", "pct_customers", "top_share")
+    )

@@ -39,7 +39,7 @@ SWEEP = [
     "events_value_skew_kurtosis", "events_hourly_autocorrelation",
     "events_value_benford", "events_value_mad_outliers",
     "orders_part_affinity", "events_signup_to_purchase_latency",
-    "diag_join_key_skew", "diag_join_cardinality",
+    "diag_join_key_skew", "diag_join_cardinality", "orders_pareto_8020",
 ]
 
 # Queries whose cross/nested-loop join is deliberate: a 1-row (or
@@ -48,7 +48,7 @@ CROSS_OK = {
     "q11_important_parts", "events_value_outliers", "q22_idle_rich_customers",
     # 1-row broadcast totals/stats crossed into compact relations
     "events_value_benford", "diag_join_key_skew", "diag_join_cardinality",
-    "orders_part_affinity",
+    "orders_part_affinity", "orders_pareto_8020",
 }
 
 
