@@ -218,3 +218,51 @@ def retention_sweep(
                 purged.append(status.getPath().getName()[len(prefix):])
                 fs.delete(status.getPath(), True)
     return {"kept": sorted(kept), "expired": sorted(expired), "purged": sorted(purged)}
+
+
+def diff_tables(
+    left: DataFrame, right: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as unchanged / changed /
+    removed / added between two versions of a table — the validation step
+    after a MERGE/backfill/compaction rewrite (is the new snapshot the old
+    one plus exactly the intended delta?).
+
+    Rows compare by md5 of the concatenated non-key columns (name-sorted,
+    null-sentineled), so the join carries one 32-char hash per side instead
+    of two full row payloads — the shuffle is keys + fingerprints, not
+    data. One full-outer join on the key; output is one row per
+    differing/absent key plus the unchanged count is derivable by
+    aggregation downstream.
+    """
+    value_cols = sorted(c for c in left.columns if c not in key_cols)
+    assert value_cols == sorted(c for c in right.columns if c not in key_cols), (
+        "schemas must match"
+    )
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in value_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            parts.append(F.lit("\x01"))
+        return df.select(
+            *key_cols, F.md5(F.concat(*parts).cast("binary")).alias("_fp")
+        )
+
+    a = fingerprint(left).alias("a")
+    b = fingerprint(right).alias("b")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer")
+    status = (
+        F.when(F.col("a._fp").isNull(), F.lit("added"))
+        .when(F.col("b._fp").isNull(), F.lit("removed"))
+        .when(F.col("a._fp") == F.col("b._fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in key_cols
+    ]
+    return joined.select(*keys, status.alias("diff_status"))

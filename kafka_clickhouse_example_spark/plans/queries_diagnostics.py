@@ -196,3 +196,63 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_name")
     )
+
+
+@register(
+    "diag_snapshot_diff",
+    oracle="""
+WITH new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X-' || o_orderpriority
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+d AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderpriority = n.o_orderpriority THEN 'unchanged'
+              ELSE 'changed' END AS diff_status
+  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY diff_status ORDER BY diff_status
+""",
+)
+def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation report: classify every order key across two
+    table versions (the second derived deterministically — priorities
+    rewritten on %97 keys, %101 keys dropped, %103 keys re-added under new
+    ids) as unchanged/changed/removed/added via operators/layout.diff_tables.
+
+    The operator compares md5 row fingerprints (keys + 32-char hashes
+    through the full-outer join, never two full payloads); the oracle
+    reclassifies from raw column comparisons — a hash match certifies the
+    fingerprint classification agrees with ground truth. This is the
+    post-MERGE/backfill validation step: 'is the new snapshot the old one
+    plus exactly the intended delta?'
+    """
+    from kafka_clickhouse_example_spark.operators.layout import diff_tables
+
+    configure_runtime(spark)
+    orders = load_compute_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    modified = orders.filter(key % 101 != 0).withColumn(
+        "o_orderpriority",
+        F.when(key % 97 == 0, F.concat(F.lit("X-"), F.col("o_orderpriority"))).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    added = orders.filter(key % 103 == 0).withColumn(
+        "o_orderkey", key + 10_000_000
+    )
+    new = modified.unionByName(added)
+    diff = diff_tables(orders, new, ["o_orderkey"])
+    return (
+        diff.groupBy("diff_status")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("diff_status")
+    )

@@ -182,3 +182,26 @@ def test_retention_sweep_two_phase(spark, tmp_path):
     import os
 
     assert os.listdir(trash) == []
+
+
+def test_diff_tables_classifies_all_statuses(spark):
+    from kafka_clickhouse_example_spark.operators.layout import diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)], "k long, s string, v int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", None), (4, "d", 40)], "k long, s string, v int"
+    )
+    got = {r.k: r.diff_status for r in diff_tables(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_diff_tables_null_vs_empty_string_distinct(spark):
+    # the null sentinel must keep NULL and '' apart in the fingerprint
+    from kafka_clickhouse_example_spark.operators.layout import diff_tables
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    (row,) = diff_tables(old, new, ["k"]).collect()
+    assert row.diff_status == "changed"
