@@ -19,6 +19,13 @@ merge iteration then runs over the compact vocab relation:
 
 Driver state is O(n_merges) merge rules; lineage is cut every few rounds
 (the iterative-operator rule, see operators/checkpointing.py).
+
+Upgrade path for production vocab sizes (~32k merges): strictly-greedy BPE
+is one merge per round; merging the top-M NON-OVERLAPPING pairs per round
+(pairs sharing no token) is semantically identical for those pairs and
+cuts rounds ~10x — the standard wall-clock trade in distributed BPE
+trainers. This module keeps the strictly-greedy order so the reference
+equality test stays exact.
 """
 
 from __future__ import annotations
