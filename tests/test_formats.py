@@ -58,3 +58,24 @@ def test_orc_pushes_predicates(spark, events_small, tmp_path):
     )
     assert "PushedFilters: [" in plan and "event_id" in plan.split("PushedFilters")[1][:80]
     assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake schema evolution: a column added mid-stream must be readable
+    across old and new files (mergeSchema), with NULLs backfilling the
+    old files — and filters on the evolved column keep NULL-safe
+    semantics."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.parquet(
+        path, mode="append"
+    )
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id long, s string, score double"
+    ).write.parquet(path, mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r.id: (r.s, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+    assert merged.filter("score > 35").count() == 1
+    assert merged.filter("score IS NULL").count() == 2
