@@ -631,3 +631,138 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_wow_growth",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type, epoch_ms(ts) // 604800000 AS wk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, wk
+),
+g AS (
+  SELECT event_type, wk, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+  FROM weekly
+)
+SELECT event_type, CAST(wk AS BIGINT) AS wk, n,
+       round((n - prev) * 100.0 / prev, 4) AS growth_pct
+FROM g WHERE prev IS NOT NULL
+ORDER BY event_type, wk
+""",
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the standard BI trend panel.
+    Counts exact; the growth percentage is one double division on
+    identical integers, so it is hash-stable. The lag window runs on the
+    weekly rollup (cardinality = weeks x types), never on raw events.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 604800000").alias("wk")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    g = weekly.withColumn("prev", F.lag("n").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return g.select(
+        "event_type",
+        F.col("wk").cast("bigint").alias("wk"),
+        "n",
+        F.round((F.col("n") - F.col("prev")) * 100.0 / F.col("prev"), 4).alias(
+            "growth_pct"
+        ),
+    ).orderBy("event_type", "wk")
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, d
+),
+o AS (
+  SELECT event_type, d, n,
+         row_number() OVER w AS t,
+         sum(n) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS big_t,
+         sum(n) OVER (PARTITION BY event_type) AS s_total
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+scored AS (
+  SELECT event_type, d,
+         abs(big_t * s_t - t * s_total) AS stat,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(big_t * s_t - t * s_total) DESC, d) AS rn,
+         big_t, s_total
+  FROM o
+)
+SELECT event_type,
+       strftime(epoch_ms(d * 86400000), '%Y-%m-%d') AS change_day,
+       CAST(stat AS BIGINT) AS cusum_stat,
+       round(CAST(stat AS DOUBLE) / (CAST(big_t AS DOUBLE) * s_total), 6)
+         AS normalized
+FROM scored WHERE rn = 1
+ORDER BY event_type
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type: the day t maximizing
+    |T·S_t − t·S_total| — the integer-scaled form of the classic
+    cumulative-deviation-from-mean statistic (multiplying through by T
+    avoids the mean's division entirely, so detection is EXACT and the
+    argmax tiebreak deterministic).
+
+    Scale: raw events collapse to the daily rollup first; every window
+    here runs per event type over #days rows (a decade is ~3.7k rows per
+    type) — bounded state regardless of event volume. T·S_t stays under
+    int64 to ~1e4 days x 1e12 events.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    o = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("n")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s_t"),
+        F.count("*").over(w_all).cast("bigint").alias("big_t"),
+        F.sum("n").over(w_all).alias("s_total"),
+    )
+    stat = F.abs(F.col("big_t") * F.col("s_t") - F.col("t") * F.col("s_total"))
+    scored = o.select(
+        "event_type",
+        "d",
+        stat.alias("stat"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(stat.desc(), "d"))
+        .alias("rn"),
+        "big_t",
+        "s_total",
+    )
+    return (
+        scored.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format(F.timestamp_millis(F.col("d") * 86_400_000), "yyyy-MM-dd").alias("change_day"),
+            F.col("stat").cast("bigint").alias("cusum_stat"),
+            F.round(
+                F.col("stat").cast("double")
+                / (F.col("big_t").cast("double") * F.col("s_total")),
+                6,
+            ).alias("normalized"),
+        )
+        .orderBy("event_type")
+    )
