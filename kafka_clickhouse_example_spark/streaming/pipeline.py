@@ -114,6 +114,32 @@ def windowed_traffic(flows_with_time: DataFrame, window: str = "1 minute") -> Da
     )
 
 
+def windowed_unique_sources(
+    flows_with_time: DataFrame, window: str = "1 minute"
+) -> DataFrame:
+    """EXACT distinct source addresses per tumbling window — the streaming-
+    safe shape for COUNT(DISTINCT): Structured Streaming rejects exact
+    countDistinct in an aggregation (unbounded per-group distinct state),
+    so the operator deduplicates first (dropDuplicates on the window-bucket
+    + key, watermark-bounded state, one row per distinct (window, src_ip)) and then
+    runs a plain count — two bounded stateful stages instead of one
+    impossible one. Same answer as batch COUNT(DISTINCT), certified by the
+    streaming==batch test.
+    """
+    bucketed = flows_with_time.withColumn(
+        "w", F.window("event_time", window)
+    ).dropDuplicates(["w", "src_ip"])
+    return (
+        bucketed.groupBy("w")
+        .agg(F.count("*").alias("unique_sources"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "unique_sources",
+        )
+    )
+
+
 def dedup_flows_stream(flows_with_time: DataFrame, key_cols: Iterable[str] | None = None) -> DataFrame:
     """Streaming exact dedup within the watermark horizon.
 

@@ -754,3 +754,46 @@ def test_observed_metrics_account_for_malformed_drops(spark, flow_dir, tmp_path)
     landed = spark.table("obs_flows").count()
     assert n_flows == landed
     assert n_raw - n_flows >= 2  # at least the two unparseable lines dropped
+
+
+def test_windowed_unique_sources_matches_batch(spark, flow_dir, tmp_path):
+    """Exact streaming COUNT(DISTINCT) via dedup-then-count equals the
+    batch distinct count per window (sentinel batch advances the watermark
+    so the earlier windows finalize under append mode)."""
+    rows = []
+    for i in range(30):
+        rows.append(
+            _flow(i, src=f"10.0.0.{i % 7}", start=BASE_MS + (i % 3) * 60_000 + i * 7)
+        )
+    sentinel = [_flow(99, src="10.9.9.9", start=BASE_MS + 60 * 60_000)]
+    _write_lines(flow_dir / "a.jsonl", rows)
+
+    stream = read_file_flows(spark, str(flow_dir), max_files_per_trigger=None)
+    flows = P.with_event_time(P.normalized_stream(stream))
+    q = (
+        P.windowed_unique_sources(flows)
+        .writeStream.format("memory")
+        .queryName("uniq_src")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_lines(flow_dir / "b.jsonl", sentinel)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start, r.window_end): r.unique_sources
+        for r in spark.table("uniq_src").collect()
+    }
+    # batch oracle over the pre-sentinel data: identical expressions
+    batch_raw = spark.read.text(str(flow_dir / "a.jsonl")).selectExpr("value")
+    batch_flows = P.with_event_time(P.normalized_stream(batch_raw))
+    expected = {
+        (r.window_start, r.window_end): r.unique_sources
+        for r in P.windowed_unique_sources(batch_flows).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 2 and any(v > 1 for v in expected.values())
