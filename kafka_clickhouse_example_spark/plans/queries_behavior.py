@@ -500,3 +500,76 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(epoch_ms(ts)) AS first_ms FROM events GROUP BY user_id
+),
+purchases AS (
+  SELECT e.user_id,
+         f.first_ms // 604800000 AS cohort_week,
+         (epoch_ms(e.ts) - f.first_ms) // 604800000 AS week_offset,
+         CAST(floor(CAST(e.value AS DOUBLE) * 1073741824) AS BIGINT) AS v_q30
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+cohort_sizes AS (
+  SELECT first_ms // 604800000 AS cohort_week,
+         CAST(count(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_week
+)
+SELECT CAST(p.cohort_week AS BIGINT) AS cohort_week,
+       CAST(p.week_offset AS BIGINT) AS week_offset,
+       cs.cohort_users,
+       round(CAST(sum(p.v_q30) AS DOUBLE) / 1073741824, 4) AS revenue,
+       round(CAST(sum(p.v_q30) AS DOUBLE) / 1073741824 / cs.cohort_users, 4)
+         AS revenue_per_user
+FROM purchases p JOIN cohort_sizes cs ON p.cohort_week = cs.cohort_week
+GROUP BY p.cohort_week, p.week_offset, cs.cohort_users
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: revenue per (first-seen week, weeks
+    since first seen), absolute and per cohort user — the revenue sibling
+    of events_cohort_retention (which counts active users). Q30 fixed-point
+    revenue partials keep the sums exact and order-independent; week
+    arithmetic is integer epoch math.
+
+    Scale: one user-keyed first-seen aggregate, one user-keyed join (the
+    behavior family's single shuffle key), then a (cohort x offset)-sized
+    rollup with map-side partials.
+    """
+    events = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    firsts = events.groupBy("user_id").agg(F.min(ms).alias("first_ms"))
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            F.expr("first_ms div 604800000").alias("cohort_week"),
+            F.expr("(unix_millis(ts) - first_ms) div 604800000").alias("week_offset"),
+            F.floor(F.col("value").cast("double") * Q30).cast("bigint").alias("v_q30"),
+        )
+    )
+    cohort_sizes = firsts.groupBy(
+        F.expr("first_ms div 604800000").alias("cohort_week")
+    ).agg(F.count("*").cast("bigint").alias("cohort_users"))
+    return (
+        purchases.groupBy("cohort_week", "week_offset")
+        .agg(F.sum("v_q30").alias("s"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            "cohort_users",
+            F.round(F.col("s").cast("double") / Q30, 4).alias("revenue"),
+            F.round(
+                F.col("s").cast("double") / Q30 / F.col("cohort_users"), 4
+            ).alias("revenue_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
