@@ -503,3 +503,82 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS nb
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id % 2 AS g, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS HUGEINT) AS q
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+),
+dims AS (
+  SELECT i,
+         sum(q) FILTER (WHERE g = 0) AS sa,
+         sum(q) FILTER (WHERE g = 1) AS sb
+  FROM e GROUP BY i
+),
+s AS (
+  SELECT sum((sa * nb - sb * na) * (sa * nb - sb * na)) AS big_s
+  FROM dims, counts
+)
+SELECT counts.na AS n_a, counts.nb AS n_b,
+       round(sqrt(CAST(big_s AS DOUBLE))
+             / (CAST(counts.na AS DOUBLE) * counts.nb * 1073741824), 6)
+         AS centroid_l2_drift
+FROM s, counts
+""",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift: L2 distance between the centroids of
+    two corpus halves (vec_id parity stands in for the before/after split a
+    real drift monitor compares). EXACT until the last op: Q30-quantized
+    per-dimension sums, the mean difference cross-multiplied to the integer
+    (sa·nb − sb·na) — no division — and squared in DECIMAL/HUGEINT; the
+    only doubles are one sqrt and one final normalization on identical
+    integers. This makes it the emb family's oracle-backed anchor (the
+    k-means/IVF members are rows-only by nature).
+
+    Scale: posexplode to (dim, value) then a 64-group aggregate with
+    map-side partials — one pass, no shuffle wider than 64 keys.
+    """
+    emb = _emb(spark, sf_dir)
+    g = F.col("vec_id") % 2
+    counts = emb.agg(
+        F.count_if(g == 0).cast("bigint").alias("na"),
+        F.count_if(g == 1).cast("bigint").alias("nb"),
+    )
+    exploded = emb.select(
+        g.alias("g"), F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "g",
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(1 << 30))
+        .cast("decimal(20,0)")
+        .alias("q"),
+    )
+    dims = exploded.groupBy("dim").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("q"))).alias("sa"),
+        F.sum(F.when(F.col("g") == 1, F.col("q"))).alias("sb"),
+    )
+    diff = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    s = dims.crossJoin(F.broadcast(counts)).agg(
+        F.sum(diff * diff).alias("big_s"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.sqrt(F.col("big_s").cast("double"))
+            / (F.col("na").cast("double") * F.col("nb") * (1 << 30)),
+            6,
+        ).alias("centroid_l2_drift"),
+    )
