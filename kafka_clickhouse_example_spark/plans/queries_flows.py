@@ -278,3 +278,95 @@ def flows_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_ip", "dst_ip")
     )
+
+
+@register(
+    "flows_fanout_detector",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL}),
+fanout AS (
+  SELECT src_ip,
+         CAST(floor(start / 60000) AS BIGINT) AS minute,
+         CAST(count(DISTINCT dst_ip) AS BIGINT) AS n_dst
+  FROM flows GROUP BY src_ip, minute
+)
+SELECT src_ip, minute, n_dst
+FROM fanout WHERE n_dst >= 3
+ORDER BY n_dst DESC, src_ip, minute
+LIMIT 50
+""",
+)
+def flows_fanout_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan/fan-out detection: sources contacting many distinct
+    destinations within one minute — the classic NetObserv security screen
+    the reference's ClickHouse consumers run over the landed flows table.
+
+    Scale: distinct-count per (src, minute) — one shuffle on a compact
+    composite key with partial distinct aggregation; the alert filter and
+    TakeOrdered(50) bound the output. In streaming this is exactly
+    windowed_unique_sources' dedup-then-count shape per source.
+    """
+    flows = _flows(spark, sf_dir)
+    fanout = flows.groupBy(
+        "src_ip", F.expr("CAST(floor(start / 60000) AS BIGINT)").alias("minute")
+    ).agg(F.countDistinct("dst_ip").cast("bigint").alias("n_dst"))
+    return (
+        fanout.filter(F.col("n_dst") >= 3)
+        .orderBy(F.col("n_dst").desc(), "src_ip", "minute")
+        .limit(50)
+    )
+
+
+@register(
+    "flows_conversation_asymmetry",
+    oracle=f"""
+WITH flows AS ({FLOWS_FROM_EVENTS_SQL}),
+directed AS (
+  SELECT least(src_ip, dst_ip) AS ip_a, greatest(src_ip, dst_ip) AS ip_b,
+         CAST(sum(CASE WHEN src_ip <= dst_ip THEN bytes ELSE 0 END) AS BIGINT) AS bytes_ab,
+         CAST(sum(CASE WHEN src_ip > dst_ip THEN bytes ELSE 0 END) AS BIGINT) AS bytes_ba
+  FROM flows GROUP BY ip_a, ip_b
+)
+SELECT ip_a, ip_b, bytes_ab, bytes_ba,
+       round(CAST(abs(bytes_ab - bytes_ba) AS DOUBLE)
+             / (bytes_ab + bytes_ba), 6) AS asymmetry
+FROM directed
+WHERE bytes_ab + bytes_ba > 0
+ORDER BY asymmetry DESC, ip_a, ip_b
+LIMIT 50
+""",
+)
+def flows_conversation_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte asymmetry per conversation (unordered IP pair): |A->B − B->A| /
+    total — near 1.0 flags one-way traffic (exfiltration, scans, broken
+    return paths); flows_conversation_totals reports volume, this reports
+    direction balance.
+
+    Scale: ONE aggregation on the canonicalized pair key with conditional
+    sums per direction (no self-join of directed totals); exact integer
+    bytes until the final ratio.
+    """
+    flows = _flows(spark, sf_dir)
+    ab = F.col("src_ip") <= F.col("dst_ip")
+    directed = flows.groupBy(
+        F.least("src_ip", "dst_ip").alias("ip_a"),
+        F.greatest("src_ip", "dst_ip").alias("ip_b"),
+    ).agg(
+        F.sum(F.when(ab, F.col("bytes")).otherwise(0)).cast("bigint").alias("bytes_ab"),
+        F.sum(F.when(~ab, F.col("bytes")).otherwise(0)).cast("bigint").alias("bytes_ba"),
+    )
+    total = F.col("bytes_ab") + F.col("bytes_ba")
+    return (
+        directed.filter(total > 0)
+        .select(
+            "ip_a",
+            "ip_b",
+            "bytes_ab",
+            "bytes_ba",
+            F.round(
+                F.abs(F.col("bytes_ab") - F.col("bytes_ba")).cast("double") / total, 6
+            ).alias("asymmetry"),
+        )
+        .orderBy(F.col("asymmetry").desc(), "ip_a", "ip_b")
+        .limit(50)
+    )
