@@ -291,7 +291,7 @@ fanout AS (
   FROM flows GROUP BY src_ip, minute
 )
 SELECT src_ip, minute, n_dst
-FROM fanout WHERE n_dst >= 3
+FROM fanout WHERE n_dst >= 2
 ORDER BY n_dst DESC, src_ip, minute
 LIMIT 50
 """,
@@ -311,7 +311,7 @@ def flows_fanout_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_ip", F.expr("CAST(floor(start / 60000) AS BIGINT)").alias("minute")
     ).agg(F.countDistinct("dst_ip").cast("bigint").alias("n_dst"))
     return (
-        fanout.filter(F.col("n_dst") >= 3)
+        fanout.filter(F.col("n_dst") >= 2)
         .orderBy(F.col("n_dst").desc(), "src_ip", "minute")
         .limit(50)
     )
