@@ -582,3 +582,36 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2_drift"),
     )
+
+
+@register("sim_recall_report")  # rows-only: composes the rows-only ANN ladder
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN benchmark: recall@10 of every approximate method
+    against the exact brute-force top-10, per query vector set — the
+    accuracy/scan-fraction dashboard an ANN deployment watches. Each
+    method's result is TOP_K x N_QUERIES rows (tiny by contract), so the
+    recall join is driver-side set math over KB-scale outputs; the heavy
+    lifting reuses the per-session corpus/centroid/codebook memos.
+    """
+    def top_sets(df: DataFrame) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r.qid, set()).add(r.vec_id)
+        return out
+
+    exact = top_sets(sim_topk_bruteforce(spark, sf_dir))
+    methods = {
+        "lsh_probe": sim_topk_lsh_probe,
+        "ivf": sim_topk_ivf,
+        "pq": sim_topk_pq,
+        "ivfpq": sim_topk_ivfpq,
+    }
+    rows = []
+    for name, fn in sorted(methods.items()):
+        approx = top_sets(fn(spark, sf_dir))
+        hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(exact[q]) for q in exact)
+        rows.append((name, round(hit / total, 4)))
+    return spark.createDataFrame(rows, "method string, recall_at_10 double").orderBy(
+        "method"
+    )

@@ -191,3 +191,15 @@ def test_kmeans_clusters_match_naive(spark, sf_dir):
             want[int(c)] = (int(m.sum()),
                             int(np.floor(dist[m] * 1073741824.0).sum()))
     assert got == want
+
+
+def test_recall_report_covers_ladder(spark, sf_dir):
+    from kafka_clickhouse_example_spark.plans.queries_similarity import (
+        sim_recall_report,
+    )
+
+    rows = {r.method: r.recall_at_10 for r in sim_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh_probe", "ivf", "pq", "ivfpq"}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # the ladder's own contracts (>=0.5 for probe/ivf) must be visible here
+    assert rows["lsh_probe"] >= 0.5 and rows["ivf"] >= 0.5
