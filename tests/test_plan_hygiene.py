@@ -40,6 +40,11 @@ SWEEP = [
     "events_value_benford", "events_value_mad_outliers",
     "orders_part_affinity", "events_signup_to_purchase_latency",
     "diag_join_key_skew", "diag_join_cardinality", "orders_pareto_8020",
+    "events_wow_growth", "events_cusum_changepoint", "events_cohort_ltv",
+    "emb_centroid_drift", "flows_fanout_detector",
+    "flows_conversation_asymmetry", "privacy_k_anonymity_audit",
+    "events_revenue_trend_ols", "events_seasonal_naive_backtest",
+    "diag_snapshot_diff", "dedup_reach3_sql_recursive",
 ]
 
 # Queries whose cross/nested-loop join is deliberate: a 1-row (or
@@ -49,6 +54,8 @@ CROSS_OK = {
     # 1-row broadcast totals/stats crossed into compact relations
     "events_value_benford", "diag_join_key_skew", "diag_join_cardinality",
     "orders_part_affinity", "orders_pareto_8020",
+    # 1-row broadcast bounds/totals crosses
+    "events_revenue_trend_ols", "emb_centroid_drift",
 }
 
 
