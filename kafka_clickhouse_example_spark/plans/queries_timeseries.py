@@ -766,3 +766,40 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_type_day_unpivot",
+    oracle=f"""
+WITH wide AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+  FROM events GROUP BY 1
+)
+{" UNION ALL ".join(f"SELECT day, '{t}' AS event_type, {t} AS n FROM wide" for t in EVENT_TYPES)}
+ORDER BY day, event_type
+""",
+)
+def events_type_day_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-type day matrix back to long form —
+    pivot's inverse, certifying Spark's native unpivot semantics (column
+    names become values, one output row per (id, measure) cell) against a
+    UNION ALL expansion oracle.
+
+    Scale: unpivot is a zero-shuffle Expand over the already-tiny wide
+    rollup; the round trip pivot->unpivot is metadata reshaping, not data
+    movement.
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .select("day", *[F.coalesce(t, F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES])
+    )
+    return (
+        wide.unpivot("day", EVENT_TYPES, "event_type", "n")
+        .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("day", "event_type")
+    )
