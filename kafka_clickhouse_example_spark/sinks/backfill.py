@@ -269,3 +269,28 @@ def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
         .groupBy("r", "idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_fanout_sink(
+    stream_df: DataFrame, paths: list[str], checkpoint: str
+):
+    """One stream, several sinks, one checkpoint: the standard foreachBatch
+    fan-out recipe. Each micro-batch persists (localCheckpoint) so the N
+    writes share one computation, and every write is idempotent per batch
+    (mode overwrite into batch=<id> subdirs), so a crash between sink 1 and
+    sink 2 replays the batch WITHOUT double-landing in sink 1 — the
+    documented way to get effectively-exactly-once across multiple
+    destinations from a single stream.
+    """
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        for path in paths:
+            batch_df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
