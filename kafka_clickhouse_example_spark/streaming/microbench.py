@@ -31,6 +31,7 @@ def streaming_throughput(
     *,
     files: int = 32,
     use_arrow: bool = True,
+    repeat: int = 10,
 ) -> dict:
     """Run the spine once over the events-derived flow JSON; return
     {"rows": n, "wall_sec": t, "rows_per_sec": r}.
@@ -49,6 +50,12 @@ def streaming_throughput(
     ckpt_dir = f"{workdir}/ckpt"
     try:
         raw = events_to_flow_json(load_compute_table(spark, sf_dir, "events"))
+        # Amortize fixed micro-batch scheduling cost: at 100k rows the
+        # single availableNow batch is dominated by constant startup, which
+        # UNDERSTATES steady-state rows/s. Repeating the corpus (untimed —
+        # a broker's backlog already exists) measures the sustained rate.
+        for _ in range(max(0, repeat - 1)):
+            raw = raw.union(events_to_flow_json(load_compute_table(spark, sf_dir, "events")))
         raw.repartition(files).write.mode("overwrite").text(json_dir)
         n_rows = spark.read.text(json_dir).count()
 
