@@ -256,3 +256,74 @@ def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("diff_status")
     )
+
+
+@register(
+    "diag_table_stats",
+    oracle="""
+SELECT 'events' AS tbl, 'user_id' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'events', 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orders', 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'documents', 'lang', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'documents', 'source', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT)
+FROM documents
+ORDER BY tbl, col
+""",
+)
+def diag_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (row count, null count, exact
+    distinct count) for the join/filter columns a cost-based optimizer
+    feeds on — the catalog-statistics surface, computed in-engine.
+
+    Scale: one aggregate per profiled table computes EVERY requested
+    column's stats in a single pass (count + count(col) + count_distinct
+    share the scan); the per-column long form is a driver-side reshape of
+    a handful of scalars. Exact distinct on a 100 TB key column is itself
+    a shuffle — swap count_distinct for approx_count_distinct at scale,
+    same query shape.
+    """
+    configure_runtime(spark)
+
+    def profile(tbl: str, cols: list[str]) -> DataFrame:
+        df = load_compute_table(spark, sf_dir, tbl)
+        aggs = [F.count("*").cast("bigint").alias("_n")]
+        for c in cols:
+            aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"_nulls_{c}"))
+            aggs.append(F.count_distinct(c).cast("bigint").alias(f"_dist_{c}"))
+        row = df.agg(*aggs)
+        stack_args = []
+        for c in cols:
+            stack_args.append(f"'{c}', _nulls_{c}, _dist_{c}")
+        return row.select(
+            F.lit(tbl).alias("tbl"),
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {', '.join(stack_args)}) AS (col, n_nulls, n_distinct)"
+            ),
+        ).select("tbl", "col", "n_rows", "n_nulls", "n_distinct")
+
+    return (
+        profile("events", ["user_id", "event_type"])
+        .unionByName(profile("orders", ["o_custkey"]))
+        .unionByName(profile("documents", ["lang", "source"]))
+        .orderBy("tbl", "col")
+    )
