@@ -228,12 +228,15 @@ def diff_tables(
     after a MERGE/backfill/compaction rewrite (is the new snapshot the old
     one plus exactly the intended delta?).
 
-    Rows compare by md5 of the concatenated non-key columns (name-sorted,
-    null-sentineled), so the join carries one 32-char hash per side instead
-    of two full row payloads — the shuffle is keys + fingerprints, not
-    data. One full-outer join on the key; output is one row per
-    differing/absent key plus the unchanged count is derivable by
-    aggregation downstream.
+    Rows compare by md5 of the value columns' JSON encoding (name-sorted
+    struct, nulls kept explicit), so the join carries one 32-char hash per
+    side instead of two full row payloads — the shuffle is keys +
+    fingerprints, not data. JSON escaping makes the encoding UNAMBIGUOUS:
+    no separator/sentinel byte can collide with real string content (a
+    review finding against the earlier concat form, where 'a\\x01b'|'c'
+    and 'a'|'b\\x01c' fingerprinted identically). Keys join null-safely
+    (eqNullSafe), so NULL-keyed rows compare as themselves instead of
+    double-reporting removed+added.
     """
     value_cols = sorted(c for c in left.columns if c not in key_cols)
     assert value_cols == sorted(c for c in right.columns if c not in key_cols), (
@@ -241,19 +244,17 @@ def diff_tables(
     )
 
     def fingerprint(df: DataFrame) -> DataFrame:
-        parts = []
-        for c in value_cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-            parts.append(F.lit("\x01"))
-        return df.select(
-            *key_cols, F.md5(F.concat(*parts).cast("binary")).alias("_fp")
+        encoded = F.to_json(
+            F.struct(*[F.col(c) for c in value_cols]),
+            {"ignoreNullFields": "false"},
         )
+        return df.select(*key_cols, F.md5(encoded.cast("binary")).alias("_fp"))
 
     a = fingerprint(left).alias("a")
     b = fingerprint(right).alias("b")
     cond = None
     for k in key_cols:
-        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
         cond = c if cond is None else cond & c
     joined = a.join(b, cond, "full_outer")
     status = (

@@ -207,12 +207,18 @@ def weighted_sample_without_replacement(
 
     Scale: a map pass to compute priorities + TakeOrdered(k) — no shuffle
     of the data, no per-group state; k rows to the driver.
+
+    Rows with non-positive weight are EXCLUDED up front: w=0 would divide
+    by zero (an ANSI-mode error in Spark 4), and w<0 would flip the
+    priority's sign and outrank every valid row — neither has a sampling
+    interpretation.
     """
     # 53-bit mantissa-sized uniform in (0, 1]; +1 avoids ln(0)
     u = (F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 53)) + 1) / float(1 << 53)
     priority = F.ln(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("_priority", priority)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_priority", priority)
         .orderBy(F.col("_priority").desc(), F.col(key_col))
         .limit(k)
         .drop("_priority")

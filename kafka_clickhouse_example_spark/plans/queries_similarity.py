@@ -520,33 +520,42 @@ e AS (
 ),
 dims AS (
   SELECT i,
-         sum(q) FILTER (WHERE g = 0) AS sa,
-         sum(q) FILTER (WHERE g = 1) AS sb
+         coalesce(sum(q) FILTER (WHERE g = 0), 0) AS sa,
+         coalesce(sum(q) FILTER (WHERE g = 1), 0) AS sb
   FROM e GROUP BY i
 ),
-s AS (
-  SELECT sum((sa * nb - sb * na) * (sa * nb - sb * na)) AS big_s
+scored AS (
+  SELECT i,
+         (CAST(sa AS DOUBLE) / counts.na - CAST(sb AS DOUBLE) / counts.nb) AS md
   FROM dims, counts
+),
+folded AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(md * md ORDER BY i)),
+           (acc, x) -> acc + x) AS s
+  FROM scored
 )
 SELECT counts.na AS n_a, counts.nb AS n_b,
-       round(sqrt(CAST(big_s AS DOUBLE))
-             / (CAST(counts.na AS DOUBLE) * counts.nb * 1073741824), 6)
-         AS centroid_l2_drift
-FROM s, counts
+       round(sqrt(folded.s) / 1073741824, 6) AS centroid_l2_drift
+FROM folded, counts
 """,
 )
 def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift: L2 distance between the centroids of
     two corpus halves (vec_id parity stands in for the before/after split a
-    real drift monitor compares). EXACT until the last op: Q30-quantized
-    per-dimension sums, the mean difference cross-multiplied to the integer
-    (sa·nb − sb·na) — no division — and squared in DECIMAL/HUGEINT; the
-    only doubles are one sqrt and one final normalization on identical
-    integers. This makes it the emb family's oracle-backed anchor (the
-    k-means/IVF members are rows-only by nature).
+    real drift monitor compares). Per-dimension sums are EXACT (Q30
+    quantization into DECIMAL/HUGEINT — no float accumulation across
+    rows); each dimension's mean difference is then one fixed double
+    expression, and the 64 squared differences combine in an ORDER-PINNED
+    left fold (array_sort + aggregate / list_reduce over an ORDER BY i
+    list), so the double summation order is identical on any engine and
+    partitioning. Unlike an all-integer cross-multiplied form (review
+    finding: (sa*nb - sb*na)^2 saturates DECIMAL(38) beyond ~1e5 vectors
+    per half), this shape holds at any corpus size — doubles cannot
+    overflow and the only per-row state is the 64-key aggregate.
 
-    Scale: posexplode to (dim, value) then a 64-group aggregate with
-    map-side partials — one pass, no shuffle wider than 64 keys.
+    Scale: posexplode to (dim, value), one 64-group aggregate with
+    map-side partials, then a 64-element fold on a single row.
     """
     emb = _emb(spark, sf_dir)
     g = F.col("vec_id") % 2
@@ -564,23 +573,32 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
     )
     dims = exploded.groupBy("dim").agg(
-        F.sum(F.when(F.col("g") == 0, F.col("q"))).alias("sa"),
-        F.sum(F.when(F.col("g") == 1, F.col("q"))).alias("sb"),
+        F.coalesce(F.sum(F.when(F.col("g") == 0, F.col("q"))), F.lit(0)).alias("sa"),
+        F.coalesce(F.sum(F.when(F.col("g") == 1, F.col("q"))), F.lit(0)).alias("sb"),
     )
-    diff = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
-    s = dims.crossJoin(F.broadcast(counts)).agg(
-        F.sum(diff * diff).alias("big_s"),
-        F.max("na").alias("na"),
-        F.max("nb").alias("nb"),
+    md = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
     )
-    return s.select(
+    folded = (
+        dims.crossJoin(F.broadcast(counts))
+        .select(F.struct(F.col("dim"), (md * md).alias("md2")).alias("cell"), "na", "nb")
+        .groupBy("na", "nb")
+        .agg(F.collect_list("cell").alias("cells"))
+        .select(
+            "na",
+            "nb",
+            F.aggregate(
+                F.transform(F.array_sort(F.col("cells")), lambda s: s.getField("md2")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+    )
+    return folded.select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        F.round(
-            F.sqrt(F.col("big_s").cast("double"))
-            / (F.col("na").cast("double") * F.col("nb") * (1 << 30)),
-            6,
-        ).alias("centroid_l2_drift"),
+        F.round(F.sqrt(F.col("s")) / (1 << 30), 6).alias("centroid_l2_drift"),
     )
 
 

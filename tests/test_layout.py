@@ -205,3 +205,28 @@ def test_diff_tables_null_vs_empty_string_distinct(spark):
     new = spark.createDataFrame([(1, "")], "k long, s string")
     (row,) = diff_tables(old, new, ["k"]).collect()
     assert row.diff_status == "changed"
+
+
+def test_diff_tables_fingerprint_unambiguous(spark):
+    # review repro: separator bytes inside values must not collide, and a
+    # NULL column must stay distinct from any sentinel-looking literal
+    from kafka_clickhouse_example_spark.operators.layout import diff_tables
+
+    old = spark.createDataFrame([(1, "a\x01b", "c")], "k long, c1 string, c2 string")
+    new = spark.createDataFrame([(1, "a", "b\x01c")], "k long, c1 string, c2 string")
+    (row,) = diff_tables(old, new, ["k"]).collect()
+    assert row.diff_status == "changed"
+
+    old2 = spark.createDataFrame([(1, None)], "k long, s string")
+    new2 = spark.createDataFrame([(1, "\x00null")], "k long, s string")
+    (row2,) = diff_tables(old2, new2, ["k"]).collect()
+    assert row2.diff_status == "changed"
+
+
+def test_diff_tables_null_keys_match_null_safely(spark):
+    from kafka_clickhouse_example_spark.operators.layout import diff_tables
+
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "k string, s string")
+    new = spark.createDataFrame([(None, "a"), (1, "B")], "k string, s string")
+    got = {r.k: r.diff_status for r in diff_tables(old, new, ["k"]).collect()}
+    assert got == {None: "unchanged", "1": "changed"}

@@ -96,3 +96,17 @@ def test_weighted_sample_without_replacement_contracts(spark):
     picked = {r.id for r in weighted_sample_without_replacement(df2, "w", "id", 200).collect()}
     heavy = sum(1 for i in picked if i < 500)
     assert heavy > 100  # more than the uniform expectation
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from kafka_clickhouse_example_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0), (4, 1.0), (5, 1.0)], "id long, w double"
+    )
+    got = {r.id for r in weighted_sample_without_replacement(df, "w", "id", 5).collect()}
+    # zero weight must not crash (ANSI divide-by-zero) and negative weight
+    # must not auto-win; both are excluded entirely
+    assert got == {3, 4, 5}
