@@ -440,6 +440,95 @@ def make_conversation_totals_processor():
     return ConversationTotals()
 
 
+def make_inactivity_alert_processor(gap_ms: int = 60_000):
+    """Factory for the TIMER-driven StatefulProcessor (module-level so the
+    expiry logic unit-tests under a fake handle, same policy as
+    make_conversation_totals_processor): per conversation, remember the
+    latest event time and register an event-time timer at last_seen +
+    gap_ms; when a timer fires, emit an inactivity alert UNLESS newer
+    activity superseded it (stale-timer guard — re-registration does not
+    delete old timers, so expiry must be checked against current state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType([StructField("last_ms", LongType())])
+
+    class InactivityAlert(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last_seen", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = 0
+            for pdf in rows:
+                if len(pdf):
+                    mx = max(mx, int(pdf["event_ms"].max()))
+            prev = int(self._last.get()[0]) if self._last.exists() else 0
+            last = max(prev, mx)
+            self._last.update((last,))
+            self._handle.registerTimer(last + gap_ms)
+            return iter(())  # alerts emit only from expired timers
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            if not self._last.exists():
+                return iter(())
+            last = int(self._last.get()[0])
+            if expiry < last + gap_ms:
+                return iter(())  # superseded: newer activity re-armed later
+            yield pd.DataFrame(
+                {
+                    "src_ip": [key[0]],
+                    "dst_ip": [key[1]],
+                    "last_seen_ms": [last],
+                    "silent_ms": [expiry - last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return InactivityAlert()
+
+
+def inactive_conversation_alerts_tws(
+    flows_with_time: DataFrame, gap_ms: int = 60_000
+) -> DataFrame:
+    """Inactivity alerts via transformWithStateInPandas EVENT-TIME TIMERS:
+    a conversation silent for ``gap_ms`` past its last flow (by watermark)
+    emits one alert row — the push-based dead-peer detector that polling a
+    rollup can't express. Completes the arbitrary-state surface: value
+    state (conversation_totals_tws), session timeouts
+    (applyInPandasWithState), and now registered timers.
+
+    State per key is one long + its timers; stale timers are filtered by
+    the processor (see make_inactivity_alert_processor), so repeated
+    re-arming never double-alerts.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("src_ip", StringType()),
+            StructField("dst_ip", StringType()),
+            StructField("last_seen_ms", LongType()),
+            StructField("silent_ms", LongType()),
+        ]
+    )
+    keyed = flows_with_time.withColumn("event_ms", F.unix_millis("event_time"))
+    return keyed.groupBy("src_ip", "dst_ip").transformWithStateInPandas(
+        statefulProcessor=make_inactivity_alert_processor(gap_ms),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def conversation_totals_tws(flows_with_time: DataFrame) -> DataFrame:
     """Per-conversation running totals via transformWithStateInPandas —
     Spark 4's arbitrary-state API (successor to applyInPandasWithState,

@@ -797,3 +797,126 @@ def test_windowed_unique_sources_matches_batch(spark, flow_dir, tmp_path):
     }
     assert got == expected
     assert len(expected) >= 2 and any(v > 1 for v in expected.values())
+
+
+def test_inactivity_alert_processor_unit():
+    """Timer logic under a fake handle: alerts fire only for timers whose
+    expiry still reflects the latest activity (stale re-armed timers are
+    suppressed), and silent_ms reports the true gap."""
+    import pandas as pd
+
+    class FakeValueState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+        def registerTimer(self, ms):
+            self.timers.append(ms)
+
+    class FakeExpiry:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self._ms
+
+    gap = 60_000
+    proc = P.make_inactivity_alert_processor(gap)
+    handle = FakeHandle()
+    proc.init(handle)
+    key = ("10.0.0.1", "10.0.0.2")
+
+    t0 = 1_700_000_000_000
+    out = list(
+        proc.handleInputRows(key, iter([pd.DataFrame({"event_ms": [t0]})]), None)
+    )
+    assert out == [] and handle.timers == [t0 + gap]
+
+    # newer activity re-arms: original timer becomes stale
+    t1 = t0 + 600_000
+    list(proc.handleInputRows(key, iter([pd.DataFrame({"event_ms": [t1]})]), None))
+    assert handle.timers == [t0 + gap, t1 + gap]
+    stale = list(proc.handleExpiredTimer(key, None, FakeExpiry(t0 + gap)))
+    assert stale == []  # suppressed: last_seen moved past this expiry
+
+    live = list(proc.handleExpiredTimer(key, None, FakeExpiry(t1 + gap)))
+    assert len(live) == 1
+    row = live[0].iloc[0]
+    assert (row.src_ip, row.dst_ip) == key
+    assert row.last_seen_ms == t1 and row.silent_ms == gap
+
+
+def test_inactivity_alerts_end_to_end(spark, flow_dir, tmp_path):
+    """Event-time timers through the real state server: a conversation
+    that goes quiet alerts once the watermark passes last_seen + gap; the
+    still-active conversation's stale timer is suppressed."""
+    from kafka_clickhouse_example_spark.compat.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf available (native or vendored)")
+    gap = 60_000
+    t0 = BASE_MS
+    # batch 1: conversations A and B; batch 2: A continues 10 min later;
+    # batch 3: sentinel conversation far ahead advances the watermark
+    _write_lines(flow_dir / "a.json", [_flow(0, src="10.0.0.1", start=t0),
+                                       _flow(1, src="10.0.0.2", start=t0)])
+    _write_lines(flow_dir / "b.json", [_flow(2, src="10.0.0.1", start=t0 + 600_000)])
+    _write_lines(flow_dir / "c.json", [_flow(3, src="10.9.9.9", start=t0 + 1_800_000)])
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        flows = P.with_event_time(
+            P.normalized_stream(
+                read_file_flows(spark, str(flow_dir), max_files_per_trigger=1)
+            ),
+            watermark="0 seconds",
+        )
+        q = (
+            P.inactive_conversation_alerts_tws(flows, gap_ms=gap)
+            .writeStream.format("memory")
+            .queryName("tws_alerts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        alerts = {
+            (r.src_ip): (r.last_seen_ms, r.silent_ms)
+            for r in spark.table("tws_alerts").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # B went silent at t0 -> alert with exactly gap silence; A's original
+    # timer was superseded by the 10-min-later flow (no A alert at t0+gap
+    # with stale last_seen); the sentinel hasn't been silent long enough.
+    assert "10.0.0.2" in alerts
+    assert alerts["10.0.0.2"] == (t0, gap)
+    assert "10.9.9.9" not in alerts
+    a_alerts = [k for k in alerts if k == "10.0.0.1"]
+    if a_alerts:  # A may alert for its LATEST quiet period once wm passes
+        assert alerts["10.0.0.1"][0] == t0 + 600_000
