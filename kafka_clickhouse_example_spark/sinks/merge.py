@@ -139,3 +139,69 @@ def start_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    key_values: list,
+    partition_col: str,
+) -> dict:
+    """Right-to-be-forgotten delete: remove every row whose ``key_col`` is
+    in ``key_values`` from the ``partition_col``-partitioned parquet table,
+    rewriting ONLY the partitions that actually contain those keys — the
+    erasure primitive the PII/privacy family (pii scrub, k-anonymity
+    audit) needs for post-hoc requests.
+
+    Mechanics: one pruned scan locates the touched partitions (the subject
+    keys are a small broadcast IN-list); those partitions rewrite via
+    dynamic partition overwrite minus the subject rows — untouched
+    partition FILES stay byte-identical (same guarantee tests pin for
+    merge_into_partitioned). Idempotent: forgetting already-absent keys
+    rewrites nothing. Returns {"partitions_rewritten", "rows_deleted"}.
+
+    An empty post-delete partition cannot be expressed by dynamic
+    overwrite (nothing to write); such partitions fall back to a
+    retention-style rename into ``<path>__forgotten`` so the data still
+    leaves the table atomically.
+    """
+    base = spark.read.parquet(path)
+    subject = F.col(key_col).isin(key_values)
+    touched_rows = (
+        base.filter(subject)
+        .groupBy(partition_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not touched_rows:
+        return {"partitions_rewritten": 0, "rows_deleted": 0}
+    touched = [r[0] for r in touched_rows]
+    rows_deleted = sum(r["n"] for r in touched_rows)
+    kept = base.filter(F.col(partition_col).isin(touched)).filter(~subject)
+    kept_parts = {r[0] for r in kept.select(partition_col).distinct().collect()}
+    emptied = [p for p in touched if p not in kept_parts]
+    if kept_parts:
+        (
+            kept.filter(F.col(partition_col).isin(list(kept_parts)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__forgotten")
+        fs.mkdirs(trash)
+        for p in emptied:
+            src = jvm.org.apache.hadoop.fs.Path(hpath, f"{partition_col}={p}")
+            dst = jvm.org.apache.hadoop.fs.Path(trash, f"{partition_col}={p}")
+            fs.delete(dst, True)
+            fs.rename(src, dst)
+    return {
+        "partitions_rewritten": len(touched),
+        "rows_deleted": int(rows_deleted),
+    }

@@ -133,3 +133,52 @@ def test_streaming_upsert_sink_exactly_once_effective(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     got2 = {tuple(r) for r in spark.read.parquet(table).select("k", "v", "ver", "day").collect()}
     assert got2 == want
+
+
+def test_forget_keys_deletes_subject_rows_only(spark, tmp_path):
+    import glob
+    import os
+
+    from kafka_clickhouse_example_spark.sinks.merge import forget_keys
+
+    table = str(tmp_path / "events_lake")
+    base = [(i, i % 5, f"2024-01-{10 + i // 20:02d}") for i in range(60)]
+    subject = [(1000, 99, "2024-01-10"), (1001, 99, "2024-01-10")]
+    df = spark.createDataFrame(
+        base + subject, "event_id long, user_id long, day string"
+    )
+    df.write.partitionBy("day").parquet(table)
+    untouched_probe = sorted(glob.glob(table + "/day=2024-01-12/*.parquet"))
+    before_stat = [(f, os.path.getmtime(f)) for f in untouched_probe]
+
+    rep = forget_keys(spark, table, "user_id", [99], "day")
+    after = spark.read.parquet(table)
+    assert after.filter("user_id = 99").count() == 0
+    assert rep == {"partitions_rewritten": 1, "rows_deleted": 2}
+    assert after.count() == 60  # everything else intact
+    # partitions without the subject keys keep byte-identical files
+    assert [(f, os.path.getmtime(f)) for f in untouched_probe] == before_stat
+    # idempotent
+    rep2 = forget_keys(spark, table, "user_id", [99], "day")
+    assert rep2 == {"partitions_rewritten": 0, "rows_deleted": 0}
+
+
+def test_forget_keys_empty_partition_falls_back_to_rename(spark, tmp_path):
+    import glob
+
+    from kafka_clickhouse_example_spark.sinks.merge import forget_keys
+
+    table = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 7, "2024-02-01"), (2, 7, "2024-02-01"), (3, 8, "2024-02-02")],
+        "event_id long, user_id long, day string",
+    )
+    df.write.partitionBy("day").parquet(table)
+    rep = forget_keys(spark, table, "user_id", [7], "day")
+    assert rep["rows_deleted"] == 2
+    after = spark.read.parquet(table)
+    assert after.filter("user_id = 7").count() == 0
+    assert after.count() == 1
+    # the emptied partition left the table (parked, not half-written)
+    assert not glob.glob(table + "/day=2024-02-01*")
+    assert glob.glob(table + "__forgotten/day=2024-02-01/*.parquet")
