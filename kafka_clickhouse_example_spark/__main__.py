@@ -6,6 +6,7 @@
     python -m kafka_clickhouse_example_spark --prepare-corpus OUT_DIR [--sf-dir DIR]
     python -m kafka_clickhouse_example_spark --retention-sweep DIR COL CUTOFF
         [--dry-run] [--purge-trash]
+    python -m kafka_clickhouse_example_spark --forget DIR KEY_COL V1,V2 PART_COL
 
 Prints result rows as JSON lines on stdout (timestamps ISO-8601), so the
 output composes with jq/duckdb the way the reference's clickhouse-client
@@ -45,7 +46,30 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
     )
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--purge-trash", action="store_true")
+    ap.add_argument(
+        "--forget",
+        nargs=4,
+        metavar=("TABLE_DIR", "KEY_COL", "VALUES_CSV", "PARTITION_COL"),
+        help="right-to-be-forgotten: delete rows whose KEY_COL is in the "
+        "comma-separated VALUES_CSV, rewriting only containing partitions; "
+        "prints the report as JSON",
+    )
     args = ap.parse_args(argv)
+
+    if args.forget:
+        import json
+
+        from kafka_clickhouse_example_spark.sinks.merge import forget_keys
+
+        table_dir, key_col, values_csv, part_col = args.forget
+        values = [
+            int(v) if v.lstrip("-").isdigit() else v
+            for v in values_csv.split(",")
+            if v != ""
+        ]
+        report = forget_keys(get_spark(), table_dir, key_col, values, part_col)
+        print(json.dumps(report), file=out)
+        return 0
 
     if args.retention_sweep:
         import json
