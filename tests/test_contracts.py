@@ -1,0 +1,55 @@
+"""Schema-contract drift detection and admission-gate semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_clickhouse_example_spark.operators.contracts import (
+    enforce_contract,
+    schema_drift,
+)
+
+CONTRACT = "event_id bigint, user_id bigint, value double"
+
+
+def test_satisfied_contract_reports_nothing(spark):
+    df = spark.createDataFrame([(1, 2, 3.0)], CONTRACT)
+    assert schema_drift(df, CONTRACT) == []
+    out = enforce_contract(df, CONTRACT)
+    assert out.columns == ["event_id", "user_id", "value"]
+
+
+def test_drift_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "2", 5)], "event_id bigint, user_id string, extra_col int"
+    )
+    kinds = {(d["column"], d["kind"]) for d in schema_drift(df, CONTRACT)}
+    assert kinds == {
+        ("user_id", "type_changed"),
+        ("value", "missing"),
+        ("extra_col", "extra"),
+    }
+
+
+def test_enforce_gate_raises_on_breaking_drift(spark):
+    df = spark.createDataFrame([(1, 2)], "event_id bigint, user_id bigint")
+    with pytest.raises(ValueError, match="missing"):
+        enforce_contract(df, CONTRACT)
+
+
+def test_benign_extra_columns_are_projected_away(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3.0, "x")], "event_id bigint, user_id bigint, value double, junk string"
+    )
+    out = enforce_contract(df, CONTRACT)
+    assert out.columns == ["event_id", "user_id", "value"]
+
+
+def test_nullability_only_tightening_direction_flags(spark):
+    strict = "k bigint not null"
+    relaxed_df = spark.createDataFrame([(1,)], "k bigint")  # nullable
+    drift = schema_drift(relaxed_df, strict)
+    assert [d["kind"] for d in drift] == ["nullability_tightened"]
+    # the reverse direction (contract nullable, data NOT NULL) is fine
+    strict_df = spark.range(1).selectExpr("id as k")  # non-nullable
+    assert schema_drift(strict_df, "k bigint") == []
