@@ -294,3 +294,76 @@ def start_fanout_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_rollup_run(
+    spark: SparkSession,
+    table_path: str,
+    view_path: str,
+    state_path: str,
+    partition_col: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+) -> dict:
+    """Batch incremental computation with processed-partition bookkeeping:
+    each run rolls up ONLY the partitions that appeared since the last run
+    and dynamic-overwrites exactly those slices of the view — the batch
+    complement of the streaming matview (a nightly job over an append-only
+    day-partitioned lake should not rescan history).
+
+    State is a text file of processed partition values, committed by
+    write-temp-then-rename AFTER the view write: a crash between the two
+    reprocesses those partitions next run, and since each partition's
+    rollup is recomputed from raw (never merged into), the re-overwrite
+    converges — effectively exactly-once. Returns
+    {"processed": [...], "skipped": n_already_done}.
+
+    ``agg_exprs`` maps output column -> SQL aggregate over the partition's
+    rows (e.g. {"n": "count(*)", "total": "sum(v)"}).
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    tpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = tpath.getFileSystem(hconf)
+    prefix = f"{partition_col}="
+    on_disk = sorted(
+        st.getPath().getName()[len(prefix):]
+        for st in fs.listStatus(tpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+    spath = jvm.org.apache.hadoop.fs.Path(state_path)
+    done: set[str] = set()
+    if fs.exists(spath):
+        stream = fs.open(spath)
+        try:
+            done = {
+                line
+                for line in bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8").splitlines()
+                if line
+            }
+        finally:
+            stream.close()
+    new = [p for p in on_disk if p not in done]
+    if new:
+        from pyspark.sql import functions as F
+
+        src = spark.read.parquet(table_path).filter(
+            F.col(partition_col).isin(new)
+        )
+        rolled = src.groupBy(partition_col, *group_cols).agg(
+            *[F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
+        )
+        overwrite_partitions(rolled, view_path, [partition_col])
+        # commit state AFTER the view: temp + rename, never half-written
+        tmp = jvm.org.apache.hadoop.fs.Path(state_path + "._tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(("\n".join(sorted(done | set(new))) + "\n").encode("utf-8"))
+        finally:
+            out.close()
+        fs.delete(spath, False)
+        if not fs.rename(tmp, spath):
+            raise IOError(f"incremental rollup: could not commit state at {state_path}")
+    return {"processed": new, "skipped": len(done)}

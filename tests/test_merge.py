@@ -182,3 +182,36 @@ def test_forget_keys_empty_partition_falls_back_to_rename(spark, tmp_path):
     # the emptied partition left the table (parked, not half-written)
     assert not glob.glob(table + "/day=2024-02-01*")
     assert glob.glob(table + "__forgotten/day=2024-02-01/*.parquet")
+
+
+def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
+    from kafka_clickhouse_example_spark.sinks.backfill import incremental_rollup_run
+
+    table = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    state = str(tmp_path / "state.txt")
+    spark.createDataFrame(
+        [(i, i % 3, f"2024-03-{1 + i % 2:02d}") for i in range(40)],
+        "v long, k long, day string",
+    ).write.partitionBy("day").parquet(table)
+
+    args = (spark, table, view, state, "day", ["k"], {"n": "count(*)", "total": "sum(v)"})
+    rep1 = incremental_rollup_run(*args)
+    assert sorted(rep1["processed"]) == ["2024-03-01", "2024-03-02"]
+    v1 = {(str(r.day), r.k): (r.n, r.total) for r in spark.read.parquet(view).collect()}
+    assert sum(n for n, _ in v1.values()) == 40
+
+    # no new partitions -> no-op
+    rep2 = incremental_rollup_run(*args)
+    assert rep2 == {"processed": [], "skipped": 2}
+
+    # append one new day -> only it processes; old view slices untouched
+    spark.createDataFrame(
+        [(100, 0, "2024-03-03"), (101, 0, "2024-03-03")], "v long, k long, day string"
+    ).write.mode("append").partitionBy("day").parquet(table)
+    rep3 = incremental_rollup_run(*args)
+    assert rep3["processed"] == ["2024-03-03"]
+    v2 = {(str(r.day), r.k): (r.n, r.total) for r in spark.read.parquet(view).collect()}
+    assert v2[("2024-03-03", 0)] == (2, 201)
+    for key in v1:
+        assert v2[key] == v1[key]
