@@ -573,3 +573,88 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_conversion_ab_test",
+    oracle="""
+WITH assignment AS (
+  SELECT user_id, user_id % 2 AS grp,
+         CASE WHEN min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+                   <= min(epoch_ms(ts)) + 86400000
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+         CAST(sum(converted) FILTER (WHERE grp = 0) AS BIGINT) AS c_a,
+         CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b,
+         CAST(sum(converted) FILTER (WHERE grp = 1) AS BIGINT) AS c_b
+  FROM assignment
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / nullif(sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0), 4)
+         AS z_score
+FROM g
+""",
+)
+def events_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on 24-hour purchase conversion between a
+    deterministic A/B assignment (user parity stands in for the bucketing
+    hash a real experiment uses): pooled-variance z from EXACT per-arm
+    user and converter counts — the experimentation readout. Conversion =
+    first purchase within 24h of the user's first event (a rate strictly
+    inside (0,1) on this corpus — an everyone-converts metric degenerates
+    the pooled variance to zero, which the NULLIF guard also handles).
+    Every input to the z formula is an exact integer and the formula is
+    one fixed chain of double ops, so the statistic is bit-stable
+    cross-engine.
+
+    Scale: one user-keyed aggregate (the behavior family's shuffle key)
+    then a 1-row reduction; nothing depends on event volume beyond the
+    first rollup.
+    """
+    events = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    assignment = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", ms)).alias("first_p"),
+            F.min(ms).alias("first_ms"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(F.col("first_p") <= F.col("first_ms") + 86_400_000, 1)
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    g = assignment.agg(
+        F.count_if(F.col("grp") == 0).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted"))).cast("bigint").alias("c_a"),
+        F.count_if(F.col("grp") == 1).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted"))).cast("bigint").alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    denom = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.lit(1).cast("double") / F.col("n_a") + F.lit(1).cast("double") / F.col("n_b"))
+    )
+    z = (ra - rb) / F.nullif(denom, F.lit(0.0))
+    return g.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
