@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.plans.queries_text import TOKENS_SQL, _docs
 from kafka_clickhouse_example_spark.operators import text as T
+from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
@@ -313,4 +314,104 @@ def vocab_src_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_a"), F.lit(0)) - F.coalesce(F.col("n_b"), F.lit(0))).alias("diff"),
         )
         .orderBy("token")
+    )
+
+
+@register(
+    "documents_lang_source_chi2",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM cells),
+scored AS (
+  SELECT cells.lang, cells.source,
+         (CAST(cells.o AS DOUBLE) * tot.n - CAST(rt.r AS DOUBLE) * ct.c)
+         * (CAST(cells.o AS DOUBLE) * tot.n - CAST(rt.r AS DOUBLE) * ct.c)
+         / (CAST(tot.n AS DOUBLE) * rt.r * ct.c) AS term
+  FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+),
+folded AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY lang, source)),
+           (acc, x) -> acc + x) AS chi2
+  FROM scored
+)
+SELECT tot.n AS n_docs,
+       CAST((tot.n_langs - 1) * (tot.n_sources - 1) AS BIGINT) AS dof,
+       round(folded.chi2, 4) AS chi2,
+       round(sqrt(folded.chi2 / (tot.n * least(tot.n_langs - 1, tot.n_sources - 1))), 6)
+         AS cramers_v
+FROM folded, tot
+""",
+)
+def documents_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between language and source (are
+    sources language-balanced?) plus Cramer's V effect size. Observed and
+    marginal counts are exact integers; each cell's term is one fixed
+    double expression ((o*N - r*c)^2 / (N*r*c), computed in doubles since
+    o*N overflows int64 at corpus scale), and the cell terms combine in an
+    ORDER-PINNED fold (list ORDER BY lang, source — the emb_centroid_drift
+    pattern), so the statistic is bit-stable on any partitioning.
+
+    Scale: cells = |langs x sources| rows regardless of corpus size; the
+    fold runs over that bounded list on one row.
+    """
+    configure_runtime(spark)
+    docs = load_compute_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    cells = materialize(cells)
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    num = F.col("o").cast("double") * F.col("n") - F.col("r").cast("double") * F.col("c")
+    term = num * num / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+    scored = (
+        cells.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.struct(F.col("lang"), F.col("source"), term.alias("term")).alias("cell"),
+            "n",
+            "n_langs",
+            "n_sources",
+        )
+    )
+    folded = (
+        scored.groupBy("n", "n_langs", "n_sources")
+        .agg(F.collect_list("cell").alias("cells"))
+        .select(
+            "n",
+            "n_langs",
+            "n_sources",
+            F.aggregate(
+                F.transform(F.array_sort(F.col("cells")), lambda s: s.getField("term")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("chi2"),
+        )
+    )
+    return folded.select(
+        F.col("n").alias("n_docs"),
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
     )
