@@ -658,3 +658,110 @@ def events_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+         min(epoch_ms(ts)) AS first_ms,
+         max(epoch_ms(ts)) AS last_ms
+  FROM events GROUP BY user_id
+),
+bounds AS (SELECT max(epoch_ms(ts)) AS obs_end FROM events),
+lived AS (
+  SELECT (last_ms - first_ms) // 86400000 AS t,
+         CASE WHEN last_ms <= bounds.obs_end - 86400000 THEN 1 ELSE 0 END AS died
+  FROM users, bounds
+),
+risk AS (
+  SELECT t,
+         CAST(sum(died) AS BIGINT) AS d,
+         CAST((SELECT count(*) FROM lived l2 WHERE l2.t >= l1.t) AS BIGINT) AS n
+  FROM lived l1 GROUP BY t
+  HAVING sum(died) > 0
+),
+factors AS (
+  SELECT t, d, n,
+         1 - CAST(d AS DOUBLE) / n AS f,
+         row_number() OVER (ORDER BY t) AS i
+  FROM risk
+),
+packed AS (SELECT list(f ORDER BY t) AS fs FROM factors)
+SELECT factors.t AS lifetime_days, factors.n AS n_at_risk, factors.d AS n_churned,
+       round(list_reduce(list_prepend(CAST(1 AS DOUBLE), packed.fs[1:factors.i]),
+                         (acc, x) -> acc * x), 6) AS survival
+FROM factors, packed
+ORDER BY lifetime_days
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user lifetime (days from first to
+    last activity): users quiet for the trailing day count as churned
+    ('deaths'); users still active at observation end are right-censored
+    and only contribute to the at-risk denominators — the product-limit
+    estimator, the standard churn-curve statistic.
+
+    Exactness: d and n are exact integers; each hazard factor is one
+    double division, and every survival value is an ORDER-PINNED fold
+    (prefix product over the t-sorted factor list, the same deterministic
+    fold as chi2/centroid-drift — no pow/exp/log). The curve has one row
+    per distinct death lifetime (bounded by observed days, never user
+    count), so the O(k^2) prefix folds run over a list of at most a few
+    thousand elements regardless of corpus size.
+
+    Scale: one user-keyed aggregate, one day-keyed rollup, then
+    single-row list math.
+    """
+    events = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    users = events.groupBy("user_id").agg(
+        F.min(ms).alias("first_ms"), F.max(ms).alias("last_ms")
+    )
+    bounds = events.agg(F.max(ms).alias("obs_end"))
+    lived = users.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(last_ms - first_ms) div 86400000").alias("t"),
+        F.when(F.col("last_ms") <= F.col("obs_end") - 86_400_000, 1)
+        .otherwise(0)
+        .alias("died"),
+    )
+    lived = materialize(lived)
+    per_t = lived.groupBy("t").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("ended_here"),
+    )
+    # at-risk n(t) = users with lifetime >= t: suffix sum over the compact
+    # per-day rollup via an ORDER BY t DESC running total
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("ended_here").over(w).cast("bigint").alias("n")
+    ).filter(F.col("d") > 0)
+    factors = risk.select(
+        "t",
+        "d",
+        "n",
+        (F.lit(1) - F.col("d").cast("double") / F.col("n")).alias("f"),
+    )
+    packed = factors.groupBy().agg(
+        F.collect_list(F.struct("t", "d", "n", "f")).alias("cells")
+    ).select(F.array_sort("cells").alias("cells"))
+    exploded = packed.select(
+        F.posexplode("cells").alias("pos", "cell"), F.col("cells")
+    )
+    survival = F.aggregate(
+        F.transform(
+            F.slice(F.col("cells"), 1, F.col("pos") + 1),
+            lambda s: s.getField("f"),
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return exploded.select(
+        F.col("cell.t").alias("lifetime_days"),
+        F.col("cell.n").alias("n_at_risk"),
+        F.col("cell.d").alias("n_churned"),
+        F.round(survival, 6).alias("survival"),
+    ).orderBy("lifetime_days")
