@@ -45,6 +45,9 @@ SWEEP = [
     "flows_conversation_asymmetry", "privacy_k_anonymity_audit",
     "events_revenue_trend_ols", "events_seasonal_naive_backtest",
     "diag_snapshot_diff", "dedup_reach3_sql_recursive",
+    "events_conversion_ab_test", "documents_lang_source_chi2",
+    "events_survival_km", "events_type_day_unpivot", "diag_table_stats",
+    "events_signup_to_purchase_latency",
 ]
 
 # Queries whose cross/nested-loop join is deliberate: a 1-row (or
@@ -56,6 +59,7 @@ CROSS_OK = {
     "orders_part_affinity", "orders_pareto_8020",
     # 1-row broadcast bounds/totals crosses
     "events_revenue_trend_ols", "emb_centroid_drift",
+    "documents_lang_source_chi2", "events_survival_km",
 }
 
 
