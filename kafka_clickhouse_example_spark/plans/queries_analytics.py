@@ -2189,3 +2189,69 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_customers", "top_customers", "pct_customers", "top_share")
     )
+
+
+@register(
+    "orders_revenue_gini",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM cr
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(rev) AS total,
+         sum(CAST(i AS HUGEINT) * rev) AS weighted
+  FROM ranked
+)
+SELECT n,
+       round(CAST(total AS DOUBLE) / 100, 2) AS total_revenue,
+       round(2 * CAST(weighted AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM s
+""",
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality-index companion to orders_pareto_8020, via the
+    rank-weighted formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending-sorted revenues.
+
+    Scale design: the global rank comes from the ranking module's
+    distributed exact row number (range exchange + O(P) partition
+    offsets — no single-partition window); Σ(i·x_i) accumulates in
+    DECIMAL (HUGEINT in the oracle: rank × cents reaches ~1e25 at 1e9
+    customers), and the final index is one fixed double chain.
+    """
+    from kafka_clickhouse_example_spark.operators.ranking import with_global_rank
+
+    t = _t(spark, sf_dir, "orders")
+    cr = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    ranked = with_global_rank(cr, ["rev", "o_custkey"], rank_col="i")
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast("decimal(27,0)")).alias("total"),
+        F.sum((F.col("i").cast("decimal(27,0)") * F.col("rev"))).alias("weighted"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.round(F.col("total").cast("double") / 100, 2).alias("total_revenue"),
+        F.round(
+            2 * F.col("weighted").cast("double") / (n * F.col("total").cast("double"))
+            - (n + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
