@@ -62,11 +62,13 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
         from kafka_clickhouse_example_spark.sinks.merge import forget_keys
 
         table_dir, key_col, values_csv, part_col = args.forget
-        values = [
-            int(v) if v.lstrip("-").isdigit() else v
-            for v in values_csv.split(",")
-            if v != ""
-        ]
+        def _coerce(v: str):
+            try:
+                return int(v)
+            except ValueError:
+                return v
+
+        values = [_coerce(v) for v in values_csv.split(",") if v != ""]
         report = forget_keys(get_spark(), table_dir, key_col, values, part_col)
         print(json.dumps(report), file=out)
         return 0

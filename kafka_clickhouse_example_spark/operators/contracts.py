@@ -23,8 +23,13 @@ def schema_drift(df: DataFrame, expected_ddl: str) -> list[dict]:
     a consumer). Empty list == contract satisfied.
     """
     expected = StructType.fromDDL(expected_ddl)
-    actual = {f.name: f for f in df.schema.fields}
-    exp = {f.name: f for f in expected.fields}
+    # Match Spark's own resolution rules: column names compare
+    # case-insensitively (spark.sql.caseSensitive defaults false) and types
+    # compare by simpleString, which ignores nested containsNull/
+    # valueContainsNull — an array<int> that cannot hold nulls is a
+    # strictly-safer shape, not breaking drift.
+    actual = {f.name.lower(): f for f in df.schema.fields}
+    exp = {f.name.lower(): f for f in expected.fields}
     drift: list[dict] = []
     for name, f in exp.items():
         if name not in actual:
@@ -33,7 +38,7 @@ def schema_drift(df: DataFrame, expected_ddl: str) -> list[dict]:
             )
             continue
         a = actual[name]
-        if a.dataType != f.dataType:
+        if a.dataType.simpleString() != f.dataType.simpleString():
             drift.append(
                 {
                     "column": name,

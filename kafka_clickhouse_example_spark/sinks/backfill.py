@@ -332,9 +332,17 @@ def incremental_rollup_run(
         if st.isDirectory() and st.getPath().getName().startswith(prefix)
     )
     spath = jvm.org.apache.hadoop.fs.Path(state_path)
+    old_spath = jvm.org.apache.hadoop.fs.Path(state_path + "._old")
+    # crash recovery: if a previous run died between parking the old state
+    # and publishing the new one, the parked copy is still authoritative —
+    # without this, a lost state file would re-process (and re-overwrite)
+    # the ENTIRE history instead of just the new partitions
+    read_from = spath if fs.exists(spath) else (
+        old_spath if fs.exists(old_spath) else None
+    )
     done: set[str] = set()
-    if fs.exists(spath):
-        stream = fs.open(spath)
+    if read_from is not None:
+        stream = fs.open(read_from)
         try:
             done = {
                 line
@@ -356,14 +364,22 @@ def incremental_rollup_run(
             *[F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
         )
         overwrite_partitions(rolled, view_path, [partition_col])
-        # commit state AFTER the view: temp + rename, never half-written
+        # commit state AFTER the view, park-then-publish (the
+        # compact_to_target two-rename protocol): write temp, park the
+        # current state at ._old, publish temp, drop the parked copy — a
+        # crash in any window leaves either the new state or a readable
+        # parked copy (see recovery above), never zero state files
         tmp = jvm.org.apache.hadoop.fs.Path(state_path + "._tmp")
         out = fs.create(tmp, True)
         try:
             out.write(("\n".join(sorted(done | set(new))) + "\n").encode("utf-8"))
         finally:
             out.close()
-        fs.delete(spath, False)
+        fs.delete(old_spath, False)
+        if fs.exists(spath) and not fs.rename(spath, old_spath):
+            raise IOError(f"incremental rollup: could not park state at {state_path}._old")
         if not fs.rename(tmp, spath):
+            fs.rename(old_spath, spath)  # roll back; prior state intact
             raise IOError(f"incremental rollup: could not commit state at {state_path}")
+        fs.delete(old_spath, False)
     return {"processed": new, "skipped": len(done)}

@@ -154,41 +154,41 @@ def forget_keys(
     erasure primitive the PII/privacy family (pii scrub, k-anonymity
     audit) needs for post-hoc requests.
 
-    Mechanics: one pruned scan locates the touched partitions (the subject
-    keys are a small broadcast IN-list); those partitions rewrite via
-    dynamic partition overwrite minus the subject rows — untouched
-    partition FILES stay byte-identical (same guarantee tests pin for
-    merge_into_partitioned). Idempotent: forgetting already-absent keys
-    rewrites nothing. Returns {"partitions_rewritten", "rows_deleted"}.
-
-    An empty post-delete partition cannot be expressed by dynamic
-    overwrite (nothing to write); such partitions fall back to a
-    retention-style rename into ``<path>__forgotten`` so the data still
-    leaves the table atomically.
+    Mechanics: ONE pruned pass over the table classifies every touched
+    partition (subject rows, surviving rows — NULL keys survive: a NULL is
+    never one of the subject's identifiers, and the naive ``~IN`` filter
+    would silently destroy such rows); survivors rewrite via
+    ``backfill.overwrite_partitions`` (the shared dynamic-overwrite
+    protocol), and a partition left EMPTY — inexpressible by dynamic
+    overwrite — parks by rename into ``<path>__forgotten``, raising if the
+    rename fails (a silent false rename would report an erasure that did
+    not happen). Untouched partition files stay byte-identical; repeating
+    the call for absent keys rewrites nothing. Returns
+    {"partitions_rewritten", "rows_deleted"}.
     """
+    from kafka_clickhouse_example_spark.sinks.backfill import overwrite_partitions
+
     base = spark.read.parquet(path)
     subject = F.col(key_col).isin(key_values)
-    touched_rows = (
-        base.filter(subject)
-        .groupBy(partition_col)
-        .agg(F.count("*").alias("n"))
+    keep = ~subject | F.col(key_col).isNull()
+    per_part = (
+        base.groupBy(partition_col)
+        .agg(
+            F.count(F.when(subject, 1)).alias("n_subject"),
+            F.count(F.when(keep, 1)).alias("n_keep"),
+        )
+        .filter(F.col("n_subject") > 0)
         .collect()
     )
-    if not touched_rows:
+    if not per_part:
         return {"partitions_rewritten": 0, "rows_deleted": 0}
-    touched = [r[0] for r in touched_rows]
-    rows_deleted = sum(r["n"] for r in touched_rows)
-    kept = base.filter(F.col(partition_col).isin(touched)).filter(~subject)
-    kept_parts = {r[0] for r in kept.select(partition_col).distinct().collect()}
-    emptied = [p for p in touched if p not in kept_parts]
-    if kept_parts:
-        (
-            kept.filter(F.col(partition_col).isin(list(kept_parts)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
+    touched = [r[0] for r in per_part]
+    rows_deleted = sum(r["n_subject"] for r in per_part)
+    emptied = [r[0] for r in per_part if r["n_keep"] == 0]
+    rewrite = [r[0] for r in per_part if r["n_keep"] > 0]
+    if rewrite:
+        kept = base.filter(F.col(partition_col).isin(rewrite)).filter(keep)
+        overwrite_partitions(kept, path, [partition_col])
     if emptied:
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -196,11 +196,16 @@ def forget_keys(
         fs = hpath.getFileSystem(hconf)
         trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__forgotten")
         fs.mkdirs(trash)
-        for p in emptied:
-            src = jvm.org.apache.hadoop.fs.Path(hpath, f"{partition_col}={p}")
-            dst = jvm.org.apache.hadoop.fs.Path(trash, f"{partition_col}={p}")
+        for pv in emptied:
+            name = f"{partition_col}={pv}"
+            src = jvm.org.apache.hadoop.fs.Path(hpath, name)
+            dst = jvm.org.apache.hadoop.fs.Path(trash, name)
             fs.delete(dst, True)
-            fs.rename(src, dst)
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"forget_keys: could not park emptied partition {name} "
+                    f"(subject rows may still be readable at {path})"
+                )
     return {
         "partitions_rewritten": len(touched),
         "rows_deleted": int(rows_deleted),

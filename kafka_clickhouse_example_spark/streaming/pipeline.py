@@ -481,6 +481,10 @@ def make_inactivity_alert_processor(gap_ms: int = 60_000):
             last = int(self._last.get()[0])
             if expiry < last + gap_ms:
                 return iter(())  # superseded: newer activity re-armed later
+            # the alert is this conversation's terminal emission: clear its
+            # state so dead keys don't accumulate in the store forever (a
+            # resumed conversation rebuilds from max(0, new events))
+            self._last.clear()
             yield pd.DataFrame(
                 {
                     "src_ip": [key[0]],

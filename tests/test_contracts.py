@@ -53,3 +53,12 @@ def test_nullability_only_tightening_direction_flags(spark):
     # the reverse direction (contract nullable, data NOT NULL) is fine
     strict_df = spark.range(1).selectExpr("id as k")  # non-nullable
     assert schema_drift(strict_df, "k bigint") == []
+
+
+def test_case_insensitive_and_nested_nullability_lenient(spark):
+    # review fixes: Spark resolves names case-insensitively by default, and
+    # a nested containsNull=false is a safer shape, not breaking drift
+    df = spark.createDataFrame([(1,)], "Event_ID bigint")
+    assert schema_drift(df, "event_id bigint") == []
+    arr_df = spark.range(1).selectExpr("array(id) as xs")  # containsNull=false
+    assert schema_drift(arr_df, "xs array<bigint>") == []

@@ -215,3 +215,22 @@ def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
     assert v2[("2024-03-03", 0)] == (2, 201)
     for key in v1:
         assert v2[key] == v1[key]
+
+
+def test_forget_keys_preserves_null_key_rows(spark, tmp_path):
+    """Review repro: a NULL key is never one of the subject's identifiers,
+    so NULL-keyed rows must survive the rewrite (the naive ~IN filter
+    silently destroyed them)."""
+    from kafka_clickhouse_example_spark.sinks.merge import forget_keys
+
+    table = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, 7, "2024-01-01"), (2, None, "2024-01-01"), (3, 8, "2024-01-02")],
+        "event_id long, user_id long, day string",
+    ).write.partitionBy("day").parquet(table)
+    rep = forget_keys(spark, table, "user_id", [7], "day")
+    assert rep == {"partitions_rewritten": 1, "rows_deleted": 1}
+    after = spark.read.parquet(table)
+    assert after.count() == 2
+    assert after.filter("user_id IS NULL").count() == 1  # survived
+    assert after.filter("user_id = 7").count() == 0

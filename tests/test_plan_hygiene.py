@@ -47,7 +47,6 @@ SWEEP = [
     "diag_snapshot_diff", "dedup_reach3_sql_recursive",
     "events_conversion_ab_test", "documents_lang_source_chi2",
     "events_survival_km", "events_type_day_unpivot", "diag_table_stats",
-    "events_signup_to_purchase_latency",
 ]
 
 # Queries whose cross/nested-loop join is deliberate: a 1-row (or

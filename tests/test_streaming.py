@@ -818,6 +818,9 @@ def test_inactivity_alert_processor_unit():
         def update(self, v):
             self.value = v
 
+        def clear(self):
+            self.value = None
+
     class FakeHandle:
         def __init__(self):
             self.states = {}
@@ -860,6 +863,8 @@ def test_inactivity_alert_processor_unit():
     row = live[0].iloc[0]
     assert (row.src_ip, row.dst_ip) == key
     assert row.last_seen_ms == t1 and row.silent_ms == gap
+    # terminal emission clears the key's state (no dead-key accumulation)
+    assert not handle.states["last_seen"].exists()
 
 
 def test_inactivity_alerts_end_to_end(spark, flow_dir, tmp_path):
