@@ -803,3 +803,56 @@ def events_type_day_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "events_user_interarrival",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+       round(CAST(quantile_cont(gap_ms, 0.5) AS DOUBLE) / 1000, 4) AS median_gap_s,
+       round(CAST(sum(gap_ms) AS DOUBLE) / count(gap_ms) / 1000, 4) AS mean_gap_s,
+       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type, measured WITHIN each
+    user's own stream — the burstiness profile capacity planning reads.
+    Gaps are integer milliseconds (exact median via the integer-midpoint
+    trick; the mean is one double division of exact sums).
+
+    Scale: the lag window partitions on (user_id, event_type) — bounded
+    per-partition state on the behavior family's user key, deliberately
+    NOT a global per-type ordering (one partition per type would be the
+    classic window skew cliff at full scale).
+    """
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gaps = events.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_ms").cast("bigint").alias("n_gaps"),
+            F.round(F.percentile("gap_ms", F.lit(0.5)).cast("double") / 1000, 4).alias(
+                "median_gap_s"
+            ),
+            F.round(
+                F.sum("gap_ms").cast("double") / F.count("gap_ms") / 1000, 4
+            ).alias("mean_gap_s"),
+            F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+        )
+        .orderBy("event_type")
+    )
