@@ -106,3 +106,38 @@ def with_pack_chunks(
             "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1).cast("long")
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Write ``df`` as fixed-size training shards: every output file holds
+    at most ``rows_per_shard`` rows (``maxRecordsPerFile`` enforces the cap
+    inside each task; the repartition count keeps files near-full rather
+    than fragmenting), optionally in a stable global order — the shard
+    layout a data loader streams with predictable memory per shard.
+    Returns the number of shard files written.
+
+    Scale: one repartition (range if ordered, round-robin otherwise); the
+    writer splits at the row cap without any driver-side accounting.
+    """
+    import math
+
+    n_rows = df.count()
+    n_parts = max(1, math.ceil(n_rows / rows_per_shard))
+    if order_cols:
+        out = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        out = out.sortWithinPartitions(*order_cols)
+    else:
+        out = df.repartition(n_parts)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    import glob
+
+    return len(glob.glob(f"{path}/*.parquet"))
