@@ -2255,3 +2255,58 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "orders_open_backlog_aging",
+    oracle="""
+WITH bounds AS (SELECT max(o_orderdate) AS asof FROM orders),
+aged AS (
+  SELECT CASE WHEN datediff('day', o_orderdate, bounds.asof) < 30 THEN '0-29d'
+              WHEN datediff('day', o_orderdate, bounds.asof) < 90 THEN '30-89d'
+              WHEN datediff('day', o_orderdate, bounds.asof) < 365 THEN '90-364d'
+              ELSE '365d+' END AS age_bucket,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+  FROM orders, bounds WHERE o_orderstatus = 'O'
+)
+SELECT age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(pc) AS DOUBLE) / 100, 2) AS open_value
+FROM aged GROUP BY age_bucket ORDER BY age_bucket
+""",
+)
+def orders_open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O' bucketed by
+    age relative to the latest order date — the operations report behind
+    'how stale is our open pipeline'. Day arithmetic uses datediff on DATE
+    values (calendar-exact, identical both engines); money sums are exact
+    integer cents descaled once.
+
+    Scale: one scan with a pushed status filter, a 1-row broadcast asof
+    bound, and a 4-row aggregate.
+    """
+    t = _t(spark, sf_dir, "orders")
+    bounds = t["orders"].agg(F.max("o_orderdate").alias("asof"))
+    age = F.datediff(F.col("asof"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age < 30, "0-29d")
+        .when(age < 90, "30-89d")
+        .when(age < 365, "90-364d")
+        .otherwise("365d+")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+                .cast("double")
+                / 100,
+                2,
+            ).alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )
