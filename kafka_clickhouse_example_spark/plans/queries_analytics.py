@@ -2310,3 +2310,91 @@ def orders_open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+@register(
+    "parts_return_rate_by_brand",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT) AS n_returned,
+       round(CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS DOUBLE)
+             / count(*), 6) AS return_rate
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY return_rate DESC, p.p_brand
+""",
+)
+def parts_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per part brand — the product-quality screen: which
+    brands come back. Exact counts, one double division; the part
+    dimension broadcasts against the fact scan (the q14/q19 join shape),
+    so the only shuffle is the #brands-row aggregate.
+    """
+    t = _t(spark, sf_dir, "lineitem", "part")
+    returned = F.count_if(F.col("l_returnflag") == "R")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            returned.cast("bigint").alias("n_returned"),
+            F.round(returned.cast("double") / F.count("*"), 6).alias("return_rate"),
+        )
+        .orderBy(F.col("return_rate").desc(), "p_brand")
+    )
+
+
+@register(
+    "supplier_revenue_hhi",
+    oracle="""
+WITH sr AS (
+  SELECT l_suppkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(rev) AS total,
+         sum(CAST(rev AS HUGEINT) * rev) AS sum_sq
+  FROM sr
+)
+SELECT n_suppliers,
+       round(CAST(sum_sq AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 8) AS hhi,
+       round(CAST(1 AS DOUBLE) / n_suppliers, 8) AS hhi_floor
+FROM s
+""",
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue — 'how
+    dependent are we on few suppliers'. HHI = Σ share² computed WITHOUT
+    per-share division: Σrev² / (Σrev)² over exact integer cents (first
+    factor HUGEINT/DECIMAL — rev² tops int64 past ~$30B per supplier), so
+    the index is exact until one final double division. hhi_floor = 1/n,
+    the perfectly-even baseline to read it against.
+
+    Scale: one partial-agg rollup per supplier, one 1-row reduction.
+    """
+    t = _t(spark, sf_dir, "lineitem")
+    sr = t["lineitem"].groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    revd = F.col("rev").cast("decimal(27,0)")
+    s = sr.agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(revd).alias("total"),
+        F.sum(revd * F.col("rev")).alias("sum_sq"),
+    )
+    return s.select(
+        "n_suppliers",
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            8,
+        ).alias("hhi"),
+        F.round(F.lit(1).cast("double") / F.col("n_suppliers"), 8).alias("hhi_floor"),
+    )
