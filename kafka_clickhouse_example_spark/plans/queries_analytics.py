@@ -2398,3 +2398,47 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         F.round(F.lit(1).cast("double") / F.col("n_suppliers"), 8).alias("hhi_floor"),
     )
+
+
+@register(
+    "shipping_delay_by_priority",
+    oracle="""
+WITH d AS (
+  SELECT o.o_orderpriority,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(quantile_cont(delay_days, 0.5) AS DOUBLE) AS median_delay_days,
+       CAST(max(delay_days) AS BIGINT) AS max_delay_days
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def shipping_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: exact integer-day medians
+    (the midpoint-of-integers trick) over the orders⋈lineitem join — does
+    URGENT actually ship faster. The join is the repo's canonical
+    fact-fact shuffle (bucketed layout removes its exchange, see
+    tests/test_bucketing.py); the aggregate reduces to 5 rows.
+    """
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    d = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days"),
+        )
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.percentile("delay_days", F.lit(0.5))
+            .cast("double")
+            .alias("median_delay_days"),
+            F.max("delay_days").cast("bigint").alias("max_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
