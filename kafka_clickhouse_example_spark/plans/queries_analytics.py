@@ -2442,3 +2442,66 @@ def shipping_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "nation_revenue_yoy",
+    oracle="""
+WITH yearly AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, yr
+),
+g AS (
+  SELECT nation, yr, rev_c,
+         lag(rev_c) OVER (PARTITION BY nation ORDER BY yr) AS prev
+  FROM yearly
+)
+SELECT nation, yr,
+       round(CAST(rev_c AS DOUBLE) / 100, 2) AS revenue,
+       round((CAST(rev_c AS DOUBLE) - prev) * 100 / prev, 4) AS yoy_pct
+FROM g WHERE prev IS NOT NULL
+ORDER BY nation, yr
+""",
+)
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the multi-year trend
+    panel the single-period TPC-H shapes (q5/q7) don't cover. Revenue
+    accumulates as exact integer cents; YoY is one double chain per row;
+    the lag window runs on the (nation, year)-sized rollup.
+
+    Scale: customer and nation broadcast against the orders scan (the
+    star-join shape), one rollup shuffle on a compact key, then window
+    math over at most nations x years rows.
+    """
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    yearly = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    g = yearly.withColumn("prev", F.lag("rev_c").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return g.select(
+        "nation",
+        "yr",
+        F.round(F.col("rev_c").cast("double") / 100, 2).alias("revenue"),
+        F.round(
+            (F.col("rev_c").cast("double") - F.col("prev")) * 100 / F.col("prev"), 4
+        ).alias("yoy_pct"),
+    ).orderBy("nation", "yr")
