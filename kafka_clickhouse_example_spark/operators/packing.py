@@ -126,6 +126,12 @@ def write_training_shards(
     """
     import math
 
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    # materialize once: count() + write would otherwise execute the full
+    # upstream plan twice (and size shards from a different run than the
+    # one written) — same rationale as with_stream_offsets above
+    df = df.localCheckpoint(eager=True)
     n_rows = df.count()
     n_parts = max(1, math.ceil(n_rows / rows_per_shard))
     if order_cols:
@@ -138,6 +144,14 @@ def write_training_shards(
         .option("maxRecordsPerFile", rows_per_shard)
         .parquet(path)
     )
-    import glob
-
-    return len(glob.glob(f"{path}/*.parquet"))
+    # count shards via the Hadoop FS (local glob is wrong for hdfs://,
+    # s3a://, or file: URI paths — the compact_to_target lesson)
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )

@@ -2272,7 +2272,9 @@ aged AS (
 SELECT age_bucket,
        CAST(count(*) AS BIGINT) AS n_orders,
        round(CAST(sum(pc) AS DOUBLE) / 100, 2) AS open_value
-FROM aged GROUP BY age_bucket ORDER BY age_bucket
+FROM aged GROUP BY age_bucket
+ORDER BY CASE age_bucket WHEN '0-29d' THEN 0 WHEN '30-89d' THEN 1
+         WHEN '90-364d' THEN 2 ELSE 3 END
 """,
 )
 def orders_open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2308,7 +2310,13 @@ def orders_open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("open_value"),
         )
-        .orderBy("age_bucket")
+        # chronological, not lexicographic: '365d+' must come last
+        .orderBy(
+            F.when(F.col("age_bucket") == "0-29d", 0)
+            .when(F.col("age_bucket") == "30-89d", 1)
+            .when(F.col("age_bucket") == "90-364d", 2)
+            .otherwise(3)
+        )
     )
 
 
@@ -2474,14 +2482,19 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates as exact integer cents; YoY is one double chain per row;
     the lag window runs on the (nation, year)-sized rollup.
 
-    Scale: customer and nation broadcast against the orders scan (the
-    star-join shape), one rollup shuffle on a compact key, then window
-    math over at most nations x years rows.
+    Scale: nation broadcasts; orders⋈customer is the canonical fact-fact
+    sort-merge (customer is NOT broadcastable at scale); one rollup
+    shuffle on a compact key, then window math over at most
+    nations x years rows.
     """
     t = _t(spark, sf_dir, "orders", "customer", "nation")
+    # nation broadcasts (25 rows); customer does NOT — it is a fact-sized
+    # table at scale (the module's broadcastable-dimension doctrine), so
+    # orders⋈customer stays a sort-merge/AQE join like every other
+    # customer join in this file
     yearly = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -55,29 +55,3 @@ def test_no_single_partition_window(spark, vals):
     )
     assert "Window" not in plan, f"global Window snuck into the plan:\n{plan[:1500]}"
     assert "SinglePartition" not in plan
-
-
-def test_write_training_shards_caps_rows_per_file(spark, tmp_path):
-    import glob
-
-    import pyarrow.parquet as pq
-
-    from kafka_clickhouse_example_spark.operators.packing import write_training_shards
-
-    df = spark.range(1000).selectExpr("id", "id % 7 as k")
-    out = str(tmp_path / "shards")
-    n = write_training_shards(df, out, rows_per_shard=128, order_cols=["id"])
-    files = sorted(glob.glob(out + "/*.parquet"))
-    assert len(files) == n
-    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
-    assert all(c <= 128 for c in counts)
-    assert sum(counts) == 1000
-    # stable global order: each shard's id range is disjoint and sorted
-    ranges = []
-    for f in files:
-        t = pq.read_table(f, columns=["id"]).column("id").to_pylist()
-        assert t == sorted(t)
-        ranges.append((t[0], t[-1]))
-    ranges.sort()
-    for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
-        assert b1 < a2
