@@ -52,8 +52,11 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
         metavar=("TABLE_DIR", "KEY_COL", "VALUES_CSV", "PARTITION_COL"),
         help="right-to-be-forgotten: delete rows whose KEY_COL is in the "
         "comma-separated VALUES_CSV, rewriting only containing partitions; "
-        "prints the report as JSON",
+        "prints the report as JSON (parked_path is non-null while any "
+        "emptied-partition bytes remain readable; add --purge-forgotten "
+        "to destroy them and complete the erasure)",
     )
+    ap.add_argument("--purge-forgotten", action="store_true")
     args = ap.parse_args(argv)
 
     if args.forget:
@@ -62,14 +65,34 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
         from kafka_clickhouse_example_spark.sinks.merge import forget_keys
 
         table_dir, key_col, values_csv, part_col = args.forget
-        def _coerce(v: str):
-            try:
-                return int(v)
-            except ValueError:
-                return v
+        spark = get_spark()
+        # Coerce CSV literals to the key column's ACTUAL type (read from
+        # the table schema), never by guessing int-vs-string from the
+        # literal: a digit string in a STRING column must stay a string,
+        # or isin(int) forces an implicit cast that can error under ANSI
+        # mode on non-numeric keys or silently change match semantics.
+        schema = spark.read.parquet(table_dir).schema
+        try:
+            kind = schema[key_col].dataType.typeName()
+        except KeyError:
+            print(f"--forget: no column {key_col} in {table_dir}", file=sys.stderr)
+            return 2
+        raw = [v for v in values_csv.split(",") if v != ""]
+        if kind in ("byte", "short", "integer", "long"):
+            values: list = [int(v) for v in raw]
+        elif kind in ("float", "double"):
+            values = [float(v) for v in raw]
+        elif kind == "decimal":
+            from decimal import Decimal
 
-        values = [_coerce(v) for v in values_csv.split(",") if v != ""]
-        report = forget_keys(get_spark(), table_dir, key_col, values, part_col)
+            values = [Decimal(v) for v in raw]
+        elif kind == "boolean":
+            values = [v.lower() in ("true", "1") for v in raw]
+        else:  # string/date/timestamp: pass literals through; Spark
+            values = raw  # compares them in the column's own type
+        report = forget_keys(
+            spark, table_dir, key_col, values, part_col, purge=args.purge_forgotten
+        )
         print(json.dumps(report), file=out)
         return 0
 

@@ -20,12 +20,18 @@ merge iteration then runs over the compact vocab relation:
 Driver state is O(n_merges) merge rules; lineage is cut every few rounds
 (the iterative-operator rule, see operators/checkpointing.py).
 
-Upgrade path for production vocab sizes (~32k merges): strictly-greedy BPE
-is one merge per round; merging the top-M NON-OVERLAPPING pairs per round
-(pairs sharing no token) is semantically identical for those pairs and
-cuts rounds ~10x — the standard wall-clock trade in distributed BPE
-trainers. This module keeps the strictly-greedy order so the reference
-equality test stays exact.
+Production vocab sizes (~32k merges): strictly-greedy BPE is one merge per
+round; ``merges_per_round=M`` accepts the top-M TOKEN-DISJOINT pairs from
+one pair-count pass and applies them in a single Arrow rewrite — cutting
+rounds (and pair-count shuffles) ~M× , the standard wall-clock trade in
+distributed BPE trainers. Because accepted pairs share no token, applying
+them together equals applying them sequentially; the batch matches
+strictly-greedy EXACTLY unless a merge-created pair (x, ab) would have
+out-counted a later accepted candidate — rare in natural corpora and
+bounded by the batch (never compounds across rounds, since counts are
+recomputed each round). tests/test_bpe.py pins batched == greedy on a
+non-interacting corpus and batched == a pure-Python batched reference in
+general.
 """
 
 from __future__ import annotations
@@ -70,27 +76,32 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
+def _apply_rules(vocab: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
     """Rewrite every token array, replacing left-to-right non-overlapping
-    (a, b) adjacencies with the concatenated token. One Arrow pass."""
+    (a, b) adjacencies with the concatenated token, one rule after another
+    in accept order — ONE Arrow pass for the whole batch of rules (the
+    per-word loop is inherently sequential, so a vectorized Python pass is
+    the honest tool; batching rules amortizes the Arrow round-trip)."""
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        merged_tok = a + b
         for pdf in batches:
             out = []
             for toks in pdf["tokens"]:
                 toks = list(toks)
-                res = []
-                i = 0
-                n = len(toks)
-                while i < n:
-                    if i < n - 1 and toks[i] == a and toks[i + 1] == b:
-                        res.append(merged_tok)
-                        i += 2
-                    else:
-                        res.append(toks[i])
-                        i += 1
-                out.append(res)
+                for a, b in rules:
+                    merged_tok = a + b
+                    res = []
+                    i = 0
+                    n = len(toks)
+                    while i < n:
+                        if i < n - 1 and toks[i] == a and toks[i + 1] == b:
+                            res.append(merged_tok)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                out.append(toks)
             yield pd.DataFrame({"tokens": out, "freq": pdf["freq"]})
 
     return vocab.mapInPandas(rewrite, "tokens array<string>, freq long")
@@ -101,6 +112,7 @@ def train_bpe(
     n_merges: int = 20,
     text_col: str = "text",
     min_count: int = 2,
+    merges_per_round: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merge rules; returns
     [(rank, left, right, count), ...] in merge order.
@@ -110,22 +122,47 @@ def train_bpe(
     pinned against a pure-Python reference in tests/test_bpe.py. Stops
     early when the best pair's count falls below ``min_count`` (merging
     singletons is noise).
+
+    ``merges_per_round=M`` accepts up to M TOKEN-DISJOINT pairs per
+    pair-count pass (skipping candidates that share a token with an
+    earlier accept in the same batch) and applies them in one Arrow
+    rewrite — ~M× fewer shuffles. M=1 IS strictly-greedy; see the module
+    header for the exactness contract of M>1.
     """
+    if merges_per_round < 1:
+        raise ValueError(f"merges_per_round must be >= 1: {merges_per_round}")
     vocab = materialize(word_freq_table(docs, text_col))
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        batch_cap = min(merges_per_round, n_merges - len(merges))
+        # over-fetch so the disjointness filter still fills the batch; the
+        # candidate list is O(M) rows to the driver either way
+        k = batch_cap if batch_cap == 1 else 4 * batch_cap + 4
         top = (
             _pair_counts(vocab)
             .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not top or top[0]["n"] < min_count:
+        accepted: list[tuple[int, str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            if row["n"] < min_count:
+                break
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue
+            accepted.append((len(merges) + len(accepted), a, b, int(row["n"])))
+            used.update((a, b))
+            if len(accepted) >= batch_cap:
+                break
+        if not accepted:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((rank, a, b, n))
-        vocab = _merge_pair(vocab, a, b)
-        if (rank + 1) % CHECKPOINT_EVERY == 0:
+        merges.extend(accepted)
+        vocab = _apply_rules(vocab, [(a, b) for _, a, b, _ in accepted])
+        rounds += 1
+        if rounds % CHECKPOINT_EVERY == 0:
             vocab = materialize(vocab)
     return merges
 

@@ -28,6 +28,24 @@ def schema_drift(df: DataFrame, expected_ddl: str) -> list[dict]:
     # compare by simpleString, which ignores nested containsNull/
     # valueContainsNull — an array<int> that cannot hold nulls is a
     # strictly-safer shape, not breaking drift.
+    #
+    # Case-collision guard: under spark.sql.caseSensitive=true a schema may
+    # legally hold columns differing only by case; folding them into one
+    # dict key would silently drop one side from the comparison and let
+    # real drift on it pass unreported. Such a schema is ambiguous under
+    # THIS comparator's case-insensitive rules, so refuse it loudly.
+    for side, fields in (("actual", df.schema.fields), ("contract", expected.fields)):
+        seen: dict[str, str] = {}
+        for f in fields:
+            low = f.name.lower()
+            if low in seen and seen[low] != f.name:
+                raise ValueError(
+                    f"schema_drift: {side} schema has columns differing only "
+                    f"by case ({seen[low]!r} vs {f.name!r}); case-insensitive "
+                    "comparison would silently drop one — resolve the "
+                    "collision or compare case-sensitively upstream"
+                )
+            seen.setdefault(low, f.name)
     actual = {f.name.lower(): f for f in df.schema.fields}
     exp = {f.name.lower(): f for f in expected.fields}
     drift: list[dict] = []

@@ -178,8 +178,16 @@ def retention_sweep(
     partition directories are MOVED (renamed) into ``<path>__trash`` — a
     metadata-only operation, no data copied, crash leaves every byte
     recoverable — and only an explicit ``purge_trash=True`` pass deletes
-    bytes. ``dry_run=True`` reports what would expire without touching
-    anything. Returns {"kept", "expired", "purged"} partition-value lists.
+    bytes. Purge runs BEFORE this sweep's parking and deletes only what
+    earlier sweeps parked, so even a single
+    ``--retention-sweep --purge-trash`` call leaves its own expirations
+    recoverable until the NEXT purge — every invocation preserves one
+    sweep's recovery window. ``dry_run=True`` reports what would expire
+    without touching anything. Returns {"kept", "expired"} as
+    partition-value lists and {"purged"} as the trash entries' VERBATIM
+    directory names (e.g. ``day=2024-01-10``) — trash may hold entries
+    parked under a different partition column, and slicing a guessed
+    prefix would mangle them.
 
     Scale: the sweep lists one directory level and renames — O(#partitions)
     driver-side name operations, never proportional to data size; readers
@@ -206,6 +214,12 @@ def retention_sweep(
     purged: list[str] = []
     if not dry_run:
         trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__trash")
+        if purge_trash and fs.exists(trash):
+            # purge FIRST: delete only prior sweeps' parkings, so this
+            # sweep's expirations stay recoverable until the next purge.
+            for status in fs.listStatus(trash):
+                purged.append(status.getPath().getName())
+                fs.delete(status.getPath(), True)
         if expired:
             fs.mkdirs(trash)
         for ppath in expired_paths:
@@ -213,10 +227,6 @@ def retention_sweep(
             fs.delete(target, True)  # clear a crashed prior sweep's copy
             if not fs.rename(ppath, target):
                 raise IOError(f"retention: could not park {ppath} in trash")
-        if purge_trash and fs.exists(trash):
-            for status in fs.listStatus(trash):
-                purged.append(status.getPath().getName()[len(prefix):])
-                fs.delete(status.getPath(), True)
     return {"kept": sorted(kept), "expired": sorted(expired), "purged": sorted(purged)}
 
 

@@ -1552,9 +1552,9 @@ def orders_price_lines_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n"),
         F.sum(F.col("pc").cast(dec)).alias("sx"),
         F.sum(F.col("nl").cast(dec)).alias("sy"),
-        F.sum((F.col("pc") * F.col("pc")).cast(dec)).alias("sxx"),
-        F.sum((F.col("nl") * F.col("nl")).cast(dec)).alias("syy"),
-        F.sum((F.col("pc") * F.col("nl")).cast(dec)).alias("sxy"),
+        F.sum(F.col("pc").cast(dec) * F.col("pc")).alias("sxx"),
+        F.sum(F.col("nl").cast(dec) * F.col("nl")).alias("syy"),
+        F.sum(F.col("pc").cast(dec) * F.col("nl")).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))

@@ -697,11 +697,13 @@ def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the greedy loop is iterative by nature).
 
     Scale: training state is the word-frequency table — vocabulary-sized,
-    built in ONE corpus pass; each merge is a bounded pair-count shuffle
-    plus a TakeOrdered(1).
+    built in ONE corpus pass; each ROUND is a bounded pair-count shuffle
+    plus a TakeOrdered(M) — merges_per_round=4 batches token-disjoint
+    merges so 8 rules cost 2 shuffles instead of 8 (the production profile
+    for 32k-merge vocabularies; exactness contract in operators/bpe.py).
     """
     from kafka_clickhouse_example_spark.operators import bpe as B
 
     docs = _docs(spark, sf_dir)
-    merges = B.train_bpe(docs, n_merges=8)
+    merges = B.train_bpe(docs, n_merges=8, merges_per_round=4)
     return B.merges_df(spark, merges).orderBy("rank")

@@ -429,15 +429,17 @@ def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # moment sums in DECIMAL (DuckDB: HUGEINT): n*sxx etc. would overflow a
     # LONG once hourly counts reach ~1e7 at full scale — same widening rule
-    # as orders_price_lines_correlation
+    # as orders_price_lines_correlation. Widen BEFORE multiplying (the
+    # oracle's CAST(x AS HUGEINT) * x): x*x in LONG already overflows at
+    # those counts and ANSI mode would throw before the cast ran.
     dec = "decimal(27,0)"
     s = paired.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
@@ -553,13 +555,16 @@ def events_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = daily.crossJoin(F.broadcast(dmin)).select(
         (F.col("d") - F.col("mn")).alias("t"), "rev_c"
     )
+    # widen-then-multiply (the oracle's CAST(t AS HUGEINT) * rev_c): at the
+    # full-scale domain in the docstring t*rev_c exceeds int64 BEFORE a
+    # cast-after-multiply could widen it, throwing under ANSI mode
     dec = "decimal(27,0)"
     s = x.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("t").cast(dec)).alias("st"),
-        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+        F.sum(F.col("t").cast(dec) * F.col("t")).alias("stt"),
         F.sum(F.col("rev_c").cast(dec)).alias("sy"),
-        F.sum((F.col("t") * F.col("rev_c")).cast(dec)).alias("sty"),
+        F.sum(F.col("t").cast(dec) * F.col("rev_c")).alias("sty"),
     )
     n = F.col("n").cast("double")
     st = F.col("st").cast("double")

@@ -147,6 +147,8 @@ def forget_keys(
     key_col: str,
     key_values: list,
     partition_col: str,
+    *,
+    purge: bool = False,
 ) -> dict:
     """Right-to-be-forgotten delete: remove every row whose ``key_col`` is
     in ``key_values`` from the ``partition_col``-partitioned parquet table,
@@ -163,8 +165,16 @@ def forget_keys(
     overwrite — parks by rename into ``<path>__forgotten``, raising if the
     rename fails (a silent false rename would report an erasure that did
     not happen). Untouched partition files stay byte-identical; repeating
-    the call for absent keys rewrites nothing. Returns
-    {"partitions_rewritten", "rows_deleted"}.
+    the call for absent keys rewrites nothing.
+
+    Parked bytes are STILL READABLE at the sibling path, so the erasure is
+    not complete until they are destroyed: pass ``purge=True`` to delete
+    the entire ``__forgotten`` directory (this call's parkings plus any
+    prior call's) after parking, or consume the returned ``parked_path``
+    and finish the purge out of band — the report never claims more than
+    what happened. Returns {"partitions_rewritten", "rows_deleted",
+    "parked_path" (None unless bytes remain parked), "purged" (verbatim
+    partition dir names deleted this call)}.
     """
     from kafka_clickhouse_example_spark.sinks.backfill import overwrite_partitions
 
@@ -181,7 +191,12 @@ def forget_keys(
         .collect()
     )
     if not per_part:
-        return {"partitions_rewritten": 0, "rows_deleted": 0}
+        return {
+            "partitions_rewritten": 0,
+            "rows_deleted": 0,
+            "parked_path": None,
+            "purged": [],
+        }
     touched = [r[0] for r in per_part]
     rows_deleted = sum(r["n_subject"] for r in per_part)
     emptied = [r[0] for r in per_part if r["n_keep"] == 0]
@@ -189,12 +204,15 @@ def forget_keys(
     if rewrite:
         kept = base.filter(F.col(partition_col).isin(rewrite)).filter(keep)
         overwrite_partitions(kept, path, [partition_col])
+    trash_str = path.rstrip("/") + "__forgotten"
+    purged: list[str] = []
+    parked_path: str | None = None
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    trash = jvm.org.apache.hadoop.fs.Path(trash_str)
     if emptied:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(hconf)
-        trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__forgotten")
         fs.mkdirs(trash)
         for pv in emptied:
             name = f"{partition_col}={pv}"
@@ -206,7 +224,22 @@ def forget_keys(
                     f"forget_keys: could not park emptied partition {name} "
                     f"(subject rows may still be readable at {path})"
                 )
+    if purge and fs.exists(trash):
+        # complete the erasure: destroy every parked partition (this
+        # call's and any earlier call's leftovers), then the dir itself —
+        # report entry names verbatim, never sliced.
+        for status in fs.listStatus(trash):
+            purged.append(status.getPath().getName())
+            if not fs.delete(status.getPath(), True):
+                raise IOError(
+                    f"forget_keys: could not purge parked {status.getPath()}"
+                )
+        fs.delete(trash, True)
+    elif fs.exists(trash):
+        parked_path = trash_str
     return {
         "partitions_rewritten": len(touched),
         "rows_deleted": int(rows_deleted),
+        "parked_path": parked_path,
+        "purged": purged,
     }

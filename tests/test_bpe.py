@@ -86,3 +86,82 @@ def test_learned_rules_compress_training_words(learned):
 def test_min_count_stops_training(spark):
     docs = spark.createDataFrame([("a b c d",)], "text string")  # all singletons
     assert B.train_bpe(docs, n_merges=5) == []
+
+
+def _reference_bpe_batched(
+    texts: list[str], n_merges: int, merges_per_round: int, min_count: int = 2
+):
+    """Pure-Python replica of the BATCHED trainer: per round, rank pairs by
+    (count DESC, left, right), accept up to M token-disjoint pairs, apply
+    them in accept order."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[tuple(list(w) + [B.END_OF_WORD])] += 1
+    merges = []
+    while len(merges) < n_merges:
+        pairs = Counter()
+        for toks, freq in vocab.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += freq
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        accepted, used = [], set()
+        for (a, b), n in ranked:
+            if n < min_count:
+                break
+            if a in used or b in used:
+                continue
+            accepted.append((len(merges) + len(accepted), a, b, n))
+            used.update((a, b))
+            if len(accepted) >= min(merges_per_round, n_merges - len(merges)):
+                break
+        if not accepted:
+            break
+        merges.extend(accepted)
+        new_vocab = Counter()
+        rules = [(r, a, b, n) for r, a, b, n in accepted]
+        for toks, freq in vocab.items():
+            new_vocab[tuple(B.apply_merges(list(toks), rules))] += freq
+        vocab = new_vocab
+    return merges
+
+
+def test_batched_matches_pure_python_batched_reference(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    for m in (2, 3, 5):
+        got = B.train_bpe(docs, n_merges=10, merges_per_round=m)
+        assert got == _reference_bpe_batched(TEXTS, 10, m), f"M={m}"
+
+
+def test_batched_equals_greedy_when_picks_dont_interact(spark):
+    # Each dominant pair is spread across TWO words, so every merge-created
+    # pair inherits only a per-word sub-count (<= 20), strictly below the
+    # next pick's total (22+). The top-4 picks are token-disjoint and no
+    # created pair can overtake: batched MUST equal strictly-greedy here.
+    words = (
+        ["ab"] * 20 + ["abr"] * 20 + ["cd"] * 15 + ["cds"] * 15
+        + ["ef"] * 13 + ["eft"] * 12 + ["gh"] * 11 + ["ghu"] * 11
+    )
+    texts = [" ".join(words)]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    greedy = B.train_bpe(docs, n_merges=4, merges_per_round=1)
+    batched = B.train_bpe(docs, n_merges=4, merges_per_round=4)
+    assert [(a, b, n) for _, a, b, n in greedy] == [
+        ("a", "b", 40), ("c", "d", 30), ("e", "f", 25), ("g", "h", 22)
+    ]
+    assert batched == greedy
+
+
+def test_merges_per_round_one_is_strictly_greedy(spark, learned):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    assert B.train_bpe(docs, n_merges=12, merges_per_round=1) == learned
+
+
+def test_batched_respects_n_merges_cap_and_validates(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = B.train_bpe(docs, n_merges=5, merges_per_round=4)
+    assert len(got) == 5 and [r for r, *_ in got] == [0, 1, 2, 3, 4]
+    with _pytest.raises(ValueError):
+        B.train_bpe(docs, merges_per_round=0)

@@ -62,3 +62,23 @@ def test_case_insensitive_and_nested_nullability_lenient(spark):
     assert schema_drift(df, "event_id bigint") == []
     arr_df = spark.range(1).selectExpr("array(id) as xs")  # containsNull=false
     assert schema_drift(arr_df, "xs array<bigint>") == []
+
+
+def test_case_collision_refused_not_silently_collapsed(spark):
+    """ADVICE r3: columns differing only by case (legal under
+    spark.sql.caseSensitive=true) must not fold into one dict key — that
+    silently drops one side and lets real drift on it pass. The comparator
+    refuses the ambiguous schema loudly instead."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").cast("int").alias("K")
+    )
+    with pytest.raises(ValueError, match="differing only"):
+        schema_drift(df, "k bigint")
+    # contract-side collisions are refused the same way
+    ok_df = spark.range(1).selectExpr("id as k")
+    with pytest.raises(ValueError, match="differing only"):
+        schema_drift(ok_df, "k bigint, K int")

@@ -175,13 +175,39 @@ def test_retention_sweep_two_phase(spark, tmp_path):
     parked = spark.read.parquet(trash + "/day=2024-01-10")
     assert parked.count() == 20  # every byte recoverable before purge
 
-    # idempotent re-run, then purge actually deletes
+    # idempotent re-run, then purge actually deletes; purged entries are
+    # reported VERBATIM (dir names, not sliced values)
     rep = retention_sweep(spark, table, "day", "2024-01-13", purge_trash=True)
     assert rep["expired"] == []
-    assert rep["purged"] == ["2024-01-10", "2024-01-11", "2024-01-12"]
+    assert rep["purged"] == ["day=2024-01-10", "day=2024-01-11", "day=2024-01-12"]
     import os
 
     assert os.listdir(trash) == []
+
+
+def test_retention_sweep_purge_keeps_own_sweep_recoverable(spark, tmp_path):
+    """A single `--retention-sweep --purge-trash` call must NOT destroy the
+    partitions it expires in that same call: purge runs before parking, so
+    every invocation leaves the newest sweep's bytes recoverable."""
+    from kafka_clickhouse_example_spark.operators.layout import retention_sweep
+
+    table = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in range(10, 14) for i in range(5)],
+        "v int, day string",
+    ).write.partitionBy("day").parquet(table)
+
+    rep = retention_sweep(spark, table, "day", "2024-01-11", purge_trash=True)
+    assert rep["expired"] == ["2024-01-10"]
+    assert rep["purged"] == []  # nothing parked before this call
+    # the just-expired partition is parked, not gone
+    assert spark.read.parquet(table + "__trash/day=2024-01-10").count() == 5
+
+    # next purge-sweep deletes the prior parking, parks the new expiration
+    rep = retention_sweep(spark, table, "day", "2024-01-12", purge_trash=True)
+    assert rep["expired"] == ["2024-01-11"]
+    assert rep["purged"] == ["day=2024-01-10"]
+    assert spark.read.parquet(table + "__trash/day=2024-01-11").count() == 5
 
 
 def test_diff_tables_classifies_all_statuses(spark):

@@ -154,13 +154,23 @@ def test_forget_keys_deletes_subject_rows_only(spark, tmp_path):
     rep = forget_keys(spark, table, "user_id", [99], "day")
     after = spark.read.parquet(table)
     assert after.filter("user_id = 99").count() == 0
-    assert rep == {"partitions_rewritten": 1, "rows_deleted": 2}
+    assert rep == {
+        "partitions_rewritten": 1,
+        "rows_deleted": 2,
+        "parked_path": None,  # nothing parked -> erasure complete as reported
+        "purged": [],
+    }
     assert after.count() == 60  # everything else intact
     # partitions without the subject keys keep byte-identical files
     assert [(f, os.path.getmtime(f)) for f in untouched_probe] == before_stat
     # idempotent
     rep2 = forget_keys(spark, table, "user_id", [99], "day")
-    assert rep2 == {"partitions_rewritten": 0, "rows_deleted": 0}
+    assert rep2 == {
+        "partitions_rewritten": 0,
+        "rows_deleted": 0,
+        "parked_path": None,
+        "purged": [],
+    }
 
 
 def test_forget_keys_empty_partition_falls_back_to_rename(spark, tmp_path):
@@ -182,6 +192,37 @@ def test_forget_keys_empty_partition_falls_back_to_rename(spark, tmp_path):
     # the emptied partition left the table (parked, not half-written)
     assert not glob.glob(table + "/day=2024-02-01*")
     assert glob.glob(table + "__forgotten/day=2024-02-01/*.parquet")
+    # the report must NOT claim completed erasure: parked bytes remain
+    # readable at the sibling path, and the caller is told where
+    assert rep["parked_path"] == table + "__forgotten"
+    assert rep["purged"] == []
+
+
+def test_forget_keys_purge_completes_the_erasure(spark, tmp_path):
+    """ADVICE r3 (medium): parked `__forgotten` bytes stayed readable
+    forever with no purge mechanism while rows_deleted counted them as
+    erased. purge=True must destroy this call's parkings AND any prior
+    call's leftovers, leaving no readable subject bytes."""
+    import glob
+
+    from kafka_clickhouse_example_spark.sinks.merge import forget_keys
+
+    table = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, 7, "2024-02-01"), (2, 8, "2024-02-02"), (3, 9, "2024-02-03")],
+        "event_id long, user_id long, day string",
+    ).write.partitionBy("day").parquet(table)
+
+    # first call parks without purging -> leftovers exist
+    rep1 = forget_keys(spark, table, "user_id", [7], "day")
+    assert rep1["parked_path"] == table + "__forgotten"
+
+    # second call with purge=True erases its own parking AND the leftover
+    rep2 = forget_keys(spark, table, "user_id", [8], "day", purge=True)
+    assert sorted(rep2["purged"]) == ["day=2024-02-01", "day=2024-02-02"]
+    assert rep2["parked_path"] is None
+    assert not glob.glob(table + "__forgotten*")
+    assert spark.read.parquet(table).count() == 1
 
 
 def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
@@ -229,8 +270,39 @@ def test_forget_keys_preserves_null_key_rows(spark, tmp_path):
         "event_id long, user_id long, day string",
     ).write.partitionBy("day").parquet(table)
     rep = forget_keys(spark, table, "user_id", [7], "day")
-    assert rep == {"partitions_rewritten": 1, "rows_deleted": 1}
+    assert rep == {
+        "partitions_rewritten": 1,
+        "rows_deleted": 1,
+        "parked_path": None,
+        "purged": [],
+    }
     after = spark.read.parquet(table)
     assert after.count() == 2
     assert after.filter("user_id IS NULL").count() == 1  # survived
     assert after.filter("user_id = 7").count() == 0
+
+
+def test_cli_forget_coerces_to_key_column_type(spark, tmp_path):
+    """ADVICE r3: --forget guessed int-vs-string from the literal, so digit
+    strings in a STRING key column became Python ints and isin(int) forced
+    an implicit cast (ANSI error / wrong matches). The CLI must read the
+    table schema and coerce to the column's actual type."""
+    import io
+    import json
+
+    from kafka_clickhouse_example_spark.__main__ import run
+
+    table = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [("007", "a", "2024-01-01"), ("nonnum", "b", "2024-01-01"), ("7", "c", "2024-01-02")],
+        "uid string, v string, day string",
+    ).write.partitionBy("day").parquet(table)
+
+    buf = io.StringIO()
+    assert run(["--forget", table, "uid", "7", "day"], out=buf) == 0
+    rep = json.loads(buf.getvalue())
+    assert rep["rows_deleted"] == 1  # exactly "7"; "007" and "nonnum" survive
+    left = {r.uid for r in spark.read.parquet(table).collect()}
+    assert left == {"007", "nonnum"}
+    # unknown key column is a clean usage error, not a stack trace
+    assert run(["--forget", table, "nope", "7", "day"]) == 2
