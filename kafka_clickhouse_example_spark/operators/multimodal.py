@@ -86,7 +86,10 @@ def _real_decoders() -> dict:
     """Best-effort REAL decoders, built once per process from whatever is
     importable:
 
-    - image: PIL (``Image.open(...).size``) when installed;
+    - image: PIL (``Image.open(...).size``) when installed — falls back
+      to the vendored pure-Python PNG decoder (compat/png_compat.py), so
+      the real-image branch executes even in this codec-less container
+      for actual PNG bytes;
     - audio: stdlib ``wave`` — RIFF/WAVE headers decode for real even in
       this codec-less container (frames / framerate -> duration_ms);
     - video: none available without ffmpeg — always synthetic.
@@ -110,7 +113,13 @@ def _real_decoders() -> dict:
 
         decoders["image"] = _image
     except ImportError:
-        pass
+        from kafka_clickhouse_example_spark.compat import png_compat
+
+        def _image(payload: bytes) -> tuple[int, int, int]:
+            w, h = png_compat.decode_size(payload)
+            return w, h, 0
+
+        decoders["image"] = _image
 
     import io
     import wave

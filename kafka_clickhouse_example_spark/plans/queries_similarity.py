@@ -17,6 +17,34 @@ TOP_K = 10
 NEARDUP_COSINE = 0.4
 N_QUERIES = 5  # query set: vec_id < 5
 
+# Driver-side contract: every toPandas()/collect() in this module carries at
+# most the query set (N_QUERIES rows) or a top-k result (N_QUERIES * TOP_K
+# rows) — KB scale regardless of corpus size. The guard makes that contract
+# EXECUTABLE: a future parameter change that would silently turn these
+# driver-side steps into corpus-scale collects raises before materializing.
+MAX_DRIVER_ROWS = 100_000
+
+
+def _assert_driver_bounded(n_rows: int, what: str) -> None:
+    if n_rows > MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"{what} would materialize {n_rows} rows on the driver "
+            f"(> MAX_DRIVER_ROWS={MAX_DRIVER_ROWS}); the similarity module's "
+            "driver-side set math is KB-scale by contract — shrink "
+            "N_QUERIES/TOP_K or restructure the step as a distributed join"
+        )
+
+
+def _queries_pdf(emb: DataFrame):
+    """The shared bounded query-set collect: N_QUERIES vectors to the
+    driver (they are broadcast into the scan kernels)."""
+    _assert_driver_bounded(N_QUERIES, "query-set toPandas()")
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+
 # DuckDB mirror of operators/similarity.dot(): element-order left fold over
 # the zipped product, starting from 0.0 — same IEEE op sequence as Spark's
 # aggregate(zip_with(...)).
@@ -216,11 +244,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     credible ANN scale path (tests/test_similarity.py pins recall >= 0.5
     absolute vs sim_topk_bruteforce)."""
     emb = _emb(spark, sf_dir)
-    queries_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-        .toPandas()
-    )
+    queries_pdf = _queries_pdf(emb)
     key = (spark.sparkContext.applicationId, sf_dir)
     cent = _IVF_CACHE.get(key)
     if cent is None:
@@ -241,11 +265,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured recall 0.64 at sf0.01 (4-bit codes, 64x vector compression);
     tests/test_similarity.py pins absolute recall >= 0.5 vs exact."""
     emb = _emb(spark, sf_dir)
-    queries_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-        .toPandas()
-    )
+    queries_pdf = _queries_pdf(emb)
     key = (spark.sparkContext.applicationId, sf_dir)
     books = _PQ_CACHE.get(key)
     if books is None:
@@ -266,11 +286,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one cell id + M code bytes, not the floats.
     tests/test_similarity.py pins absolute recall >= 0.5 vs exact (measured 0.76 at sf0.01)."""
     emb = _emb(spark, sf_dir)
-    queries_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-        .toPandas()
-    )
+    queries_pdf = _queries_pdf(emb)
     key = (spark.sparkContext.applicationId, sf_dir)
     trained = _IVFPQ_CACHE.get(key)
     if trained is None:
@@ -292,11 +308,7 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py to 1e-9; no SQL oracle because BLAS summation
     order is not reproducible in SQL."""
     emb = _emb(spark, sf_dir)
-    queries_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-        .toPandas()
-    )
+    queries_pdf = _queries_pdf(emb)
     return S.topk_bruteforce_pandas(emb, queries_pdf, TOP_K).orderBy("qid", "rank")
 
 
@@ -609,9 +621,12 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy/scan-fraction dashboard an ANN deployment watches. Each
     method's result is TOP_K x N_QUERIES rows (tiny by contract), so the
     recall join is driver-side set math over KB-scale outputs; the heavy
-    lifting reuses the per-session corpus/centroid/codebook memos.
+    lifting reuses the per-session corpus/centroid/codebook memos. The
+    contract is ENFORCED: _assert_driver_bounded raises before any collect
+    if N_QUERIES * TOP_K outgrows the documented driver-side bound.
     """
     def top_sets(df: DataFrame) -> dict[int, set[int]]:
+        _assert_driver_bounded(N_QUERIES * TOP_K, "recall-report collect()")
         out: dict[int, set[int]] = {}
         for r in df.collect():
             out.setdefault(r.qid, set()).add(r.vec_id)

@@ -203,3 +203,20 @@ def test_recall_report_covers_ladder(spark, sf_dir):
     assert all(0.0 <= v <= 1.0 for v in rows.values())
     # the ladder's own contracts (>=0.5 for probe/ivf) must be visible here
     assert rows["lsh_probe"] >= 0.5 and rows["ivf"] >= 0.5
+
+
+def test_driver_side_contract_guard_trips(spark, sf_dir, monkeypatch):
+    """VERDICT r3 nit: the KB-scale driver-side contract in the similarity
+    module must be asserted, not just documented — a parameter change that
+    would make the toPandas()/collect() steps corpus-scale raises before
+    materializing anything."""
+    import pytest as _pytest
+
+    from kafka_clickhouse_example_spark.plans import queries_similarity as QS
+
+    monkeypatch.setattr(QS, "N_QUERIES", QS.MAX_DRIVER_ROWS + 1)
+    with _pytest.raises(ValueError, match="MAX_DRIVER_ROWS"):
+        QS.sim_topk_pandas(spark, sf_dir)
+    monkeypatch.setattr(QS, "N_QUERIES", QS.MAX_DRIVER_ROWS // QS.TOP_K + 1)
+    with _pytest.raises(ValueError, match="MAX_DRIVER_ROWS"):
+        QS.sim_recall_report(spark, sf_dir)
