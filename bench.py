@@ -87,13 +87,17 @@ def main() -> None:
         )
     except OSError as exc:
         print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
-    # The driver archives only a bounded TAIL of stdout; with 100+ queries
-    # the full line above outgrew it in round 2 and the leading total was
-    # cut off (BENCH_r02 "parsed": null). Emit a LAST line that is compact
-    # enough (<1 KB) to always survive tail truncation whole: totals,
-    # failure count, the slowest queries, streaming throughput.
+    # The driver archives only a bounded TAIL of stdout (~2000 chars per
+    # BENCH_r03's tail field); with 177 queries the full line above (~6 KB)
+    # outgrew it in round 2 and the leading total was cut off (BENCH_r02
+    # "parsed": null). Emit a LAST line compact enough (<1.5 KB) to always
+    # survive tail truncation whole: totals, failure count, the slowest
+    # queries, streaming throughput — and a pointer to BENCH_LOCAL.json
+    # (written above, committed per-round) which carries ALL per-query
+    # timings so round-over-round per-query diffs never depend on tail
+    # truncation.
     slowest = dict(
-        sorted(((n, t) for n, t in timings.items() if t >= 0), key=lambda kv: -kv[1])[:8]
+        sorted(((n, t) for n, t in timings.items() if t >= 0), key=lambda kv: -kv[1])[:12]
     )
     print(
         json.dumps(
@@ -104,6 +108,7 @@ def main() -> None:
                 "queries_run": len(timings),
                 "queries_failed": sum(1 for t in timings.values() if t < 0),
                 "slowest": slowest,
+                "full_timings": "BENCH_LOCAL.json",
                 "streaming_rows_per_sec": streaming.get("rows_per_sec", -1.0),
                 "sf": _sf_label(SF_DIR),
             }
