@@ -201,15 +201,30 @@ def decode_media(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
 
 
 def raster_decode(payload: bytes) -> tuple[int, "object"]:
-    """Decode the synthetic/v1 raster: the largest square prefix of the
-    payload interpreted as a row-major 8-bit grayscale grid
-    (side = isqrt(n_bytes)). Raises for payloads below 1x1 so bad data
-    fails loudly. A production build swaps this for a PIL/ffmpeg decode;
-    everything downstream (resample math, schema, batching) is unchanged.
+    """Decode a payload to a SQUARE grayscale grid for the resize kernel.
+
+    REAL branch first: PNG bytes (detected by signature) decode through the
+    vendored codec (compat/png_compat.py) — channels average to luma, and
+    non-square images crop to the centered largest square so the kernel's
+    square contract holds. Everything else decodes as the synthetic/v1
+    raster: the largest square prefix of the payload interpreted as a
+    row-major 8-bit grayscale grid (side = isqrt(n_bytes)). Raises for
+    payloads below 1x1 so bad data fails loudly.
     """
     import math
 
     import numpy as np
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from kafka_clickhouse_example_spark.compat import png_compat
+
+        w, h, ch, pix = png_compat.decode_rgb(payload)
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+        # integer mean over channels = exact, deterministic luma
+        gray = arr.astype(np.uint32).sum(axis=2) // ch
+        side = min(w, h)
+        y0, x0 = (h - side) // 2, (w - side) // 2
+        return side, gray[y0 : y0 + side, x0 : x0 + side].astype(np.uint8)
 
     side = math.isqrt(len(payload))
     if side < 1:

@@ -255,3 +255,43 @@ class TestRealPngDecodeBranch:
         )
         row = decode_media(df, use_real_codecs=True).collect()[0]
         assert (row.width, row.height, row.duration_ms) == (8, 6, 0)
+
+    def test_resize_real_png_through_kernel(self, spark):
+        """Real pixels through the REAL resize path: a PNG with a known
+        gradient resizes via the same NN index map as the synthetic
+        raster, so the kernel (not just the plumbing) runs on real media."""
+        import numpy as np
+
+        from kafka_clickhouse_example_spark.compat import png_compat
+        from kafka_clickhouse_example_spark.operators.multimodal import (
+            raster_decode,
+            resize_image,
+        )
+
+        w = h = 12
+        pix = bytes((x * 20 + y) % 256 for y in range(h) for x in range(w) for _ in range(3))
+        png = png_compat.encode_rgb(w, h, pix, channels=3)
+        side, arr = raster_decode(png)
+        assert side == 12 and arr.shape == (12, 12)
+        # luma of (v, v, v) is v: gradient survives the channel mean
+        assert arr[0, 0] == 0 and arr[3, 5] == (5 * 20 + 3) % 256
+
+        df = spark.createDataFrame(
+            [(9, bytearray(png))], "media_id long, payload binary"
+        )
+        row = resize_image(df, 4, 4).collect()[0]
+        got = np.frombuffer(row.payload, dtype=np.uint8).reshape(4, 4)
+        ys = (np.arange(4) * 12) // 4
+        want = arr[np.ix_(ys, ys)]
+        assert (got == want).all()
+
+    def test_raster_decode_non_square_png_center_crops(self):
+        from kafka_clickhouse_example_spark.compat import png_compat
+        from kafka_clickhouse_example_spark.operators.multimodal import raster_decode
+
+        w, h = 10, 6
+        pix = bytes((x % 256) for y in range(h) for x in range(w))
+        png = png_compat.encode_rgb(w, h, pix, channels=1)
+        side, arr = raster_decode(png)
+        assert side == 6 and arr.shape == (6, 6)
+        assert arr[0, 0] == 2  # centered crop starts at x0=(10-6)//2=2
