@@ -415,3 +415,106 @@ def documents_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --- training-data mixture planning ------------------------------------------
+
+# Target sampling weights per source family: the "data recipe" knob — which
+# corpora to over/under-represent in the training mix relative to their raw
+# availability. CASE ladder kept identical in Spark and SQL.
+MIX_HIGH = ("src0", "src1")  # curated: 4x weight
+MIX_MID = ("src2", "src3", "src4")  # reviewed: 2x weight
+# Repetition cap: at most 5/4 epochs of any one source (kept rational so
+# the cap is exact BIGINT math — (5*avail) div 4 — and so it actually BINDS
+# for the 4x-weighted sources on this data, exercising both branches).
+MIX_EPOCH_CAP_NUM = 5
+MIX_EPOCH_CAP_DEN = 4
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(CASE WHEN source IN ('src0', 'src1') THEN 4
+                   WHEN source IN ('src2', 'src3', 'src4') THEN 2
+                   ELSE 1 END AS BIGINT) AS weight,
+         CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS wsum,
+         CAST(sum(avail_tokens) AS BIGINT) // 2 AS budget
+  FROM per_src
+)
+SELECT source, weight, avail_tokens,
+       (budget * weight) // wsum AS allotted_tokens,
+       least((budget * weight) // wsum,
+             ({MIX_EPOCH_CAP_NUM} * avail_tokens) // {MIX_EPOCH_CAP_DEN})
+         AS realized_tokens,
+       round(CAST(least((budget * weight) // wsum,
+                        ({MIX_EPOCH_CAP_NUM} * avail_tokens) // {MIX_EPOCH_CAP_DEN})
+                  AS DOUBLE)
+             / CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+       (budget * weight) // wsum
+         - least((budget * weight) // wsum,
+                 ({MIX_EPOCH_CAP_NUM} * avail_tokens) // {MIX_EPOCH_CAP_DEN})
+         AS deficit_tokens
+FROM per_src CROSS JOIN tot
+ORDER BY source
+""",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture plan: given per-source target weights (4x for
+    curated sources, 2x reviewed, 1x rest) and a token budget (half the
+    corpus), allocate tokens per source, cap repetition at 5/4 epochs of
+    what the source actually has, and report the shortfall — the planning
+    step every LLM data recipe runs before sampling. All allocation math
+    is exact BIGINT (integer-div shares, least() caps — the cap binds for
+    the 4x sources, so both branches are live); `epochs` is the only
+    double and derives from the already-exact realized count, so the plan
+    is bit-identical on any engine and any partitioning.
+
+    Scale: ONE partial-combined groupBy(source) over the corpus (the only
+    corpus-sized stage), then O(sources) arithmetic against a broadcast
+    1-row totals frame. The plan feeds operators/sampling.py's
+    source_token_quota / weighted samplers, which apply it row-locally.
+    """
+    docs = _docs(spark, sf_dir)
+    ntok = F.size(T.tokens(F.col("text"))).cast("bigint")
+    weight = (
+        F.when(F.col("source").isin(*MIX_HIGH), F.lit(4))
+        .when(F.col("source").isin(*MIX_MID), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.max(weight).alias("weight"),  # constant within a source
+        F.sum(ntok).alias("avail_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("weight").alias("wsum"),
+        F.expr("sum(avail_tokens) div 2").alias("budget"),
+    )
+    # `div` = exact BIGINT floor division (Spark's `/` is double — lossy
+    # past 2^53, which a 100 TB token budget exceeds)
+    allotted = F.expr("(budget * weight) div wsum")
+    realized = F.least(
+        allotted,
+        F.expr(f"({MIX_EPOCH_CAP_NUM} * avail_tokens) div {MIX_EPOCH_CAP_DEN}"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "weight",
+            "avail_tokens",
+            allotted.alias("allotted_tokens"),
+            realized.alias("realized_tokens"),
+            F.round(
+                realized.cast("double") / F.col("avail_tokens").cast("double"), 6
+            ).alias("epochs"),
+            (allotted - realized).alias("deficit_tokens"),
+        )
+        .orderBy("source")
+    )

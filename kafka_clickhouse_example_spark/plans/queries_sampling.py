@@ -324,3 +324,56 @@ def sample_documents_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --- deterministic global shuffle into training shards ------------------------
+
+N_SHARDS = 16
+_SHARD_SQL = (
+    f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    f" % {N_SHARDS})"
+)
+
+
+@register(
+    "sample_shuffle_shards",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_SHARD_SQL} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY {_SHARD_SQL}
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         AS shard_pos,
+       n_chars
+FROM documents
+ORDER BY shard, shard_pos
+""",
+)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into {N_SHARDS} training shards: every
+    document gets a shard (md5 bucket of doc_id) and a position inside it
+    (rank of its md5 hex digest) — the training-order step that breaks
+    crawl/source locality WITHOUT a global sort, reproducible bit-for-bit
+    on any engine, partitioning, or re-run (no seed state to lose).
+
+    Scale: one hash shuffle on `shard` plus a PER-SHARD local sort on a
+    16-byte key — cost is sort(corpus/N_SHARDS) per shard in parallel, vs
+    a global orderBy's single range exchange over everything. At 100 TB
+    the same plan writes each shard with maxRecordsPerFile and drops the
+    materialized shard_pos (the within-file order already encodes it);
+    readers stream shards independently. The final ORDER BY exists only
+    for the deterministic gate.
+    """
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    shard = SP.hash_bucket(F.col("doc_id"), N_SHARDS).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), h.alias("h"), "n_chars")
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "shard_pos", "n_chars")
+        .orderBy("shard", "shard_pos")
+    )

@@ -707,3 +707,117 @@ def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     merges = B.train_bpe(docs, n_merges=8, merges_per_round=4)
     return B.merges_df(spark, merges).orderBy("rank")
+
+
+# --- BM25 keyword retrieval --------------------------------------------------
+
+BM25_TERMS = ["spark", "window", "merge", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+_Q30 = 1 << 30
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+# Rational idf (no ln): same monotone (N-df+0.5)/(df+0.5) core the tfidf
+# query uses — log-free so the score is pure IEEE mul/div, bit-identical
+# across engines; Q30 fixed-point makes the per-doc SUM order-independent.
+_BM25_SCORE_SQL = f"""
+  ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+  * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+  / (CAST(tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * CAST(dl AS DOUBLE)) / avgdl))
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS dl, unnest({TOKENS_SQL}) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TOKENS_SQL})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(({_BM25_SCORE_SQL}) * {_Q30}) AS BIGINT) AS q30
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(q30) AS DOUBLE) / {_Q30}, 6) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY sum(q30) DESC, doc_id
+LIMIT {BM25_TOP_K}
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-{BM25_TOP_K} documents for a fixed
+    query ({BM25_TERMS}), k1={BM25_K1}, b={BM25_B} — the classic
+    inverted-index relevance score as a pure DataFrame plan. The idf is
+    the log-free rational core (N-df+0.5)/(df+0.5) (same device as
+    text_tfidf_top_terms: ln() differs across libm implementations, a
+    monotone-equivalent rational idf does not), and per-term scores sum
+    in Q30 fixed point so the per-document total is addition-order
+    independent — the ranking key is the exact BIGINT sum.
+
+    Scale: the explode filters to query terms BEFORE the shuffle, so only
+    matching postings move — tf is a (doc, term) groupBy over |Q|-term
+    rows, not the whole corpus fan-out. Document length rides along in the
+    same pass (max(dl) — constant per doc), so no second join against a
+    lengths table. df (≤|Q| rows) and the corpus stats (1 row) broadcast.
+    Final top-k is TakeOrdered on the exact integer key — no global sort.
+    At 100 TB: postings for 4 terms ≪ corpus; everything after the first
+    filter is query-sized.
+    """
+    docs = _docs(spark, sf_dir)
+    a = T.tokens(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.size(a).cast("bigint").alias("dl"),
+        F.explode(a).alias("term"),
+    ).filter(F.col("term").isin(BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    denom = F.col("tf").cast("double") + BM25_K1 * (
+        1.0 - BM25_B + (BM25_B * F.col("dl").cast("double")) / F.col("avgdl")
+    )
+    score = idf * (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(score * _Q30).cast("bigint").alias("q30"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("q30").alias("q30_sum"),
+        )
+        .orderBy(F.col("q30_sum").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("q30_sum").cast("double") / _Q30, 6).alias("score"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Invariant tests for the round-4 additions: BM25 retrieval, the
+training-data mixture planner, and deterministic shuffle-to-shards.
+
+The oracle-parity replica certifies value equality vs DuckDB; these tests
+pin the SEMANTIC contracts (ranking sanity, budget/cap algebra, shard
+partition laws) and the plan shapes that make them scale.
+"""
+
+from __future__ import annotations
+
+from kafka_clickhouse_example_spark.plans.queries_corpus import (
+    MIX_EPOCH_CAP_DEN,
+    MIX_EPOCH_CAP_NUM,
+    corpus_mixture_plan,
+)
+from kafka_clickhouse_example_spark.plans.queries_sampling import (
+    N_SHARDS,
+    sample_shuffle_shards,
+)
+from kafka_clickhouse_example_spark.plans.queries_text import (
+    BM25_TERMS,
+    BM25_TOP_K,
+    text_bm25_topk,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestBm25:
+    def test_hits_are_real_and_bounded(self, spark, sf_dir):
+        rows = text_bm25_topk(spark, sf_dir).collect()
+        assert 0 < len(rows) <= BM25_TOP_K
+        for r in rows:
+            assert 1 <= r.n_terms <= len(BM25_TERMS)
+            assert r.score > 0.0
+
+    def test_scores_descend(self, spark, sf_dir):
+        scores = [r.score for r in text_bm25_topk(spark, sf_dir).collect()]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_topk_is_take_ordered_with_broadcasts(self, spark, sf_dir):
+        plan = _plan(text_bm25_topk(spark, sf_dir))
+        # top-k must be TakeOrdered (per-partition heaps), never a global Sort
+        assert "TakeOrderedAndProject" in plan
+        # df (<= |Q| rows) hash-joins broadcast; corpus stats (1 row)
+        # cross-joins as an IdentityBroadcast — two BroadcastExchanges, no
+        # shuffle join anywhere after the tf aggregation
+        assert plan.count("BroadcastExchange") >= 2
+        assert "SortMergeJoin" not in plan
+
+
+class TestMixturePlan:
+    def test_budget_and_cap_algebra(self, spark, sf_dir):
+        rows = corpus_mixture_plan(spark, sf_dir).collect()
+        assert rows, "planner returned no sources"
+        total_avail = sum(r.avail_tokens for r in rows)
+        budget = total_avail // 2
+        wsum = sum(r.weight for r in rows)
+        for r in rows:
+            cap = (MIX_EPOCH_CAP_NUM * r.avail_tokens) // MIX_EPOCH_CAP_DEN
+            assert r.allotted_tokens == (budget * r.weight) // wsum
+            assert r.realized_tokens == min(r.allotted_tokens, cap)
+            assert r.deficit_tokens == r.allotted_tokens - r.realized_tokens
+            assert r.deficit_tokens >= 0
+            assert r.epochs <= MIX_EPOCH_CAP_NUM / MIX_EPOCH_CAP_DEN + 1e-9
+        # integer-div shares can only round DOWN: never over-allocate
+        assert sum(r.allotted_tokens for r in rows) <= budget
+
+    def test_cap_actually_binds(self, spark, sf_dir):
+        """The 5/4-epoch cap must bind for at least one 4x source — a cap no
+        input reaches is a dead branch the oracle can't certify."""
+        rows = corpus_mixture_plan(spark, sf_dir).collect()
+        assert any(r.deficit_tokens > 0 for r in rows)
+
+
+class TestShuffleShards:
+    def test_partition_laws(self, spark, sf_dir):
+        rows = sample_shuffle_shards(spark, sf_dir).collect()
+        docs = [r.doc_id for r in rows]
+        assert len(docs) == len(set(docs)), "a doc landed in two shards"
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            assert 0 <= r.shard < N_SHARDS
+            by_shard.setdefault(r.shard, []).append(r.shard_pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), (
+                f"shard {shard} positions are not a contiguous 1..n"
+            )
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        a = [tuple(r) for r in sample_shuffle_shards(spark, sf_dir).collect()]
+        b = [tuple(r) for r in sample_shuffle_shards(spark, sf_dir).collect()]
+        assert a == b
+
+    def test_order_breaks_doc_id_locality(self, spark, sf_dir):
+        """Within a shard, consecutive positions must not be consecutive
+        doc_ids (the whole point is decorrelating training order from
+        ingest order): adjacent-id pairs should be rare."""
+        rows = sample_shuffle_shards(spark, sf_dir).collect()
+        by_shard: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append((r.shard_pos, r.doc_id))
+        adjacent = total = 0
+        for poss in by_shard.values():
+            poss.sort()
+            ids = [d for _, d in poss]
+            adjacent += sum(1 for x, y in zip(ids, ids[1:]) if abs(x - y) == 1)
+            total += max(len(ids) - 1, 0)
+        assert total > 0
+        assert adjacent / total < 0.05
