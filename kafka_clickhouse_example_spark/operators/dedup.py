@@ -281,24 +281,14 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    threshold: float,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
-    shingles: DataFrame | None = None,
-) -> DataFrame:
-    """Exact n-gram-Jaccard near-duplicate pairs via inverted-index self-join.
-
-    j(a,b) = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|), computed from integer
-    counts (the division is a single double op — deterministic).
-
-    ``shingles`` accepts a precomputed (doc_id, sh) relation so callers
-    running several dedup operators over one corpus (jaccard, stop-cut,
-    clusters, minhash) tokenize once instead of per-operator.
-    """
-    with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
+def _pair_common_counts(
+    with_sh: DataFrame, max_shingle_freq: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate core for the set-overlap dedup family: from a
+    (doc_id, sh) relation build the inverted index, optionally cut hot
+    shingles, and return (common, sizes) where ``common`` is
+    (id1 < id2, n_common) and ``sizes`` is (doc_id, n_sh). Jaccard and
+    containment differ only in the final score formula."""
     sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
     # Invert on the 56-bit shingle *hash*, not the string: ~8x less shuffle
     # IO, long-vs-long join keys. (Distinct strings already; a hash collision
@@ -339,6 +329,28 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count("*").alias("n_common"))
     )
+    return common, sizes
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via inverted-index self-join.
+
+    j(a,b) = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|), computed from integer
+    counts (the division is a single double op — deterministic).
+
+    ``shingles`` accepts a precomputed (doc_id, sh) relation so callers
+    running several dedup operators over one corpus (jaccard, stop-cut,
+    clusters, minhash) tokenize once instead of per-operator.
+    """
+    with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
+    common, sizes = _pair_common_counts(with_sh, max_shingle_freq)
     sz1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n_sh1"))
     sz2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n_sh2"))
     return (
@@ -351,6 +363,53 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "n_common", "n_sh1", "n_sh2", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C = |Sa ∩ Sb| / min(|Sa|, |Sb|)
+    — the smaller document's shingle coverage by the larger. Catches what
+    symmetric Jaccard structurally cannot: a short document quoted or
+    boilerplate-wrapped inside a much longer one has C ≈ 1 but Jaccard ≈
+    |small|/|big| ≈ 0, so it never crosses a Jaccard threshold. The output
+    is directional — (contained_id, container_id) ordered so the SMALLER
+    shingle set is the contained side (doc_id tiebreak on equal sizes).
+
+    Scale: identical candidate core as ``jaccard_pairs`` (inverted-index
+    shuffle-hash self-join, optional hot-shingle cut) — only the score
+    formula differs, so the same 100 TB analysis applies.
+    """
+    with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
+    common, sizes = _pair_common_counts(with_sh, max_shingle_freq)
+    sz1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n_sh1"))
+    sz2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n_sh2"))
+    scored = (
+        common.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("n_sh1", "n_sh2").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    # id1 < id2 always (candidate-join invariant), so <= makes the lower
+    # doc_id the contained side on equal sizes — a total, deterministic rule
+    smaller_is_1 = F.col("n_sh1") <= F.col("n_sh2")
+    return scored.select(
+        F.when(smaller_is_1, F.col("id1")).otherwise(F.col("id2")).alias("contained_id"),
+        F.when(smaller_is_1, F.col("id2")).otherwise(F.col("id1")).alias("container_id"),
+        F.when(smaller_is_1, F.col("n_sh1")).otherwise(F.col("n_sh2")).alias("n_sh_contained"),
+        F.when(smaller_is_1, F.col("n_sh2")).otherwise(F.col("n_sh1")).alias("n_sh_container"),
+        "n_common",
+        "containment",
     )
 
 

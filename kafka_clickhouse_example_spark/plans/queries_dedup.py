@@ -1031,3 +1031,59 @@ def dedup_reach3_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_compute_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents_rcte")
     return spark.sql(_REACH3_SQL.format(table="documents_rcte"))
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+  WHERE len({SHINGLES_SQL}) > 0
+),
+inv AS (
+  SELECT doc_id, unnest(list_transform(sh, s -> {_md5_half_sql('s', 0)})) AS shingle
+  FROM sh
+),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id1, c.id2, c.n_common,
+         len(s1.sh) AS n_sh1, len(s2.sh) AS n_sh2,
+         CAST(c.n_common AS DOUBLE)
+           / CAST(least(len(s1.sh), len(s2.sh)) AS DOUBLE) AS containment
+  FROM common c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2
+  WHERE CAST(c.n_common AS DOUBLE)
+        / CAST(least(len(s1.sh), len(s2.sh)) AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+)
+SELECT CASE WHEN n_sh1 <= n_sh2 THEN id1 ELSE id2 END AS contained_id,
+       CASE WHEN n_sh1 <= n_sh2 THEN id2 ELSE id1 END AS container_id,
+       least(n_sh1, n_sh2) AS n_sh_contained,
+       greatest(n_sh1, n_sh2) AS n_sh_container,
+       n_common, containment
+FROM scored
+ORDER BY contained_id, container_id
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (C = |∩| / min(|A|,|B|) >= 0.9):
+    the quote/boilerplate-wrapper detector symmetric Jaccard structurally
+    misses — a short doc embedded in a long one has C ~ 1 but Jaccard ~
+    |small|/|big|. Directional output: (contained_id, container_id) with
+    the smaller shingle set as the contained side.
+
+    Scale: shares jaccard_pairs' candidate core verbatim (inverted-index
+    shuffle-hash self-join; hot-shingle cut available) — one score-formula
+    change, zero new shuffle structure.
+    """
+    configure_runtime(spark)
+    return D.containment_pairs(
+        None, CONTAINMENT_THRESHOLD, shingles=_shingled(spark, sf_dir)
+    ).orderBy("contained_id", "container_id")

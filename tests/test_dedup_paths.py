@@ -157,3 +157,40 @@ def test_simhash_arrow_path_equals_column_path(spark, sf_dir):
             .collect()
         }
         assert fast == ref and len(fast) > 0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment ~1
+    (detected) while Jaccard ~ |small|/|big| (missed at any useful
+    threshold) — the operator's reason to exist. Directionality: the
+    smaller shingle set must come out as contained_id."""
+    from kafka_clickhouse_example_spark.operators import dedup as D
+
+    quote = " ".join(f"tok{i}" for i in range(10))
+    filler = " ".join(f"pad{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.replace("pad", "tail"))],
+        "doc_id long, text string",
+    )
+    got = D.containment_pairs(df, 0.9).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.contained_id, row.container_id) == (1, 2)
+    assert row.containment >= 0.9
+    assert row.n_sh_contained < row.n_sh_container
+    assert D.jaccard_pairs(df, 0.5).count() == 0
+
+
+def test_containment_tie_breaks_by_doc_id(spark):
+    """Equal-size shingle sets (identical texts): the lower doc_id is the
+    contained side — the rule must be total so output is deterministic."""
+    from kafka_clickhouse_example_spark.operators import dedup as D
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(7, text), (3, text)], "doc_id long, text string"
+    )
+    got = D.containment_pairs(df, 0.9).collect()
+    assert len(got) == 1
+    assert (got[0].contained_id, got[0].container_id) == (3, 7)
+    assert got[0].containment == 1.0
