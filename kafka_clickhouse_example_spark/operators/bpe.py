@@ -173,10 +173,73 @@ def merges_df(spark: SparkSession, merges: list[tuple[int, str, str, int]]) -> D
     )
 
 
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE ENCODE: tokenize every document with the trained
+    merge rules, returning (id, n_words, n_pieces) — the corpus-scale
+    application step that turns a learned vocabulary into token counts
+    (shard sizing, packing budgets, per-doc fertility).
+
+    Map-only: rules broadcast inside the closure (O(n_merges) driver
+    state), ONE Arrow pass over the corpus, no shuffle at all. Words are
+    split JVM-side with the exact expression training's word_freq_table
+    uses, so train/encode tokenization can never diverge; per-word
+    segmentations memoize within a task (Zipf: the hot words dominate, so
+    the merge loop runs once per distinct word per task, not per
+    occurrence). Semantics: identical to :func:`apply_merges` per word —
+    pinned exactly in tests/test_bpe.py.
+    """
+    rules = [(a, b) for _, a, b, _ in merges]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def n_pieces(word: str) -> int:
+            n = memo.get(word)
+            if n is None:
+                toks = list(word) + [END_OF_WORD]
+                for a, b in rules:
+                    res: list[str] = []
+                    i = 0
+                    ln = len(toks)
+                    while i < ln:
+                        if i < ln - 1 and toks[i] == a and toks[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                n = len(toks)
+                memo[word] = n
+            return n
+
+        for pdf in batches:
+            counts = [sum(map(n_pieces, ws)) for ws in pdf["words"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": [len(ws) for ws in pdf["words"]],
+                    "n_pieces": counts,
+                }
+            )
+
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    return docs.select(id_col, words.alias("words")).mapInPandas(
+        encode, f"{id_col} long, n_words long, n_pieces long"
+    )
+
+
 def apply_merges(tokens: list[str], merges: list[tuple[int, str, str, int]]) -> list[str]:
     """Reference encoder: apply learned rules in rank order (driver-side
     helper for tests and spot checks; the corpus-scale APPLICATION path is
-    the segmentation in operators/text.py)."""
+    :func:`encode_corpus`)."""
     for _, a, b, _ in merges:
         res: list[str] = []
         i = 0

@@ -821,3 +821,51 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q30_sum").cast("double") / _Q30, 6).alias("score"),
         )
     )
+
+
+# Trained-merges memo: the encode query consumes the same rules the
+# learned-merges query benchmarks; train once per (session, sf_dir) — a
+# real pipeline trains its tokenizer once, then encodes with it.
+_BPE_MERGES_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str):
+    from kafka_clickhouse_example_spark.operators import bpe as B
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_MERGES_CACHE.get(key)
+    if cached is None:
+        cached = B.train_bpe(_docs(spark, sf_dir), n_merges=8, merges_per_round=4)
+        _BPE_MERGES_CACHE[key] = cached
+    return cached
+
+
+@register("text_bpe_encode_stats")  # rows-only: encode needs iteratively-trained rules
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE APPLICATION: encode every document with the trained
+    merge rules (operators/bpe.encode_corpus) and report per-doc word,
+    piece, and fertility (pieces/word) counts — the tokenize-the-corpus
+    step between tokenizer training and sequence packing. Rows-only by
+    design (rules come from iterative training); exactness is pinned
+    against the pure-Python reference encoder in tests/test_bpe.py.
+
+    Scale: map-only — rules are O(n_merges) closure state, one Arrow pass,
+    zero shuffles; per-word memoization collapses the merge loop to once
+    per distinct word per task (Zipf). The ORDER BY is the deterministic
+    gate only.
+    """
+    from kafka_clickhouse_example_spark.operators import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges_cached(spark, sf_dir)
+    enc = B.encode_corpus(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.col("n_pieces").cast("double")
+            / F.greatest(F.col("n_words").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("pieces_per_word"),
+    ).orderBy("doc_id")

@@ -165,3 +165,45 @@ def test_batched_respects_n_merges_cap_and_validates(spark):
     assert len(got) == 5 and [r for r, *_ in got] == [0, 1, 2, 3, 4]
     with _pytest.raises(ValueError):
         B.train_bpe(docs, merges_per_round=0)
+
+
+class TestEncodeCorpus:
+    def test_operator_equals_reference_encoder(self, spark, sf_dir):
+        """encode_corpus must agree with the pure-Python apply_merges on
+        every document — same rules, same word split, same counts."""
+        import re
+
+        from kafka_clickhouse_example_spark.operators import bpe as B
+        from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(60)
+        merges = B.train_bpe(docs, n_merges=6, merges_per_round=3)
+        got = {r.doc_id: (r.n_words, r.n_pieces) for r in B.encode_corpus(docs, merges).collect()}
+        for row in docs.select("doc_id", "text").collect():
+            words = [w for w in re.split(r"\s+", row.text.strip()) if w]
+            pieces = sum(
+                len(B.apply_merges(list(w) + [B.END_OF_WORD], merges)) for w in words
+            )
+            assert got[row.doc_id] == (len(words), pieces), f"doc {row.doc_id}"
+
+    def test_more_merges_never_increase_pieces(self, spark, sf_dir):
+        from kafka_clickhouse_example_spark.operators import bpe as B
+        from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(40)
+        merges = B.train_bpe(docs, n_merges=6, merges_per_round=3)
+        few = {r.doc_id: r.n_pieces for r in B.encode_corpus(docs, merges[:2]).collect()}
+        many = {r.doc_id: r.n_pieces for r in B.encode_corpus(docs, merges).collect()}
+        assert all(many[d] <= few[d] for d in few)
+
+    def test_empty_and_whitespace_docs(self, spark):
+        from kafka_clickhouse_example_spark.operators import bpe as B
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "ab ab")], "doc_id long, text string"
+        )
+        rules = [(0, "a", "b", 2), (1, "ab", B.END_OF_WORD, 2)]
+        rows = {r.doc_id: (r.n_words, r.n_pieces) for r in B.encode_corpus(df, rules).collect()}
+        assert rows[1] == (0, 0) and rows[2] == (0, 0)
+        # 'ab' -> [a,b,</w>] -> [ab,</w>] -> [ab</w>]: 1 piece per word
+        assert rows[3] == (2, 2)
