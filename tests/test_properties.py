@@ -220,3 +220,57 @@ def test_planted_email_always_found_and_scrubbed(spark, words, uid):
         spark.createDataFrame([(row.redacted,)], "text string")
     ).collect()[0]
     assert rescan.n_pii == 0
+
+
+def _ref_shingles(text: str, n: int = 3) -> set[str]:
+    toks = _ref_tokens(text.strip())
+    if text.strip() == "":
+        return set()
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_pairs_match_bruteforce(spark, texts):
+    """containment_pairs on arbitrary small corpora == the O(n^2) set-math
+    definition C = |Sa∩Sb| / min(|Sa|,|Sb|) at threshold 0.5, including
+    the directional smaller-contained / doc_id-tiebreak rule. A tiny
+    shared vocabulary forces dense overlap, so both the detected and the
+    rejected regimes are exercised."""
+    from kafka_clickhouse_example_spark.operators.dedup import containment_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.contained_id, r.container_id): (r.n_common, r.containment)
+        for r in containment_pairs(df, 0.5).collect()
+    }
+    want = {}
+    sh = {i: _ref_shingles(t) for i, t in rows}
+    for i, _ in rows:
+        for j, _ in rows:
+            if i >= j or not sh[i] or not sh[j]:
+                continue
+            inter = len(sh[i] & sh[j])
+            if inter == 0:
+                continue
+            c = inter / min(len(sh[i]), len(sh[j]))
+            if c >= 0.5:
+                small, big = (i, j) if len(sh[i]) <= len(sh[j]) else (j, i)
+                want[(small, big)] = (inter, c)
+    assert set(got) == set(want)
+    for k, (n_common, c) in want.items():
+        assert got[k][0] == n_common
+        assert abs(got[k][1] - c) < 1e-12
