@@ -869,3 +869,127 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pieces_per_word"),
     ).orderBy("doc_id")
+
+
+# --- batch BM25: many queries at once, per-query top-k -----------------------
+
+BM25_BATCH = {
+    1: ["spark", "window"],
+    2: ["merge", "vector", "stream"],
+    3: ["customer", "query", "table"],
+}
+BM25_BATCH_K = 10
+_BATCH_TERMS = sorted({t for ts in BM25_BATCH.values() for t in ts})
+_BATCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _BATCH_TERMS)
+_BATCH_VALUES_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in sorted(BM25_BATCH.items()) for t in ts
+)
+
+
+@register(
+    "text_bm25_batch_topk",
+    oracle=f"""
+WITH queries(qid, term) AS (VALUES {_BATCH_VALUES_SQL}),
+toks AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS dl, unnest({TOKENS_SQL}) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_BATCH_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TOKENS_SQL})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(floor(({_BM25_SCORE_SQL}) * {_Q30}) AS BIGINT) AS q30
+  FROM tf JOIN queries q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+),
+per_doc AS (
+  SELECT qid, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(q30) AS q30_sum
+  FROM scored GROUP BY qid, doc_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, rnk, doc_id, n_terms,
+       round(CAST(q30_sum AS DOUBLE) / {_Q30}, 6) AS score
+FROM (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY q30_sum DESC, doc_id) AS BIGINT) AS rnk
+  FROM per_doc
+) WHERE rnk <= {BM25_BATCH_K}
+ORDER BY qid, rnk
+""",
+)
+def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: {len(BM25_BATCH)} queries retrieved in ONE pass with
+    per-query top-{BM25_BATCH_K} — the production retrieval shape (a query
+    workload, not a single lookup). The query table joins in as a
+    broadcast term->qid map; scoring reuses text_bm25_topk's devices
+    (rational idf, Q30 exact ranking key); the per-query cut is a window
+    partitioned BY QID — thousands of concurrent queries parallelize
+    across partitions, no global sort, and no per-query job loop (the
+    anti-pattern: looping submit-per-query turns a batch into driver
+    round-trips).
+
+    Scale: corpus-side cost is ONE postings filter for the union of all
+    query terms — shared across queries — then everything downstream is
+    (qid, doc) candidate-sized. At 100 TB with 10k queries the filter
+    admits only the union vocabulary's postings; the window's qid
+    partitioning spreads the cut over the cluster.
+    """
+    docs = _docs(spark, sf_dir)
+    a = T.tokens(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.size(a).cast("bigint").alias("dl"),
+        F.explode(a).alias("term"),
+    ).filter(F.col("term").isin(_BATCH_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_BATCH.items()) for t in ts],
+        "qid long, term string",
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    denom = F.col("tf").cast("double") + BM25_K1 * (
+        1.0 - BM25_B + (BM25_B * F.col("dl").cast("double")) / F.col("avgdl")
+    )
+    score = idf * (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom
+    per_doc = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", F.floor(score * _Q30).cast("bigint").alias("q30"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("q30").alias("q30_sum"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("q30_sum").desc(), "doc_id")
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= BM25_BATCH_K)
+        .select(
+            "qid",
+            "rnk",
+            "doc_id",
+            "n_terms",
+            F.round(F.col("q30_sum").cast("double") / _Q30, 6).alias("score"),
+        )
+        .orderBy("qid", "rnk")
+    )

@@ -110,3 +110,48 @@ class TestShuffleShards:
             total += max(len(ids) - 1, 0)
         assert total > 0
         assert adjacent / total < 0.05
+
+
+class TestBm25Batch:
+    def test_per_query_topk_laws(self, spark, sf_dir):
+        from kafka_clickhouse_example_spark.plans.queries_text import (
+            BM25_BATCH,
+            BM25_BATCH_K,
+            text_bm25_batch_topk,
+        )
+
+        rows = text_bm25_batch_topk(spark, sf_dir).collect()
+        by_qid: dict[int, list] = {}
+        for r in rows:
+            by_qid.setdefault(r.qid, []).append(r)
+        assert set(by_qid) <= set(BM25_BATCH)
+        for qid, rs in by_qid.items():
+            assert len(rs) <= BM25_BATCH_K
+            assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+                range(1, len(rs) + 1)
+            )
+            scores = [r.score for r in sorted(rs, key=lambda r: r.rnk)]
+            assert scores == sorted(scores, reverse=True)
+            for r in rs:
+                assert 1 <= r.n_terms <= len(BM25_BATCH[qid])
+
+    def test_single_query_slice_matches_single_bm25(self, spark, sf_dir):
+        """Running a query through the batch path must rank exactly like the
+        single-query operator when the term sets coincide."""
+        from kafka_clickhouse_example_spark.plans import queries_text as QT
+
+        old = QT.BM25_BATCH
+        try:
+            QT.BM25_BATCH = {9: list(QT.BM25_TERMS)}
+            batch = [
+                (r.doc_id, r.n_terms, r.score)
+                for r in QT.text_bm25_batch_topk(spark, sf_dir).collect()
+            ]
+        finally:
+            QT.BM25_BATCH = old
+        single = [
+            (r.doc_id, r.n_terms, r.score)
+            for r in QT.text_bm25_topk(spark, sf_dir).collect()
+        ]
+        k = min(len(batch), len(single))
+        assert batch[:k] == single[:k]
