@@ -116,3 +116,46 @@ def range_join_binned(
         cand.groupBy(F.col("_pid").alias(id_col), F.col("_pts").alias(ts_col))
         .agg(F.count("*").alias("n_in_band"))
     )
+
+
+def scd2_intervals(
+    df: "DataFrame",
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> "DataFrame":
+    """SCD type-2 history build: collapse a change stream into validity
+    intervals — one row per (key, attribute run) with [valid_from,
+    valid_to) bounds, a version number, and an is_current flag. The
+    standard dimension-history shape every lakehouse lands CDC into;
+    the reference's append-only sink (export_clickhouse.go:38-84) has no
+    UPDATE story at all, so this is engine-native new ground.
+
+    Change detection is null-safe (NULL attribute = a distinct state, IS
+    DISTINCT FROM on both engines); consecutive equal values collapse
+    into one interval.
+
+    Scale: both windows (lag for change detection, lead+row_number for
+    interval bounds) share ONE partitioning — (key) — so the whole build
+    is a single hash exchange plus per-key local sorts; state per task is
+    one row. No join, no global sort. At 100 TB of CDC this is the
+    minimal possible shape: you cannot build ordered intervals with less
+    than one key-partitioned sort.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(attr_col)).over(w)
+    changes = df.withColumn(
+        "_is_change",
+        F.lag(F.col(ts_col)).over(w).isNull()
+        | ~F.col(attr_col).eqNullSafe(prev),
+    ).filter(F.col("_is_change"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changes.withColumn("version_no", F.row_number().over(w2).cast("bigint"))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*key_cols, "version_no", attr_col, "valid_from", "valid_to", "is_current")
+    )

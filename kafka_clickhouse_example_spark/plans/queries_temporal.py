@@ -155,3 +155,41 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_ms") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_scd2_type_history",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         (lag(ts) OVER w IS NULL
+          OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS is_change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(row_number() OVER w2 AS BIGINT) AS version_no,
+       event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM marked WHERE is_change
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version_no
+""",
+)
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the event stream: per user, the
+    validity intervals of each event_type run — [valid_from, valid_to)
+    bounds, version numbers, is_current on the open interval
+    (operators/temporal.scd2_intervals). ONE hash exchange on user_id
+    feeds both windows; no join, no global sort (final ORDER BY is the
+    deterministic gate).
+    """
+    from kafka_clickhouse_example_spark.operators.temporal import scd2_intervals
+
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+    ).orderBy("user_id", "version_no")

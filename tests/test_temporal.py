@@ -128,3 +128,59 @@ def test_asof_join_matches_naive_on_random_data(spark):
     )
     want = {row["event_id"]: row["want"] for row in naive_rows}
     assert got == want
+
+
+class TestScd2Intervals:
+    def test_runs_collapse_and_bounds_chain(self, spark):
+        """Consecutive equal values collapse into one interval; intervals
+        chain exactly (valid_to == next valid_from); NULL attr is a
+        distinct state, not a crash."""
+        from datetime import datetime
+
+        from kafka_clickhouse_example_spark.operators.temporal import scd2_intervals
+
+        t = lambda s: datetime(2024, 1, s)
+        rows = [
+            (1, 1, t(1), "a"),
+            (1, 2, t(2), "a"),   # same run: collapses
+            (1, 3, t(3), "b"),
+            (1, 4, t(4), None),  # NULL state
+            (1, 5, t(5), None),  # same NULL run: collapses
+            (1, 6, t(6), "a"),   # back to a: NEW version, not merged
+            (2, 7, t(1), "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        got = scd2_intervals(
+            df, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+        ).collect()
+        u1 = sorted((r for r in got if r.user_id == 1), key=lambda r: r.version_no)
+        assert [r.event_type for r in u1] == ["a", "b", None, "a"]
+        assert [r.version_no for r in u1] == [1, 2, 3, 4]
+        for prev, nxt in zip(u1, u1[1:]):
+            assert prev.valid_to == nxt.valid_from
+        assert u1[-1].is_current and u1[-1].valid_to is None
+        assert all(not r.is_current for r in u1[:-1])
+        u2 = [r for r in got if r.user_id == 2]
+        assert len(u2) == 1 and u2[0].is_current
+
+    def test_single_exchange_plan(self, spark):
+        """Both windows must share one partitioning: exactly one shuffle
+        Exchange in the whole build (scale contract of the docstring)."""
+        from kafka_clickhouse_example_spark.operators.temporal import scd2_intervals
+
+        df = spark.createDataFrame(
+            [(1, 1, None, "a")],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        plan = (
+            scd2_intervals(df, ["user_id"], "event_type", "ts", ["event_id"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert shuffles == 1, plan
