@@ -377,3 +377,84 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "shard_pos", "n_chars")
         .orderBy("shard", "shard_pos")
     )
+
+
+# --- length-bucketed batching (padding-efficient inference batches) -----------
+
+LEN_BUCKET_WIDTH = 16  # token-count buckets: 0-15, 16-31, ...
+BATCH_SIZE = 32
+_NTOK_SQL = "len(string_split_regex(trim(text), '\\s+'))"
+_LB_HASH = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "sample_length_bucketed_batches",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tok,
+         CAST({_NTOK_SQL} AS BIGINT) // {LEN_BUCKET_WIDTH} AS bucket
+  FROM documents
+),
+batched AS (
+  SELECT bucket, n_tok,
+         CAST((row_number() OVER (PARTITION BY bucket
+                                  ORDER BY {_LB_HASH}, doc_id) - 1)
+              // {BATCH_SIZE} AS BIGINT) AS batch_no
+  FROM sized
+)
+SELECT bucket, batch_no,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       max(n_tok) AS max_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding_tok,
+       round(CAST(max(n_tok) * count(*) - sum(n_tok) AS DOUBLE)
+             / CAST(max(n_tok) * count(*) AS DOUBLE), 6) AS padding_frac
+FROM batched
+GROUP BY bucket, batch_no
+ORDER BY bucket, batch_no
+""",
+)
+def sample_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching: assign every document to a
+    token-length bucket (width {LEN_BUCKET_WIDTH}) and, within the bucket,
+    to hash-ordered batches of {BATCH_SIZE}; report per-batch padding
+    waste (pad-to-max cost) — the planning step batched inference/scoring
+    runs so similar-length sequences share a batch instead of padding to
+    the global max. Deterministic: hash order inside buckets, exact
+    integer padding accounting.
+
+    Scale: one hash exchange on `bucket` feeds the window (per-bucket
+    local sort on a 16-byte key, same shape as sample_shuffle_shards),
+    then a partial-combined groupBy on (bucket, batch_no). No global
+    sort; output is batch-count-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from kafka_clickhouse_example_spark.operators.text import token_count
+
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text")).cast("bigint")
+    sized = docs.select(
+        "doc_id",
+        ntok.alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    ).withColumn("bucket", F.expr(f"n_tok div {LEN_BUCKET_WIDTH}"))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    batched = sized.withColumn(
+        "batch_no", ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint")
+    )
+    pad = F.max("n_tok") * F.count("*") - F.sum("n_tok")
+    return (
+        batched.groupBy("bucket", "batch_no")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+            pad.alias("padding_tok"),
+            F.round(
+                pad.cast("double") / (F.max("n_tok") * F.count("*")).cast("double"), 6
+            ).alias("padding_frac"),
+        )
+        .orderBy("bucket", "batch_no")
+    )

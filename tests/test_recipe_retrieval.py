@@ -155,3 +155,31 @@ class TestBm25Batch:
         ]
         k = min(len(batch), len(single))
         assert batch[:k] == single[:k]
+
+
+class TestLengthBucketedBatches:
+    def test_padding_accounting_and_batch_laws(self, spark, sf_dir):
+        from kafka_clickhouse_example_spark.plans.queries_sampling import (
+            BATCH_SIZE,
+            LEN_BUCKET_WIDTH,
+            sample_length_bucketed_batches,
+        )
+
+        rows = sample_length_bucketed_batches(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.n_seqs <= BATCH_SIZE
+            assert r.padding_tok == r.max_tok * r.n_seqs - r.sum_tok
+            assert 0 <= r.padding_frac < 1
+            # within a width-W bucket, per-seq padding is < W, so the
+            # fraction is bounded by W / max_tok — the whole point of
+            # bucketing by length
+            assert r.padding_tok <= (LEN_BUCKET_WIDTH - 1) * r.n_seqs
+        # only the last batch of a bucket may be ragged (< BATCH_SIZE)
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        for rs in by_bucket.values():
+            rs.sort(key=lambda r: r.batch_no)
+            assert [r.batch_no for r in rs] == list(range(len(rs)))
+            assert all(r.n_seqs == BATCH_SIZE for r in rs[:-1])
