@@ -193,3 +193,85 @@ def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         events, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
     ).orderBy("user_id", "version_no")
+
+
+@register(
+    "events_pit_state_at_purchase",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         (lag(ts) OVER w IS NULL
+          OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS is_change
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+history AS (
+  SELECT user_id,
+         CAST(row_number() OVER w2 AS BIGINT) AS version_no,
+         event_type, ts AS valid_from
+  FROM marked WHERE is_change
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pit AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(h.valid_from) FROM history h
+          WHERE h.user_id = p.user_id AND h.valid_from <= p.ts) AS state_since
+  FROM events p WHERE p.event_type = 'purchase'
+)
+SELECT pit.event_id, pit.user_id, pit.ts,
+       h.event_type AS state_at_ts, pit.state_since,
+       h.version_no AS state_version
+FROM pit
+LEFT JOIN history h
+  ON h.user_id = pit.user_id AND h.valid_from = pit.state_since
+ORDER BY event_id
+""",
+)
+def events_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history: for every purchase event,
+    the user's activity STATE (last non-purchase event-type interval)
+    active at purchase time — the feature-store correctness primitive
+    (features as-of the label's timestamp, never after it; the temporal
+    sibling of the dedup family's split-leakage audit). Composes the two
+    operators end-to-end: scd2_intervals builds the history,
+    asof_join resolves each fact to the interval containing its ts (an
+    interval table has no gaps, so newest valid_from <= ts IS the
+    containing interval; facts before the first interval get NULLs).
+
+    Scale: history build = one exchange (see scd2_intervals); the PIT
+    resolve = asof_join's single union-exchange on user_id with one
+    carried payload row per task. No interval explosion, no range join.
+    """
+    from kafka_clickhouse_example_spark.operators.temporal import (
+        asof_join,
+        scd2_intervals,
+    )
+
+    configure_runtime(spark)
+    events = load_compute_table(spark, sf_dir, "events")
+    history = scd2_intervals(
+        events.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "event_type",
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "version_no", "event_type", "valid_from")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pit = asof_join(
+        purchases,
+        history,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload=["event_type", "version_no"],
+    )
+    return pit.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type_asof").alias("state_at_ts"),
+        F.col("valid_from_asof").alias("state_since"),
+        F.col("version_no_asof").alias("state_version"),
+    ).orderBy("event_id")

@@ -184,3 +184,23 @@ class TestScd2Intervals:
 
         shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
         assert shuffles == 1, plan
+
+
+def test_pit_state_never_leaks_future(spark, sf_dir):
+    """Feature-store law: every resolved state must begin AT OR BEFORE the
+    purchase ts (no future leakage), and purchases with no prior state get
+    NULLs, not a later interval."""
+    from kafka_clickhouse_example_spark.plans.queries_temporal import (
+        events_pit_state_at_purchase,
+    )
+
+    rows = events_pit_state_at_purchase(spark, sf_dir).collect()
+    assert rows
+    with_state = [r for r in rows if r.state_at_ts is not None]
+    assert with_state, "no purchase resolved a state at this SF"
+    for r in with_state:
+        assert r.state_since <= r.ts
+        assert r.state_version >= 1
+    for r in rows:
+        if r.state_at_ts is None:
+            assert r.state_since is None and r.state_version is None
