@@ -38,6 +38,12 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
         "prepared corpus to OUT_DIR, print per-stage counts as JSON",
     )
     ap.add_argument(
+        "--shard-corpus",
+        nargs=2,
+        metavar=("CORPUS_DIR", "OUT_DIR"),
+        help="shard a prepared corpus's train split into shuffle-ordered training shards",
+    )
+    ap.add_argument(
         "--retention-sweep",
         nargs=3,
         metavar=("TABLE_DIR", "PARTITION_COL", "CUTOFF"),
@@ -111,6 +117,23 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
             purge_trash=args.purge_trash,
         )
         print(json.dumps(report), file=out)
+        return 0
+
+    if args.shard_corpus:
+        import json
+
+        from kafka_clickhouse_example_spark.pipelines.corpus_prep import (
+            shard_training_corpus,
+        )
+
+        from kafka_clickhouse_example_spark.session import configure_runtime
+
+        spark = configure_runtime(get_spark())
+        counts = shard_training_corpus(spark, args.shard_corpus[0], args.shard_corpus[1])
+        print(
+            json.dumps({"shards": {str(k): v for k, v in sorted(counts.items())}}),
+            file=out,
+        )
         return 0
 
     if args.prepare_corpus:

@@ -116,3 +116,48 @@ def prepare_corpus(
     final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
     stats["written"] = spark.read.parquet(out_dir).count()
     return stats
+
+
+def shard_training_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    *,
+    n_shards: int = 16,
+    max_records_per_file: int = 100_000,
+) -> dict[str, int]:
+    """Training handoff: take the prepared corpus's TRAIN split and write
+    it as shuffle-ordered shards — the deterministic global shuffle of
+    sample_shuffle_shards applied for real (md5 shard + within-shard md5
+    sort), partitioned by shard with ``maxRecordsPerFile`` splitting
+    inside tasks. Readers stream shards independently in a
+    locality-broken, reproducible order; no shard_pos column is
+    materialized (within-file order encodes it, exactly as the query's
+    100 TB note prescribes).
+
+    Scale: one hash exchange on the shard key + per-shard local sorts;
+    file sizing is handled by the writer per task — no driver accounting.
+    Returns per-shard row counts (n_shards entries, driver-bounded).
+    """
+    from kafka_clickhouse_example_spark.operators.sampling import hash_bucket
+
+    train = spark.read.parquet(corpus_dir).filter(F.col("split") == "train")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    sharded = (
+        train.withColumn("shard", hash_bucket(F.col("doc_id"), n_shards).cast("bigint"))
+        .withColumn("_h", h)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_h", "doc_id")
+        .drop("_h")
+    )
+    (
+        sharded.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    out = spark.read.parquet(out_dir)
+    return {
+        int(r["shard"]): int(r["n"])
+        for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }

@@ -93,3 +93,36 @@ def test_output_is_pii_scrubbed(spark, prepared):
     assert P.pii_scan(final).filter(F.col("n_pii") > 0).count() == 0
     # n_chars metadata stays consistent with the REDACTED text
     assert final.filter(F.col("n_chars") != F.length("text")).count() == 0
+
+
+def test_shard_training_corpus_handoff(spark, prepared, tmp_path):
+    """Sharding the prepared corpus: exactly the train split, every doc in
+    exactly one shard, within-file order = the deterministic md5 rank
+    (the shard_pos-free contract), and a re-run is content-identical."""
+    import hashlib
+
+    from kafka_clickhouse_example_spark.pipelines.corpus_prep import (
+        shard_training_corpus,
+    )
+
+    docs, out, stats = prepared
+    shard_dir = str(tmp_path / "shards")
+    counts = shard_training_corpus(spark, out, shard_dir, n_shards=8)
+    train_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out).filter(F.col("split") == "train").collect()
+    }
+    assert sum(counts.values()) == len(train_ids)
+    assert set(counts) <= set(range(8))
+    sharded = spark.read.parquet(shard_dir)
+    assert {r.doc_id for r in sharded.select("doc_id").collect()} == train_ids
+    # within-file order: md5-rank ascending (read one file raw, no sort)
+    import glob as g
+
+    f = sorted(g.glob(shard_dir + "/shard=*/*.parquet"))[0]
+    ids = [r.doc_id for r in spark.read.parquet(f).select("doc_id").collect()]
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    assert keys == sorted(keys), "file order must be the md5 shuffle order"
+    # deterministic re-run
+    again = str(tmp_path / "shards2")
+    assert shard_training_corpus(spark, out, again, n_shards=8) == counts
