@@ -2518,3 +2518,131 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_c").cast("double") - F.col("prev")) * 100 / F.col("prev"), 4
         ).alias("yoy_pct"),
     ).orderBy("nation", "yr")
+
+
+# --- Poisson bootstrap confidence interval -----------------------------------
+
+# The distributed bootstrap: instead of resampling n rows WITH replacement
+# (impossible without a global index), give every row an independent
+# Poisson(1) weight per replicate — for large n the replicate weight vector
+# is indistinguishable from multinomial resampling, and the whole procedure
+# is map-only. Weights derive from a 56-bit md5 of (key, replicate), so the
+# resample is bit-reproducible on any engine/partitioning. Thresholds are
+# floor(CDF_Poisson(1)(k) * 2^56) precomputed as exact integers.
+BOOT_B = 64  # replicates
+_POIS_THRESH = [
+    26508507426831584, 53017014853663168, 66271268567078960, 70689353138217560,
+    71793874281002208, 72014778509559136, 72051595880985288, 72056855505474736,
+    72057512958535920, 72057586008876048, 72057593313910064, 72057593978004064,
+]
+_Q30_B = 1 << 30
+
+
+def _pois_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+    )
+    return f"(CASE {arms} ELSE {len(_POIS_THRESH)} END)"
+
+
+@register(
+    "orders_revenue_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderkey,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * {_Q30_B}) AS BIGINT) AS q30,
+         unnest(range(0, {BOOT_B})) AS rep
+  FROM orders
+),
+weighted AS (
+  SELECT rep, q30,
+         {_pois_case_sql("('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 14))::BIGINT")} AS w
+  FROM reps
+),
+means AS (
+  SELECT rep,
+         CAST(sum(CAST(w AS DECIMAL(38,0)) * q30) AS DOUBLE)
+           / CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) / {_Q30_B} AS m
+  FROM weighted GROUP BY rep HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT m, CAST(row_number() OVER (ORDER BY m, rep) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS b
+  FROM means
+)
+SELECT b AS n_replicates,
+       round(min(CASE WHEN rk = greatest(CAST(floor(b * 0.025) AS BIGINT), 1) THEN m END), 4) AS ci_lo,
+       round(min(CASE WHEN rk = (b + 1) // 2 THEN m END), 4) AS ci_med,
+       round(min(CASE WHEN rk = least(CAST(ceil(b * 0.975) AS BIGINT), b) THEN m END), 4) AS ci_hi
+FROM ranked GROUP BY b
+""",
+)
+def orders_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean order revenue via the POISSON bootstrap —
+    the distributed-resampling trick (each row draws an independent
+    Poisson(1) weight per replicate instead of global with-replacement
+    sampling, which would need a coordinated index). {BOOT_B} replicates,
+    weights from exact integer inverse-CDF thresholds on a 56-bit md5 of
+    (orderkey, replicate) — bit-reproducible on any engine or
+    partitioning; replicate means use DECIMAL-exact weighted Q30 sums.
+
+    Scale: map-only explode x{BOOT_B} then ONE partial-combined groupBy
+    on replicate ({BOOT_B} groups); the order statistics run over
+    {BOOT_B} rows. No global sort of data, no driver-side resampling. At
+    100 TB the explode factor is the knob: B=64 reads the table once and
+    shuffles {BOOT_B} partial rows per task.
+    """
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    q30 = F.floor(F.col("o_totalprice").cast("double") * _Q30_B).cast("bigint")
+    reps = orders.select(
+        "o_orderkey", q30.alias("q30"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(len(_POIS_THRESH))
+    for k in range(len(_POIS_THRESH) - 1, -1, -1):
+        w = F.when(u < _POIS_THRESH[k], F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("q30")).alias("swq"),
+            F.sum(F.col("w").cast("bigint")).alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "rep",
+            (
+                F.col("swq").cast("double") / F.col("sw").cast("double") / _Q30_B
+            ).alias("m"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "rep")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("b"),
+    )
+    lo_rk = F.greatest(F.floor(F.col("b") * 0.025).cast("bigint"), F.lit(1))
+    med_rk = ((F.col("b") + 1) / 2).cast("bigint")
+    hi_rk = F.least(F.ceil(F.col("b") * 0.975).cast("bigint"), F.col("b"))
+    return ranked.groupBy(F.col("b").alias("n_replicates")).agg(
+        F.round(F.min(F.when(F.col("rk") == lo_rk, F.col("m"))), 4).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("rk") == med_rk, F.col("m"))), 4).alias("ci_med"),
+        F.round(F.min(F.when(F.col("rk") == hi_rk, F.col("m"))), 4).alias("ci_hi"),
+    )

@@ -183,3 +183,24 @@ class TestLengthBucketedBatches:
             rs.sort(key=lambda r: r.batch_no)
             assert [r.batch_no for r in rs] == list(range(len(rs)))
             assert all(r.n_seqs == BATCH_SIZE for r in rs[:-1])
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_the_true_mean(self, spark, sf_dir):
+        from kafka_clickhouse_example_spark.plans.queries_analytics import (
+            BOOT_B,
+            orders_revenue_bootstrap_ci,
+        )
+        from kafka_clickhouse_example_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        row = orders_revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+        assert row.n_replicates == BOOT_B
+        assert row.ci_lo < row.ci_med < row.ci_hi
+        true_mean = (
+            load_table(spark, sf_dir, "orders")
+            .agg(F.avg("o_totalprice"))
+            .collect()[0][0]
+        )
+        # a 95% CI from 64 replicates should bracket the point estimate
+        assert row.ci_lo <= true_mean <= row.ci_hi
