@@ -458,3 +458,53 @@ def sample_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket", "batch_no")
     )
+
+
+_SRC_BUCKET = (
+    f"(('0x' || substr(md5(source), 1, 14))::BIGINT % {SP.SPLIT_BUCKETS})"
+)
+
+
+@register(
+    "split_documents_by_source",
+    oracle=f"""
+SELECT CASE WHEN {_SRC_BUCKET} < 80 THEN 'train'
+            WHEN {_SRC_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY split
+""",
+)
+def split_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the hash runs over ``source``, not
+    doc_id, so every document of a source lands in the same split — the
+    remediation for what dedup_split_leakage_audit detects (near-dups
+    within a source straddling train/test leak eval signal; doc-level
+    hashing guarantees it at scale, group-level hashing structurally
+    prevents it). Same 80/10/10 bucket ladder and md5 device as the
+    doc-level split; still stable under appends (new docs of a known
+    source inherit its split).
+
+    Scale: the split column is a row-local expression (no shuffle); the
+    summary groupBy is the gate. Trade-off stated: split proportions now
+    hold in expectation over SOURCES, not docs — skewed source sizes skew
+    realized proportions (visible in n_docs here).
+    """
+    configure_runtime(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    split = SP.with_split(docs, "source")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

@@ -204,3 +204,21 @@ class TestBootstrapCi:
         )
         # a 95% CI from 64 replicates should bracket the point estimate
         assert row.ci_lo <= true_mean <= row.ci_hi
+
+
+def test_group_split_never_straddles_a_source(spark, sf_dir):
+    """Every document of a source must land in the same split — the
+    structural guarantee that near-dups within a source cannot leak
+    across train/test."""
+    from kafka_clickhouse_example_spark.operators.sampling import with_split
+    from kafka_clickhouse_example_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        with_split(docs, "source")
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_source and all(r.n_splits == 1 for r in per_source)
