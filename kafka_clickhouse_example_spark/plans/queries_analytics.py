@@ -2526,14 +2526,18 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (impossible without a global index), give every row an independent
 # Poisson(1) weight per replicate — for large n the replicate weight vector
 # is indistinguishable from multinomial resampling, and the whole procedure
-# is map-only. Weights derive from a 56-bit md5 of (key, replicate), so the
-# resample is bit-reproducible on any engine/partitioning. Thresholds are
-# floor(CDF_Poisson(1)(k) * 2^56) precomputed as exact integers.
+# is map-only. Per-replicate uniforms come from ONE md5 per row via the
+# Kirsch-Mitzenmacher device the minhash family already certifies:
+# u_rep = (h1 + rep*h2) mod P over the 56-bit md5 halves (64 md5s/row was
+# measured 15.3 s at sf0.1; one md5 + integer ops per rep is ~6x faster with
+# the same cross-engine exactness). Thresholds are floor(CDF_Poisson(1)(k)*P)
+# precomputed as exact integers.
 BOOT_B = 64  # replicates
+_BOOT_P = 72057594037927931  # largest prime < 2^56 (dedup.HASH_PRIME)
 _POIS_THRESH = [
-    26508507426831584, 53017014853663168, 66271268567078960, 70689353138217560,
-    71793874281002208, 72014778509559136, 72051595880985288, 72056855505474736,
-    72057512958535920, 72057586008876048, 72057593313910064, 72057593978004064,
+    26508507426831580, 53017014853663160, 66271268567078952, 70689353138217552,
+    71793874281002200, 72014778509559128, 72051595880985280, 72056855505474728,
+    72057512958535912, 72057586008876040, 72057593313910056, 72057593978004056,
 ]
 _Q30_B = 1 << 30
 
@@ -2545,18 +2549,23 @@ def _pois_case_sql(u: str) -> str:
     return f"(CASE {arms} ELSE {len(_POIS_THRESH)} END)"
 
 
+_BOOT_H = "md5(CAST(o_orderkey AS VARCHAR))"
+_BOOT_H1 = f"('0x' || substr({_BOOT_H}, 1, 14))::BIGINT"
+_BOOT_H2 = f"('0x' || substr({_BOOT_H}, 15, 14))::BIGINT"
+
+
 @register(
     "orders_revenue_bootstrap_ci",
     oracle=f"""
 WITH reps AS (
-  SELECT o_orderkey,
+  SELECT {_BOOT_H1} AS h1, {_BOOT_H2} AS h2,
          CAST(floor(CAST(o_totalprice AS DOUBLE) * {_Q30_B}) AS BIGINT) AS q30,
          unnest(range(0, {BOOT_B})) AS rep
   FROM orders
 ),
 weighted AS (
   SELECT rep, q30,
-         {_pois_case_sql("('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 14))::BIGINT")} AS w
+         {_pois_case_sql(f"((h1 + rep * h2) % {_BOOT_P})")} AS w
   FROM reps
 ),
 means AS (
@@ -2581,9 +2590,11 @@ def orders_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for mean order revenue via the POISSON bootstrap —
     the distributed-resampling trick (each row draws an independent
     Poisson(1) weight per replicate instead of global with-replacement
-    sampling, which would need a coordinated index). {BOOT_B} replicates,
-    weights from exact integer inverse-CDF thresholds on a 56-bit md5 of
-    (orderkey, replicate) — bit-reproducible on any engine or
+    sampling, which would need a coordinated index). {BOOT_B} replicates;
+    per-replicate uniforms from ONE 128-bit md5 per row via the
+    Kirsch-Mitzenmacher (h1 + rep*h2) mod P family (the device the
+    minhash oracles already certify), mapped through exact integer
+    Poisson(1) inverse-CDF thresholds — bit-reproducible on any engine or
     partitioning; replicate means use DECIMAL-exact weighted Q30 sums.
 
     Scale: map-only explode x{BOOT_B} then ONE partial-combined groupBy
@@ -2592,27 +2603,23 @@ def orders_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the explode factor is the knob: B=64 reads the table once and
     shuffles {BOOT_B} partial rows per task.
     """
-    orders = _t(spark, sf_dir, "orders")["orders"]
+    from kafka_clickhouse_example_spark.operators.dedup import md5_half
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+    # compute-table load: the x64 explode inherits scan partitioning, and a
+    # single-file parquet would otherwise run the whole resample ~serially
+    # (measured 11.3 s -> see PLANS.md; the work is per-row CPU, not IO)
+    configure_runtime(spark)
+    orders = load_compute_table(spark, sf_dir, "orders")
     q30 = F.floor(F.col("o_totalprice").cast("double") * _Q30_B).cast("bigint")
+    okey = F.col("o_orderkey").cast("string")
     reps = orders.select(
-        "o_orderkey", q30.alias("q30"),
+        md5_half(okey, 0).alias("h1"),
+        md5_half(okey, 1).alias("h2"),
+        q30.alias("q30"),
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("rep").cast("string"),
-                ).cast("binary")
-            ),
-            1,
-            14,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u = (F.col("h1") + F.col("rep") * F.col("h2")) % _BOOT_P
     w = F.lit(len(_POIS_THRESH))
     for k in range(len(_POIS_THRESH) - 1, -1, -1):
         w = F.when(u < _POIS_THRESH[k], F.lit(k)).otherwise(w)
