@@ -84,18 +84,36 @@ def run(argv: list[str] | None = None, out=sys.stdout) -> int:
             print(f"--forget: no column {key_col} in {table_dir}", file=sys.stderr)
             return 2
         raw = [v for v in values_csv.split(",") if v != ""]
-        if kind in ("byte", "short", "integer", "long"):
-            values: list = [int(v) for v in raw]
-        elif kind in ("float", "double"):
-            values = [float(v) for v in raw]
-        elif kind == "decimal":
-            from decimal import Decimal
+        # an erasure CLI must never GUESS: a literal that doesn't parse in
+        # the key column's type exits 2 instead of silently matching the
+        # wrong rows (review finding: 'yes' coerced to False would delete
+        # the False rows — the opposite subject set)
+        try:
+            if kind in ("byte", "short", "integer", "long"):
+                values: list = [int(v) for v in raw]
+            elif kind in ("float", "double"):
+                values = [float(v) for v in raw]
+            elif kind == "decimal":
+                from decimal import Decimal
 
-            values = [Decimal(v) for v in raw]
-        elif kind == "boolean":
-            values = [v.lower() in ("true", "1") for v in raw]
-        else:  # string/date/timestamp: pass literals through; Spark
-            values = raw  # compares them in the column's own type
+                values = [Decimal(v) for v in raw]
+            elif kind == "boolean":
+                truthy = {"true", "1", "t"}
+                falsy = {"false", "0", "f"}
+                values = []
+                for v in raw:
+                    low = v.lower()
+                    if low not in truthy | falsy:
+                        raise ValueError(f"not a boolean literal: {v!r}")
+                    values.append(low in truthy)
+            else:  # string/date/timestamp: pass literals through; Spark
+                values = raw  # compares them in the column's own type
+        except (ValueError, ArithmeticError) as exc:
+            print(
+                f"--forget: value does not parse as {kind} for {key_col}: {exc}",
+                file=sys.stderr,
+            )
+            return 2
         report = forget_keys(
             spark, table_dir, key_col, values, part_col, purge=args.purge_forgotten
         )

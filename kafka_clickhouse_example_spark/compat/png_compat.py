@@ -84,8 +84,29 @@ def decode_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Supports non-interlaced 8-bit gray/RGB/gray+alpha/RGBA; anything else
     raises NotImplementedError (loud boundary, never wrong pixels).
+    Malformed bytes — including corrupt DEFLATE streams — raise
+    ValueError per the module contract.
+
+    One chunk walk: IHDR is taken from the first chunk and IDAT
+    accumulates in the same pass (this runs per row inside mapInPandas —
+    a second parse + CRC sweep doubled the per-image fixed cost).
     """
-    w, h, depth, color, interlace = _ihdr(payload)
+    header = None
+    idat = []
+    for ctype, data in _chunks(payload):
+        if header is None:
+            if ctype != b"IHDR":
+                raise ValueError("first PNG chunk is not IHDR")
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
+            header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if header is None:
+        raise ValueError("empty PNG")
+    w, h, depth, color, _comp, _filt, interlace = header
+    if w < 1 or h < 1:
+        raise ValueError("bad PNG dimensions")
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} not supported")
     if color not in _CHANNELS:
@@ -93,9 +114,10 @@ def decode_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
     if interlace != 0:
         raise NotImplementedError("interlaced PNG not supported")
     bpp = _CHANNELS[color]
-    raw = zlib.decompress(
-        b"".join(d for t, d in _chunks(payload) if t == b"IDAT")
-    )
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size does not match dimensions")

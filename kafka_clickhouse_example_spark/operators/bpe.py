@@ -136,27 +136,34 @@ def train_bpe(
     rounds = 0
     while len(merges) < n_merges:
         batch_cap = min(merges_per_round, n_merges - len(merges))
-        # over-fetch so the disjointness filter still fills the batch; the
-        # candidate list is O(M) rows to the driver either way
+        # over-fetch so the disjointness filter still fills the batch, and
+        # ESCALATE (k x4) when a hot token dominates the head of the ranked
+        # list — the contract is "top-M token-disjoint pairs of the FULL
+        # ranking", so a fixed window may not see enough disjoint
+        # candidates (review finding: 20 'e'-pairs up front would
+        # otherwise shrink the batch to 1). Escalation stops when the
+        # fetch came back short (ranking exhausted) or dipped below
+        # min_count; each retry is one more TakeOrdered, rare in practice.
+        counts = _pair_counts(vocab)
         k = batch_cap if batch_cap == 1 else 4 * batch_cap + 4
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(k)
-            .collect()
-        )
-        accepted: list[tuple[int, str, str, int]] = []
-        used: set[str] = set()
-        for row in top:
-            if row["n"] < min_count:
+        while True:
+            top = counts.orderBy(F.col("n").desc(), "a", "b").limit(k).collect()
+            accepted: list[tuple[int, str, str, int]] = []
+            used: set[str] = set()
+            exhausted = len(top) < k or (top and top[-1]["n"] < min_count)
+            for row in top:
+                if row["n"] < min_count:
+                    break
+                a, b = row["a"], row["b"]
+                if a in used or b in used:
+                    continue
+                accepted.append((len(merges) + len(accepted), a, b, int(row["n"])))
+                used.update((a, b))
+                if len(accepted) >= batch_cap:
+                    break
+            if len(accepted) >= batch_cap or exhausted:
                 break
-            a, b = row["a"], row["b"]
-            if a in used or b in used:
-                continue
-            accepted.append((len(merges) + len(accepted), a, b, int(row["n"])))
-            used.update((a, b))
-            if len(accepted) >= batch_cap:
-                break
+            k *= 4
         if not accepted:
             break
         merges.extend(accepted)

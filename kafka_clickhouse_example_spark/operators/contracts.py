@@ -38,14 +38,18 @@ def schema_drift(df: DataFrame, expected_ddl: str) -> list[dict]:
         seen: dict[str, str] = {}
         for f in fields:
             low = f.name.lower()
-            if low in seen and seen[low] != f.name:
+            if low in seen:
+                # ANY collision — case-differing OR exact duplicates
+                # (select(lit(1).alias('a'), lit(2).alias('a')) is legal
+                # Spark) — would fold into one dict key and silently drop
+                # a side from the comparison. Refuse both loudly.
                 raise ValueError(
-                    f"schema_drift: {side} schema has columns differing only "
-                    f"by case ({seen[low]!r} vs {f.name!r}); case-insensitive "
-                    "comparison would silently drop one — resolve the "
-                    "collision or compare case-sensitively upstream"
+                    f"schema_drift: {side} schema has colliding column "
+                    f"names ({seen[low]!r} vs {f.name!r}); the dict-based "
+                    "comparison would silently drop one — deduplicate or "
+                    "rename upstream"
                 )
-            seen.setdefault(low, f.name)
+            seen[low] = f.name
     actual = {f.name.lower(): f for f in df.schema.fields}
     exp = {f.name.lower(): f for f in expected.fields}
     drift: list[dict] = []

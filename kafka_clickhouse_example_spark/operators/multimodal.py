@@ -218,13 +218,21 @@ def raster_decode(payload: bytes) -> tuple[int, "object"]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from kafka_clickhouse_example_spark.compat import png_compat
 
-        w, h, ch, pix = png_compat.decode_rgb(payload)
-        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
-        # integer mean over channels = exact, deterministic luma
-        gray = arr.astype(np.uint32).sum(axis=2) // ch
-        side = min(w, h)
-        y0, x0 = (h - side) // 2, (w - side) // 2
-        return side, gray[y0 : y0 + side, x0 : x0 + side].astype(np.uint8)
+        try:
+            w, h, ch, pix = png_compat.decode_rgb(payload)
+        except (ValueError, NotImplementedError):
+            # corrupt or unsupported-variant PNG (bad CRC/DEFLATE,
+            # palette, interlaced): same treatment as any other
+            # undecodable payload — the synthetic raster below — rather
+            # than failing the whole stage on one bad row (review finding)
+            pass
+        else:
+            arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+            # integer mean over channels = exact, deterministic luma
+            gray = arr.astype(np.uint32).sum(axis=2) // ch
+            side = min(w, h)
+            y0, x0 = (h - side) // 2, (w - side) // 2
+            return side, gray[y0 : y0 + side, x0 : x0 + side].astype(np.uint8)
 
     side = math.isqrt(len(payload))
     if side < 1:

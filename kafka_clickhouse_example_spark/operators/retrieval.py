@@ -9,25 +9,54 @@ corpus pass + one shuffle (the same groupBy the live path does), and each
 query then reads ONLY the buckets its terms hash into — Spark's bucket
 pruning turns `term IN (...)` into "open |terms|-ish of N buckets"
 (`SelectedBucketsCount` in the scan node), which is posting-list lookup
-behavior on plain parquet, no serving infra. Corpus stats (n_docs, avgdl)
-are computed at build time into a 1-row sibling table, so queries touch
-nothing corpus-sized.
+behavior on plain parquet, no serving infra. Per-term document frequency and
+the corpus stats (n_docs, avgdl) are materialized at build time (derived
+from the postings themselves — no second corpus pass), so the query path is
+a pruned scan + two broadcasts and nothing corpus-sized.
 
-Score parity with the live path is pinned by test (identical rational-idf
-Q30 formula; tests/test_retrieval_index.py compares row-for-row).
+This module also owns the ONE definition of the BM25 scoring expression
+(:func:`bm25_score`): the live single-query, batch, and index paths all
+build their Q30 ranking key from it, so the k1/b constants and the
+rational-idf form cannot drift apart (review finding — the expression was
+previously copied in three places with only one pair test-pinned).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.text import tokens
 
-# Mirrors plans/queries_text.py BM25_K1/BM25_B — parity is test-enforced.
 BM25_K1 = 1.2
 BM25_B = 0.75
-_Q30 = 1 << 30
+Q30 = 1 << 30
+
+
+def bm25_score(
+    tf: Column,
+    dl: Column,
+    df: Column,
+    n_docs: Column,
+    avgdl: Column,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Column:
+    """Per-(doc, term) BM25 contribution — log-free rational idf
+    ((N-df+0.5)/(df+0.5), monotone-equivalent to the Lucene log form and
+    bit-exact across engines) times the saturated tf term. All inputs are
+    Columns so every caller shares the exact operation order (IEEE
+    mul/div are deterministic only if the expression tree is identical).
+    """
+    idf = ((n_docs - df).cast("double") + 0.5) / (df.cast("double") + 0.5)
+    denom = tf.cast("double") + k1 * (1.0 - b + (b * dl.cast("double")) / avgdl)
+    return idf * (tf.cast("double") * (k1 + 1.0)) / denom
+
+
+def bm25_q30(tf, dl, df, n_docs, avgdl, k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """The exact BIGINT ranking key: floor(score * 2^30) — summable in any
+    order, comparable across engines."""
+    return F.floor(bm25_score(tf, dl, df, n_docs, avgdl, k1, b) * Q30).cast("bigint")
 
 
 def build_term_index(
@@ -40,11 +69,14 @@ def build_term_index(
     path: str | None = None,
 ) -> None:
     """Materialize the inverted index: (term, doc_id, tf, dl) posting rows
-    bucketed AND sorted by term, plus ``<table>_stats`` (n_docs, avgdl).
+    bucketed AND sorted by term, ``<table>_terms`` (term, df — the
+    vocabulary-sized document frequencies), and ``<table>_stats`` (n_docs,
+    avgdl).
 
-    One corpus pass + one (doc, term) shuffle — the exact work the live
-    BM25 pays per query, paid once. Bucketing by term means a later
-    ``term IN (...)`` scan opens only the matching buckets.
+    ONE corpus tokenize pass: df and the corpus stats both derive from the
+    written postings (every document appears — the whitespace tokenizer
+    yields at least one token — so countDistinct(doc_id) is the corpus
+    count and per-doc max(dl) recovers document lengths exactly).
     """
     a = tokens(F.col(text_col))
     toks = docs.select(
@@ -64,9 +96,19 @@ def build_term_index(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
-    stats = docs.agg(
+
+    spark = docs.sparkSession
+    written = spark.table(table)
+    dfreq = written.groupBy("term").agg(F.count("*").alias("df"))
+    dw = dfreq.write.format("parquet").mode("overwrite")
+    if path is not None:
+        dw = dw.option("path", path + "_terms")
+    dw.saveAsTable(table + "_terms")
+
+    per_doc = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
-        (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     sw = stats.write.format("parquet").mode("overwrite")
     if path is not None:
@@ -83,24 +125,22 @@ def bm25_topk_from_index(
     b: float = BM25_B,
 ) -> DataFrame:
     """Answer a BM25 top-k query from the prebuilt index: bucket-pruned
-    postings scan -> broadcast df/stats -> Q30-exact TakeOrdered. Identical
-    scoring to the live path; corpus-sized work is zero (df for each term
-    derives from the pruned postings themselves).
+    postings scan + broadcast of the PREBUILT df/stats tables + Q30-exact
+    TakeOrdered. Identical scoring to the live path (same
+    :func:`bm25_score` tree); zero corpus-sized work per query — no
+    aggregation over the postings at all (review finding: df used to be
+    recomputed per query even though it is a build-time property).
     """
     idx = spark.table(table).filter(F.col("term").isin(terms))
-    dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = spark.table(table + "_terms").filter(F.col("term").isin(terms))
     stats = spark.table(table + "_stats")
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
-        F.col("df").cast("double") + 0.5
+    q30 = bm25_q30(
+        F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"), k1, b
     )
-    denom = F.col("tf").cast("double") + k1 * (
-        1.0 - b + (b * F.col("dl").cast("double")) / F.col("avgdl")
-    )
-    score = idf * (F.col("tf").cast("double") * (k1 + 1.0)) / denom
     return (
         idx.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.floor(score * _Q30).cast("bigint").alias("q30"))
+        .select("doc_id", q30.alias("q30"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_terms"), F.sum("q30").alias("q30_sum"))
         .orderBy(F.col("q30_sum").desc(), "doc_id")
@@ -108,6 +148,6 @@ def bm25_topk_from_index(
         .select(
             "doc_id",
             "n_terms",
-            F.round(F.col("q30_sum").cast("double") / _Q30, 6).alias("score"),
+            F.round(F.col("q30_sum").cast("double") / Q30, 6).alias("score"),
         )
     )

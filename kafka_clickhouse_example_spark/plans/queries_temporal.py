@@ -205,12 +205,20 @@ WITH marked AS (
   FROM events WHERE event_type <> 'purchase'
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
-history AS (
+history0 AS (
   SELECT user_id,
          CAST(row_number() OVER w2 AS BIGINT) AS version_no,
-         event_type, ts AS valid_from
+         event_type, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
   FROM marked WHERE is_change
   WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+-- zero-length intervals (two changes at the same ts) never describe the
+-- state AT any instant; dropping them leaves valid_from unique per user,
+-- so the as-of resolve and this equality join are both deterministic
+history AS (
+  SELECT * FROM history0
+  WHERE valid_to IS NULL OR valid_to > valid_from
 ),
 pit AS (
   SELECT p.event_id, p.user_id, p.ts,
@@ -237,6 +245,10 @@ def events_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof_join resolves each fact to the interval containing its ts (an
     interval table has no gaps, so newest valid_from <= ts IS the
     containing interval; facts before the first interval get NULLs).
+    Zero-length intervals — two state changes at the same timestamp —
+    are dropped before the resolve: they describe the state AT no
+    instant, and keeping them would leave duplicate valid_from keys
+    whose as-of winner is shuffle-order-dependent (review finding).
 
     Scale: history build = one exchange (see scd2_intervals); the PIT
     resolve = asof_join's single union-exchange on user_id with one
@@ -249,13 +261,17 @@ def events_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     events = load_compute_table(spark, sf_dir, "events")
-    history = scd2_intervals(
-        events.filter(F.col("event_type") != "purchase"),
-        ["user_id"],
-        "event_type",
-        "ts",
-        tiebreak_cols=["event_id"],
-    ).select("user_id", "version_no", "event_type", "valid_from")
+    history = (
+        scd2_intervals(
+            events.filter(F.col("event_type") != "purchase"),
+            ["user_id"],
+            "event_type",
+            "ts",
+            tiebreak_cols=["event_id"],
+        )
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select("user_id", "version_no", "event_type", "valid_from")
+    )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )

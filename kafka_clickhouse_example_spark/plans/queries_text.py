@@ -712,8 +712,10 @@ def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BM25 keyword retrieval --------------------------------------------------
 
 BM25_TERMS = ["spark", "window", "merge", "vector"]
-BM25_K1 = 1.2
-BM25_B = 0.75
+from kafka_clickhouse_example_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+)
 BM25_TOP_K = 20
 _Q30 = 1 << 30
 
@@ -795,17 +797,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
     )
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
-        F.col("df").cast("double") + 0.5
+    from kafka_clickhouse_example_spark.operators.retrieval import bm25_q30
+
+    q30 = bm25_q30(
+        F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"),
+        BM25_K1, BM25_B,
     )
-    denom = F.col("tf").cast("double") + BM25_K1 * (
-        1.0 - BM25_B + (BM25_B * F.col("dl").cast("double")) / F.col("avgdl")
-    )
-    score = idf * (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.floor(score * _Q30).cast("bigint").alias("q30"))
+        .select("doc_id", q30.alias("q30"))
     )
     return (
         scored.groupBy("doc_id")
@@ -963,18 +964,17 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
     )
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
-        F.col("df").cast("double") + 0.5
+    from kafka_clickhouse_example_spark.operators.retrieval import bm25_q30
+
+    q30 = bm25_q30(
+        F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"),
+        BM25_K1, BM25_B,
     )
-    denom = F.col("tf").cast("double") + BM25_K1 * (
-        1.0 - BM25_B + (BM25_B * F.col("dl").cast("double")) / F.col("avgdl")
-    )
-    score = idf * (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom
     per_doc = (
         tf.join(F.broadcast(queries), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("qid", "doc_id", F.floor(score * _Q30).cast("bigint").alias("q30"))
+        .select("qid", "doc_id", q30.alias("q30"))
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("n_terms"), F.sum("q30").alias("q30_sum"))
     )

@@ -207,3 +207,27 @@ class TestEncodeCorpus:
         assert rows[1] == (0, 0) and rows[2] == (0, 0)
         # 'ab' -> [a,b,</w>] -> [ab,</w>] -> [ab</w>]: 1 piece per word
         assert rows[3] == (2, 2)
+
+
+def test_batched_escalates_past_a_hot_token_head(spark):
+    """A corpus whose top-ranked pairs all share one hot token must still
+    fill the batch from disjoint pairs deeper in the ranking (the fixed
+    4M+4 window would accept only 1) — batched must keep matching the
+    full-ranking pure-Python reference on such corpora."""
+    from kafka_clickhouse_example_spark.operators import bpe as B
+
+    # 'e' appears in many distinct high-count pairs: eX words dominate the
+    # ranking head; disjoint pairs (from the q/r/s/t words) rank below.
+    rows = []
+    for i, c in enumerate("abcdfghijklm"):
+        rows.append((f"e{c} " * (60 - i),))           # pairs ('e', c), all share 'e'
+    for j, (x, y) in enumerate([("q", "r"), ("s", "t"), ("u", "v"), ("w", "x")]):
+        rows.append((f"{x}{y} " * (20 - j),))          # disjoint tail pairs
+    docs = spark.createDataFrame(rows, "text string")
+    merges = B.train_bpe(docs, n_merges=4, merges_per_round=4, min_count=2)
+    got = {(a, b) for _, a, b, _ in merges}
+    # the head window (4M+4 = 20 rows) holds only eX/X</w> pairs, which
+    # collapse to 2 disjoint accepts — filling the batch of 4 REQUIRES
+    # fetching past rank 20 to the q/s tail pairs
+    assert len(merges) == 4
+    assert ("q", "r") in got and ("s", "t") in got

@@ -76,9 +76,24 @@ def test_case_collision_refused_not_silently_collapsed(spark):
     df = spark.range(1).select(
         F.col("id").alias("k"), F.col("id").cast("int").alias("K")
     )
-    with pytest.raises(ValueError, match="differing only"):
+    with pytest.raises(ValueError, match="colliding column names"):
         schema_drift(df, "k bigint")
     # contract-side collisions are refused the same way
     ok_df = spark.range(1).selectExpr("id as k")
-    with pytest.raises(ValueError, match="differing only"):
+    with pytest.raises(ValueError, match="colliding column names"):
         schema_drift(ok_df, "k bigint, K int")
+
+
+def test_schema_drift_rejects_exact_duplicate_columns(spark):
+    """Same-case duplicate names (legal via alias) must be refused too —
+    the dict comparison would silently drop one and hide its drift."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators.contracts import schema_drift
+
+    df = spark.range(1).select(
+        F.lit(1).alias("a"), F.lit("x").alias("a")
+    )
+    with pytest.raises(ValueError, match="colliding column names"):
+        schema_drift(df, "a INT")

@@ -295,3 +295,56 @@ class TestRealPngDecodeBranch:
         side, arr = raster_decode(png)
         assert side == 6 and arr.shape == (6, 6)
         assert arr[0, 0] == 2  # centered crop starts at x0=(10-6)//2=2
+
+
+class TestCorruptPngFallback:
+    def test_corrupt_idat_raises_value_error(self):
+        from kafka_clickhouse_example_spark.compat import png_compat
+        import struct, zlib, pytest
+
+        good = png_compat.encode_rgb(4, 4, bytes(range(48)), channels=3)
+        # rebuild the IDAT chunk with garbage DEFLATE but a VALID crc, so
+        # the failure is zlib-level, not chunk-level
+        sig = good[:8]
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        bad = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notdeflate") + chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            png_compat.decode_rgb(bad)
+
+    def test_raster_decode_falls_back_on_bad_png(self):
+        """A PNG-signature payload that cannot be decoded (corrupt DEFLATE
+        or unsupported variant) must take the synthetic-raster path, not
+        fail the stage."""
+        import struct, zlib
+
+        from kafka_clickhouse_example_spark.operators.multimodal import raster_decode
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"notdeflate") + chunk(b"IEND", b""))
+        side, arr = raster_decode(bad)
+        # synthetic interpretation: largest square prefix of the bytes
+        import math
+        assert side == math.isqrt(len(bad))
+        assert arr.shape == (side, side)
+
+    def test_raster_decode_falls_back_on_interlaced(self):
+        import struct, zlib
+
+        from kafka_clickhouse_example_spark.operators.multimodal import raster_decode
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        raw = b"".join(b"\x00" + bytes(12) for _ in range(4))
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        side, arr = raster_decode(png)
+        assert arr.shape == (side, side)

@@ -26,6 +26,7 @@ def term_index(spark, sf_dir, tmp_path_factory):
     build_term_index(docs, "term_idx", buckets=16, path=str(base / "idx"))
     yield "term_idx"
     spark.sql("DROP TABLE IF EXISTS term_idx")
+    spark.sql("DROP TABLE IF EXISTS term_idx_terms")
     spark.sql("DROP TABLE IF EXISTS term_idx_stats")
 
 
@@ -67,5 +68,16 @@ def test_index_rebuild_is_idempotent(spark, sf_dir, term_index):
         build_term_index(docs, "term_idx2", buckets=16, path=d + "/idx")
         again = bm25_topk_from_index(spark, "term_idx2", ["spark", "merge"]).collect()
         spark.sql("DROP TABLE IF EXISTS term_idx2")
+        spark.sql("DROP TABLE IF EXISTS term_idx2_terms")
         spark.sql("DROP TABLE IF EXISTS term_idx2_stats")
     assert again == before
+
+
+def test_query_path_has_no_postings_aggregation(spark, term_index):
+    """df/stats are prebuilt: the query plan must contain exactly ONE
+    aggregate pair (the per-doc q30 sum), not a df-recomputation over the
+    postings."""
+    df = bm25_topk_from_index(spark, term_index, list(BM25_TERMS), k=BM25_TOP_K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial+final of the single groupBy(doc_id) => exactly 2 HashAggregate
+    assert plan.count("HashAggregate") == 2, plan

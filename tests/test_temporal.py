@@ -204,3 +204,46 @@ def test_pit_state_never_leaks_future(spark, sf_dir):
     for r in rows:
         if r.state_at_ts is None:
             assert r.state_since is None and r.state_version is None
+
+
+def test_pit_tied_timestamp_changes_resolve_deterministically(spark):
+    """Two state changes at the same (user, ts): the first becomes a
+    zero-length interval. The PIT composition drops zero-length intervals,
+    so valid_from is unique per user and the as-of resolve is deterministic
+    — the state at ts is the change that actually survived the instant."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators.temporal import (
+        asof_join,
+        scd2_intervals,
+    )
+
+    t = lambda s: datetime(2024, 1, s)
+    changes = spark.createDataFrame(
+        [(1, 1, t(1), "a"), (1, 2, t(2), "b"), (1, 3, t(2), "c")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    hist = scd2_intervals(
+        changes, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+    # the tied pair produced a zero-length 'b' interval
+    zero = [r for r in hist.collect() if r.valid_to == r.valid_from]
+    assert [r.event_type for r in zero] == ["b"]
+    lively = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("user_id", "version_no", "event_type", "valid_from")
+    froms = [r.valid_from for r in lively.collect()]
+    assert len(froms) == len(set(froms)), "valid_from must be unique after the drop"
+    facts = spark.createDataFrame(
+        [(10, 1, t(2)), (11, 1, t(3))], "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r.event_id: r.event_type_asof
+        for r in asof_join(
+            facts, lively, key="user_id", left_ts="ts", right_ts="valid_from",
+            right_payload=["event_type"],
+        ).collect()
+    }
+    assert got == {10: "c", 11: "c"}
