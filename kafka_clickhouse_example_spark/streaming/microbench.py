@@ -64,19 +64,31 @@ def streaming_throughput(
         def sink(batch_df, batch_id) -> None:
             seen["rows"] += batch_df.count()
 
-        stream = spark.readStream.schema("value string").text(json_dir)
-        flows = flows_from_json(stream, use_arrow=use_arrow)
-        t0 = time.perf_counter()
-        q = (
-            flows.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        if seen["rows"] != n_rows:
-            raise RuntimeError(f"streaming bench lost rows: {seen['rows']} != {n_rows}")
+        # Same methodology as the query bench: one untimed warm-up run
+        # (JIT/codegen/py-worker spin-up — measured 2-3x the steady rate
+        # when the microbench runs cold at the END of a 188-query session),
+        # then best-of-2 timed runs, each from a fresh checkpoint so every
+        # run reprocesses the full corpus.
+        wall = float("inf")
+        for attempt in range(3):
+            seen["rows"] = 0
+            stream = spark.readStream.schema("value string").text(json_dir)
+            flows = flows_from_json(stream, use_arrow=use_arrow)
+            t0 = time.perf_counter()
+            q = (
+                flows.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{ckpt_dir}-{attempt}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            elapsed = time.perf_counter() - t0
+            if seen["rows"] != n_rows:
+                raise RuntimeError(
+                    f"streaming bench lost rows: {seen['rows']} != {n_rows}"
+                )
+            if attempt > 0:  # attempt 0 is the warm-up
+                wall = min(wall, elapsed)
         return {
             "rows": n_rows,
             "wall_sec": round(wall, 4),
