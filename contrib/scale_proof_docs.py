@@ -1,0 +1,90 @@
+"""Reproducible 10x scale proofs (SCALE.md round-4 batches).
+
+Generates offset-copy sf1 tables (documents: doc_id offset; events:
+event_id/user_id offset; orders/lineitem/customer: key offsets, see
+/tmp/scale_proof.py of round 3) under $SCALE_DIR (default /tmp/sf1), then
+measures any registered queries at sf0.1 vs sf1 with the bench
+methodology (warm-up + best-of-2 on local[32]).
+
+Usage:
+    PYTHONPATH=/root/repo python contrib/scale_proof_docs.py q1 q2 ...
+
+Offset-copying preserves the value distributions but makes the corpus
+10x DUP-HEAVY (every doc has 9 exact copies) — fine for map/agg-shaped
+queries, and a deliberate stress for pair-emitting dedup ops (output
+itself is quadratic in duplication; see SCALE.md for the stop-cut
+interaction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.session import configure_runtime, get_spark
+from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SCALE_DIR", "/tmp/sf1")
+COPIES = 10
+
+
+def _gen(spark, name: str, offsets: dict[str, bool]) -> None:
+    """Write COPIES key-offset copies of SRC/<name> to DST/<name>.
+    offsets: column -> True for columns to shift by copy_index * max+1."""
+    out = os.path.join(DST, f"{name}.parquet")
+    if os.path.exists(out):
+        return
+    base = load_table(spark, SRC, name)
+    spans = {
+        c: base.agg(F.max(c)).collect()[0][0] + 1 for c in offsets
+    }
+    copies = None
+    for k in range(COPIES):
+        cols = [
+            (F.col(c) + k * spans[c]).alias(c) if c in offsets else F.col(c)
+            for c in base.columns
+        ]
+        c = base.select(*cols)
+        copies = c if copies is None else copies.unionByName(c)
+    copies.repartition(32).write.mode("overwrite").parquet(out)
+    print(f"generated {out}", file=sys.stderr)
+
+
+def main() -> None:
+    spark = get_spark("scale-proof", cpus=32, driver_memory="16g")
+    configure_runtime(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    _gen(spark, "documents", {"doc_id": True})
+    _gen(spark, "events", {"event_id": True, "user_id": True})
+    _gen(spark, "orders", {"o_orderkey": True, "o_custkey": True})
+    _gen(spark, "lineitem", {"l_orderkey": True})
+    _gen(spark, "customer", {"c_custkey": True})
+
+    from kafka_clickhouse_example_spark.registry import all_queries
+
+    queries = all_queries()
+    names = sys.argv[1:] or ["text_bm25_topk"]
+    out = {}
+    for sf_dir, label in [(SRC, "sf0.1"), (DST, "sf1")]:
+        for name in names:
+            fn = queries[name]
+            rows = fn(spark, sf_dir).count()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{label}:{name}"] = {"sec": round(best, 3), "rows": rows}
+            print(label, name, round(best, 3), "s", rows, "rows", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
