@@ -238,8 +238,11 @@ def encode_corpus(
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
+    # carry the id column's ACTUAL type through the Arrow boundary — a
+    # hardcoded `long` broke string-keyed corpora (review finding)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, words.alias("words")).mapInPandas(
-        encode, f"{id_col} long, n_words long, n_pieces long"
+        encode, f"{id_col} {id_type}, n_words long, n_pieces long"
     )
 
 

@@ -228,8 +228,12 @@ def raster_decode(payload: bytes) -> tuple[int, "object"]:
             pass
         else:
             arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
-            # integer mean over channels = exact, deterministic luma
-            gray = arr.astype(np.uint32).sum(axis=2) // ch
+            # integer mean over COLOR channels = exact, deterministic luma;
+            # LA (ch=2) and RGBA (ch=4) carry alpha LAST — averaging it in
+            # skewed every transparent-capable image (opaque black RGBA
+            # read 63, not 0 — review finding)
+            n_color = ch - 1 if ch in (2, 4) else ch
+            gray = arr[:, :, :n_color].astype(np.uint32).sum(axis=2) // n_color
             side = min(w, h)
             y0, x0 = (h - side) // 2, (w - side) // 2
             return side, gray[y0 : y0 + side, x0 : x0 + side].astype(np.uint8)

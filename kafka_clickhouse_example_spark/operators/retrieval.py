@@ -16,7 +16,7 @@ a pruned scan + two broadcasts and nothing corpus-sized.
 
 This module also owns the ONE definition of the BM25 scoring expression
 (:func:`bm25_score`): the live single-query, batch, and index paths all
-build their Q30 ranking key from it, so the k1/b constants and the
+build their Q20 ranking key from it, so the k1/b constants and the
 rational-idf form cannot drift apart (review finding — the expression was
 previously copied in three places with only one pair test-pinned).
 """
@@ -30,7 +30,13 @@ from kafka_clickhouse_example_spark.operators.text import tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
-Q30 = 1 << 30
+# Fixed-point scale for the exact BIGINT ranking key. Q20, not Q30: the
+# rational idf grows ~linearly with corpus size (that is the log-free
+# trade), so floor(score * scale) must stay under 2^63 at the target
+# scale — at Q20 the key overflows only past ~5.9e12 documents, 30x
+# headroom over the 2e11-doc 100 TB framing (Q30 hit the cliff at ~6e9
+# docs — review finding).
+BM25_Q = 1 << 20
 
 
 def bm25_score(
@@ -53,10 +59,10 @@ def bm25_score(
     return idf * (tf.cast("double") * (k1 + 1.0)) / denom
 
 
-def bm25_q30(tf, dl, df, n_docs, avgdl, k1: float = BM25_K1, b: float = BM25_B) -> Column:
-    """The exact BIGINT ranking key: floor(score * 2^30) — summable in any
-    order, comparable across engines."""
-    return F.floor(bm25_score(tf, dl, df, n_docs, avgdl, k1, b) * Q30).cast("bigint")
+def bm25_q(tf, dl, df, n_docs, avgdl, k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """The exact BIGINT ranking key: floor(score * 2^20) — summable in any
+    order, comparable across engines, overflow-free to ~5.9e12 docs."""
+    return F.floor(bm25_score(tf, dl, df, n_docs, avgdl, k1, b) * BM25_Q).cast("bigint")
 
 
 def build_term_index(
@@ -73,10 +79,14 @@ def build_term_index(
     vocabulary-sized document frequencies), and ``<table>_stats`` (n_docs,
     avgdl).
 
-    ONE corpus tokenize pass: df and the corpus stats both derive from the
-    written postings (every document appears — the whitespace tokenizer
-    yields at least one token — so countDistinct(doc_id) is the corpus
-    count and per-doc max(dl) recovers document lengths exactly).
+    ONE corpus tokenize pass: df and the document lengths derive from the
+    written postings (per-doc max(dl) recovers them exactly). n_docs comes
+    from a tokenize-free count over the docs frame, NOT the postings:
+    NULL-text documents contribute no postings but DO count in the live
+    path's corpus size, and deriving n_docs from postings alone silently
+    de-synced every score on such corpora (review finding). avgdl uses
+    the same convention as the live path: token sum over tokenizable docs
+    divided by ALL docs.
     """
     a = tokens(F.col(text_col))
     toks = docs.select(
@@ -105,10 +115,11 @@ def build_term_index(
         dw = dw.option("path", path + "_terms")
     dw.saveAsTable(table + "_terms")
 
+    n_docs = docs.count()  # cheap metadata-ish scan; no tokenize
     per_doc = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.lit(float(n_docs))).alias("avgdl"),
     )
     sw = stats.write.format("parquet").mode("overwrite")
     if path is not None:
@@ -125,7 +136,7 @@ def bm25_topk_from_index(
     b: float = BM25_B,
 ) -> DataFrame:
     """Answer a BM25 top-k query from the prebuilt index: bucket-pruned
-    postings scan + broadcast of the PREBUILT df/stats tables + Q30-exact
+    postings scan + broadcast of the PREBUILT df/stats tables + Q20-exact
     TakeOrdered. Identical scoring to the live path (same
     :func:`bm25_score` tree); zero corpus-sized work per query — no
     aggregation over the postings at all (review finding: df used to be
@@ -134,20 +145,20 @@ def bm25_topk_from_index(
     idx = spark.table(table).filter(F.col("term").isin(terms))
     dfreq = spark.table(table + "_terms").filter(F.col("term").isin(terms))
     stats = spark.table(table + "_stats")
-    q30 = bm25_q30(
+    q = bm25_q(
         F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"), k1, b
     )
     return (
         idx.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", q30.alias("q30"))
+        .select("doc_id", q.alias("q"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_terms"), F.sum("q30").alias("q30_sum"))
-        .orderBy(F.col("q30_sum").desc(), "doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("q").alias("q_sum"))
+        .orderBy(F.col("q_sum").desc(), "doc_id")
         .limit(k)
         .select(
             "doc_id",
             "n_terms",
-            F.round(F.col("q30_sum").cast("double") / Q30, 6).alias("score"),
+            F.round(F.col("q_sum").cast("double") / BM25_Q, 6).alias("score"),
         )
     )

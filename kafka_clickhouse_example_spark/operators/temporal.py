@@ -146,10 +146,13 @@ def scd2_intervals(
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev = F.lag(F.col(attr_col)).over(w)
+    # first-row detection via row_number, NOT lag(ts).isNull(): a NULL ts
+    # value sorts first and would make its SUCCESSOR look like a first
+    # row, emitting a spurious interval (review finding — the streaming
+    # CDC path can carry NULL ts; the oracle-matched query never does)
     changes = df.withColumn(
         "_is_change",
-        F.lag(F.col(ts_col)).over(w).isNull()
-        | ~F.col(attr_col).eqNullSafe(prev),
+        (F.row_number().over(w) == 1) | ~F.col(attr_col).eqNullSafe(prev),
     ).filter(F.col("_is_change"))
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return (

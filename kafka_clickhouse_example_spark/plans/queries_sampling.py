@@ -441,8 +441,10 @@ def sample_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFram
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
     ).withColumn("bucket", F.expr(f"n_tok div {LEN_BUCKET_WIDTH}"))
     w = Window.partitionBy("bucket").orderBy("h", "doc_id")
-    batched = sized.withColumn(
-        "batch_no", ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint")
+    # `div`, not `/`: same exactness rule as corpus_mixture_plan (double
+    # division is lossy past 2^53 and the oracle uses integer `//`)
+    batched = sized.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_no", F.expr(f"(rn - 1) div {BATCH_SIZE}")
     )
     pad = F.max("n_tok") * F.count("*") - F.sum("n_tok")
     return (

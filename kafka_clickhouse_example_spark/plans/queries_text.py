@@ -717,7 +717,7 @@ from kafka_clickhouse_example_spark.operators.retrieval import (
     BM25_K1,
 )
 BM25_TOP_K = 20
-_Q30 = 1 << 30
+from kafka_clickhouse_example_spark.operators.retrieval import BM25_Q as _BM25_Q
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 # Rational idf (no ln): same monotone (N-df+0.5)/(df+0.5) core the tfidf
@@ -751,12 +751,12 @@ stats AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         CAST(floor(({_BM25_SCORE_SQL}) * {_Q30}) AS BIGINT) AS q30
+         CAST(floor(({_BM25_SCORE_SQL}) * {_BM25_Q}) AS BIGINT) AS q30
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_terms,
-       round(CAST(sum(q30) AS DOUBLE) / {_Q30}, 6) AS score
+       round(CAST(sum(q30) AS DOUBLE) / {_BM25_Q}, 6) AS score
 FROM scored
 GROUP BY doc_id
 ORDER BY sum(q30) DESC, doc_id
@@ -797,9 +797,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
     )
-    from kafka_clickhouse_example_spark.operators.retrieval import bm25_q30
+    from kafka_clickhouse_example_spark.operators.retrieval import bm25_q
 
-    q30 = bm25_q30(
+    q30 = bm25_q(
         F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"),
         BM25_K1, BM25_B,
     )
@@ -819,7 +819,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_terms",
-            F.round(F.col("q30_sum").cast("double") / _Q30, 6).alias("score"),
+            F.round(F.col("q30_sum").cast("double") / _BM25_Q, 6).alias("score"),
         )
     )
 
@@ -909,7 +909,7 @@ stats AS (
 ),
 scored AS (
   SELECT q.qid, tf.doc_id,
-         CAST(floor(({_BM25_SCORE_SQL}) * {_Q30}) AS BIGINT) AS q30
+         CAST(floor(({_BM25_SCORE_SQL}) * {_BM25_Q}) AS BIGINT) AS q30
   FROM tf JOIN queries q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
 ),
 per_doc AS (
@@ -919,7 +919,7 @@ per_doc AS (
   FROM scored GROUP BY qid, doc_id
 )
 SELECT CAST(qid AS BIGINT) AS qid, rnk, doc_id, n_terms,
-       round(CAST(q30_sum AS DOUBLE) / {_Q30}, 6) AS score
+       round(CAST(q30_sum AS DOUBLE) / {_BM25_Q}, 6) AS score
 FROM (
   SELECT *, CAST(row_number() OVER (
               PARTITION BY qid ORDER BY q30_sum DESC, doc_id) AS BIGINT) AS rnk
@@ -951,7 +951,12 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(a).cast("bigint").alias("dl"),
         F.explode(a).alias("term"),
-    ).filter(F.col("term").isin(_BATCH_TERMS))
+    ).filter(
+        # derive the union from BM25_BATCH at CALL time: the import-time
+        # _BATCH_TERMS snapshot silently dropped postings for any term a
+        # caller (or test) adds to the batch afterwards (review finding)
+        F.col("term").isin(sorted({t for ts in BM25_BATCH.values() for t in ts}))
+    )
     tf = toks.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
     )
@@ -964,9 +969,9 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum(F.size(a)).cast("double") / F.count("*")).alias("avgdl"),
     )
-    from kafka_clickhouse_example_spark.operators.retrieval import bm25_q30
+    from kafka_clickhouse_example_spark.operators.retrieval import bm25_q
 
-    q30 = bm25_q30(
+    q30 = bm25_q(
         F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"),
         BM25_K1, BM25_B,
     )
@@ -989,7 +994,7 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
             "doc_id",
             "n_terms",
-            F.round(F.col("q30_sum").cast("double") / _Q30, 6).alias("score"),
+            F.round(F.col("q30_sum").cast("double") / _BM25_Q, 6).alias("score"),
         )
         .orderBy("qid", "rnk")
     )

@@ -111,8 +111,16 @@ def _gate_priority() -> dict[str, int]:
         cohorts = json.loads(path.read_text())
     except (OSError, ValueError):
         return {}
+    import re
+
+    def cohort_order(key: str) -> tuple:
+        # numeric round order, NOT lexicographic: "r10_..." must rank
+        # AFTER "r4_..." or a future cohort would jump the frozen queue
+        m = re.match(r"r(\d+)", key)
+        return (int(m.group(1)) if m else 1 << 30, key)
+
     ranks: dict[str, int] = {}
-    for rank, key in enumerate(sorted(cohorts)):
+    for rank, key in enumerate(sorted(cohorts, key=cohort_order)):
         for name in cohorts[key]:
             ranks.setdefault(name, rank)
     return ranks

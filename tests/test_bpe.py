@@ -231,3 +231,14 @@ def test_batched_escalates_past_a_hot_token_head(spark):
     # fetching past rank 20 to the q/s tail pairs
     assert len(merges) == 4
     assert ("q", "r") in got and ("s", "t") in got
+
+
+def test_encode_corpus_string_ids(spark):
+    from kafka_clickhouse_example_spark.operators import bpe as B
+
+    df = spark.createDataFrame(
+        [("doc-a", "ab ab"), ("doc-b", "x")], "doc_id string, text string"
+    )
+    rules = [(0, "a", "b", 2)]
+    got = {r.doc_id: (r.n_words, r.n_pieces) for r in B.encode_corpus(df, rules).collect()}
+    assert got == {"doc-a": (2, 4), "doc-b": (1, 2)}

@@ -348,3 +348,18 @@ class TestCorruptPngFallback:
                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
         side, arr = raster_decode(png)
         assert arr.shape == (side, side)
+
+
+def test_raster_decode_luma_ignores_alpha():
+    """Opaque black RGBA must decode to luma 0, and LA gray to its gray
+    value — alpha is coverage, not brightness."""
+    from kafka_clickhouse_example_spark.compat import png_compat
+    from kafka_clickhouse_example_spark.operators.multimodal import raster_decode
+
+    w = h = 4
+    rgba = bytes([0, 0, 0, 255] * (w * h))  # opaque black
+    side, arr = raster_decode(png_compat.encode_rgb(w, h, rgba, channels=4))
+    assert side == 4 and int(arr.max()) == 0
+    la = bytes([100, 255] * (w * h))  # gray=100, opaque
+    side, arr = raster_decode(png_compat.encode_rgb(w, h, la, channels=2))
+    assert int(arr.min()) == int(arr.max()) == 100

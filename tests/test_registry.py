@@ -100,3 +100,26 @@ def test_cli_runner_lists_and_runs(spark, sf_dir):
     assert len(lines) == 3 and all(_json.loads(l) for l in lines)
 
     assert run(["no_such_query"]) == 2
+
+
+def test_gate_priority_cohorts_sort_numerically():
+    """r10 must rank AFTER r4 — lexicographic key order would let a future
+    cohort jump the frozen queue."""
+    import json
+
+    from kafka_clickhouse_example_spark import registry
+
+    path = registry.Path(registry.__file__).resolve().parent / "gate_priority.json"
+    orig = path.read_text()
+    try:
+        cohorts = json.loads(orig)
+        cohorts["r10_gate_priority"] = ["zzz_future_query"]
+        path.write_text(json.dumps(cohorts))
+        ranks = registry._gate_priority()
+        old_max = max(
+            ranks[n] for k, names in cohorts.items() if k != "r10_gate_priority"
+            for n in names
+        )
+        assert ranks["zzz_future_query"] > old_max
+    finally:
+        path.write_text(orig)

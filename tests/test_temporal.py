@@ -247,3 +247,24 @@ def test_pit_tied_timestamp_changes_resolve_deterministically(spark):
         ).collect()
     }
     assert got == {10: "c", 11: "c"}
+
+
+def test_scd2_null_ts_does_not_fake_a_change(spark):
+    """A NULL-ts row sorts first; its successor must NOT be flagged as a
+    first row — same-value successors collapse into the run."""
+    from datetime import datetime
+
+    from kafka_clickhouse_example_spark.operators.temporal import scd2_intervals
+
+    rows = [(1, 1, None, "a"), (1, 2, datetime(2024, 1, 2), "a"),
+            (1, 3, datetime(2024, 1, 3), "b")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = sorted(
+        scd2_intervals(df, ["user_id"], "event_type", "ts", ["event_id"]).collect(),
+        key=lambda r: r.version_no,
+    )
+    # 'a' run (NULL-ts head + same-value successor) is ONE interval
+    assert [r.event_type for r in got] == ["a", "b"]
+    assert got[0].valid_from is None and got[0].valid_to == datetime(2024, 1, 3)
