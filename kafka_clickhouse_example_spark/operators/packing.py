@@ -73,6 +73,15 @@ def with_stream_offsets(
             if len(pdf) == 0:
                 continue
             start = offsets[int(pdf["_pid"].iloc[0])] + carried
+            if pdf[weight_col].isna().any():
+                # a null weight becomes NaN in pandas and poisons every
+                # subsequent cumsum offset in the partition, surfacing as
+                # an opaque Arrow cast error far from the cause — name the
+                # real problem instead (review finding)
+                raise ValueError(
+                    f"with_stream_offsets: null {weight_col!r} in input — "
+                    "fill or filter null weights before packing"
+                )
             w = pdf[weight_col].to_numpy()
             csum = w.cumsum()
             pdf = pdf.drop(columns=["_pid"])

@@ -57,33 +57,49 @@ def with_split(
     )
 
 
+RATE_BUCKETS = 10_000  # rate resolution for the proportional samplers
+
+
 def balanced_sample(df: DataFrame, stratum_col: str, key_col: str) -> DataFrame:
     """Stratified downsampling to (approximately) the smallest stratum:
-    every stratum keeps ``(100 * min_count) div count`` percent of its rows,
-    selected by the same engine-stable key hash as ``deterministic_sample``.
+    every stratum keeps ``(RATE_BUCKETS * min_count) div count`` per-10k of
+    its rows, selected by the same engine-stable key hash as
+    ``deterministic_sample``.
 
     The per-stratum rate is exact integer arithmetic on two aggregate
     counts — no float rounding to diverge between engines — and the stratum
-    rate table is a broadcast (one row per stratum). Class-balancing a
-    training corpus this way is reproducible and append-stable per stratum.
+    rate table is a broadcast (one row per stratum). Resolution is 1/10,000
+    (same as temperature_sample, for the same reason): at 100-bucket
+    resolution any stratum more than 100x the smallest floored to rate 0
+    and silently VANISHED from the "balanced" sample instead of being
+    downsampled (review finding). A stratum beyond 10,000x still floors to
+    0 — the resolution bound is documented, not hidden.
     """
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_stratum"))
     min_n = counts.agg(F.min("n_stratum").alias("min_n"))
     rates = (
         counts.crossJoin(F.broadcast(min_n))
-        .select(stratum_col, F.expr("(100 * min_n) div n_stratum").alias("pct"))
+        .select(
+            stratum_col,
+            F.expr(f"({RATE_BUCKETS} * min_n) div n_stratum").alias("rate"),
+        )
     )
     return df.join(F.broadcast(rates), stratum_col).filter(
-        hash_bucket(F.col(key_col)) < F.col("pct")
+        hash_bucket(F.col(key_col), RATE_BUCKETS) < F.col("rate")
     )
 
 
 def weighted_bernoulli_sample(df: DataFrame, weight_col: str, key_col: str) -> DataFrame:
     """Weight-proportional Bernoulli sampling: P(keep) = weight / max(weight),
-    realized as ``hash_bucket(key) < (100 * weight) div max_weight`` — exact
-    integer arithmetic end to end (no pow()/ln() reservoir keys, whose libm
-    rounding differs between engines), so the selected set is reproducible
-    anywhere and append-stable while max(weight) is unchanged.
+    realized as ``hash_bucket(key, 10000) < (10000 * weight) div max_weight``
+    — exact integer arithmetic end to end (no pow()/ln() reservoir keys,
+    whose libm rounding differs between engines), so the selected set is
+    reproducible anywhere and append-stable while max(weight) is unchanged.
+
+    Resolution is 1/10,000: at 100 buckets, one heavy-tailed outlier weight
+    made every row under max/100 DETERMINISTICALLY unsampleable (rate 0,
+    not merely unlikely — review finding). Rows under max/10,000 still
+    floor to 0; that bound is the documented trade of integer rates.
 
     Scale: one max() aggregate broadcast back onto a scan-parallel filter;
     the corpus is never shuffled. Quality-weighted corpus selection for
@@ -93,8 +109,8 @@ def weighted_bernoulli_sample(df: DataFrame, weight_col: str, key_col: str) -> D
     return (
         df.crossJoin(F.broadcast(max_w))
         .filter(
-            hash_bucket(F.col(key_col))
-            < F.expr(f"(100 * {weight_col}) div _max_w")
+            hash_bucket(F.col(key_col), RATE_BUCKETS)
+            < F.expr(f"({RATE_BUCKETS} * {weight_col}) div _max_w")
         )
         .drop("_max_w")
     )

@@ -84,10 +84,21 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def sign_bucket(vec: Column, bits: int = LSH_BITS) -> Column:
-    """LSH bucket id from the signs of the first ``bits`` dimensions."""
+    """LSH bucket id from the signs of the first ``bits`` dimensions.
+
+    try_element_at, not element_at: auto_bits() sizes bits purely from the
+    corpus ROW COUNT (up to 20), so nothing ties it to the vector width —
+    on a <bits-dim embedding, element_at would abort the whole job under
+    the session's ANSI default (review finding). Missing dimensions read
+    as sign 0, which merely coarsens the bucketing (identical on both
+    engines: the DuckDB oracle's list access is NULL past the end, and
+    NULL >= 0 is not true there either).
+    """
     acc = F.lit(0)
     for d in range(bits):
-        acc = acc + F.when(F.element_at(vec, d + 1) >= 0, F.lit(2**d)).otherwise(F.lit(0))
+        acc = acc + F.when(
+            F.try_element_at(vec, F.lit(d + 1)) >= 0, F.lit(2**d)
+        ).otherwise(F.lit(0))
     return acc.cast("int")
 
 
@@ -188,14 +199,25 @@ def lsh_bucket_pairs(
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "cosine_sim": []}).astype(
-                {"id1": "int64", "id2": "int64", "cosine_sim": "float64"}
+            # object-dtype ids: Arrow maps an empty object column onto any
+            # declared id type (int64 here broke string-keyed corpora)
+            return pd.DataFrame(
+                {
+                    "id1": pd.Series([], dtype=object),
+                    "id2": pd.Series([], dtype=object),
+                    "cosine_sim": pd.Series([], dtype="float64"),
+                }
             )
         pdf = pdf.sort_values("vid").reset_index(drop=True)
         vids = pdf["vid"].to_numpy()
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
+        # zero-norm vectors (failed embeds / padding rows) have no cosine:
+        # sentinel -2 ranks them below every real similarity instead of
+        # emitting NaN, which Spark's desc windows rank FIRST
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = np.nan_to_num(sims, nan=-2.0)
         iu, ju = np.triu_indices(n, k=1)  # i < j by position == by vid (sorted)
         keep = sims[iu, ju] >= prefilter
         id1, id2, out = [], [], []
@@ -214,13 +236,16 @@ def lsh_bucket_pairs(
                 id2.append(vids[j])
                 out.append(c)
         return pd.DataFrame(
-            {"id1": np.asarray(id1, dtype=np.int64),
-             "id2": np.asarray(id2, dtype=np.int64),
+            {"id1": pd.Series(id1, dtype=object),
+             "id2": pd.Series(id2, dtype=object),
              "cosine_sim": np.asarray(out, dtype=np.float64)}
         )
 
+    # id columns keep the INPUT id type (review finding: forced int64
+    # crashed string-keyed corpora that the column-expression path handles)
+    id_type = corpus.schema[id_col].dataType.simpleString()
     return b.groupBy("bucket").applyInPandas(
-        score_bucket, schema="id1 long, id2 long, cosine_sim double"
+        score_bucket, schema=f"id1 {id_type}, id2 {id_type}, cosine_sim double"
     )
 
 
@@ -422,9 +447,13 @@ def topk_ivf(
                 # Elementwise product-sum (not matvec) so every reported
                 # cosine is bit-identical to the pairwise kernel the recall
                 # test compares against (BLAS matvec reorders the sum).
-                cos = (m[mask] * qmat[i][None, :]).sum(axis=1) / (
-                    norms[mask] * qnorm[i]
-                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m[mask] * qmat[i][None, :]).sum(axis=1) / (
+                        norms[mask] * qnorm[i]
+                    )
+                # zero-norm sentinel: rank last, never NaN-first (see
+                # lsh prefilter note)
+                cos = np.nan_to_num(cos, nan=-2.0)
                 cid = ids[mask]
                 if len(cos) > k:
                     order = np.lexsort((cid, -cos))[:k]
@@ -442,7 +471,7 @@ def topk_ivf(
                 yield pd.concat(outs)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        scan, schema=f"qid long, {id_col} long, cosine_sim double"
+        scan, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, cosine_sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
@@ -561,7 +590,7 @@ def topk_pq(
                 yield pd.concat(outs)
 
     approx = corpus.select(id_col, vec_col).mapInPandas(
-        scan, schema=f"qid long, {id_col} long, approx_cos double"
+        scan, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, approx_cos double"
     )
     aw = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), F.col(id_col))
     shortlist = (
@@ -740,7 +769,7 @@ def topk_ivfpq(
                 yield pd.concat(outs)
 
     approx = corpus.select(id_col, vec_col).mapInPandas(
-        scan, schema=f"qid long, {id_col} long, approx_cos double"
+        scan, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, approx_cos double"
     )
     aw = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), F.col(id_col))
     shortlist = (
@@ -794,7 +823,9 @@ def topk_bruteforce_pandas(
             vids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")  # (N, D)
             norms = np.linalg.norm(mat, axis=1)
-            sims = (mat @ qmat.T) / np.outer(norms, qnorm)  # (N, Q)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ qmat.T) / np.outer(norms, qnorm)  # (N, Q)
+            sims = np.nan_to_num(sims, nan=-2.0)  # zero-norm: rank last
             n, q = sims.shape
             yield pd.DataFrame(
                 {
@@ -805,7 +836,7 @@ def topk_bruteforce_pandas(
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=f"qid long, {id_col} long, cosine_sim double"
+        score, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, cosine_sim double"
     ).filter(F.col("qid") != F.col(id_col))
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (

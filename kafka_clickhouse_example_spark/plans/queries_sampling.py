@@ -16,6 +16,10 @@ _BUCKET = (
     f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
     f" % {SP.SPLIT_BUCKETS})"
 )
+_BUCKET_RATE = (
+    f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    f" % {SP.RATE_BUCKETS})"
+)
 
 SAMPLE_PCT = 10
 
@@ -82,20 +86,23 @@ def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFram
 WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY 1),
 rates AS (
   SELECT lang,
-         (100 * (SELECT min(n_stratum) FROM counts)) // n_stratum AS pct
+         ({SP.RATE_BUCKETS} * (SELECT min(n_stratum) FROM counts))
+           // n_stratum AS rate
   FROM counts
 )
 SELECT d.doc_id, d.lang
 FROM documents d JOIN rates r ON d.lang = r.lang
-WHERE {_BUCKET} < r.pct
+WHERE {_BUCKET_RATE} < r.rate
 ORDER BY doc_id
 """,
 )
 def sample_documents_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (class-balancing) sample: each language keeps
-    ``(100 * min_lang_count) div lang_count`` percent of its docs by key
+    ``(10000 * min_lang_count) div lang_count`` per-10k of its docs by key
     hash — the majority class ('en', ~3x the rest) is downsampled toward
     the smallest stratum, deterministically and append-stably per stratum.
+    1/10,000 rate resolution so a stratum up to 10,000x the smallest still
+    downsamples instead of flooring to rate 0 and vanishing.
 
     Scale: two tiny aggregates (one row per stratum) broadcast back onto a
     scan-parallel filter — no shuffle of the corpus itself.
@@ -114,7 +121,8 @@ def sample_documents_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataF
     oracle=f"""
 SELECT doc_id, lang, n_chars
 FROM documents
-WHERE {_BUCKET} < (100 * n_chars) // (SELECT max(n_chars) FROM documents)
+WHERE {_BUCKET_RATE}
+      < ({SP.RATE_BUCKETS} * n_chars) // (SELECT max(n_chars) FROM documents)
 ORDER BY doc_id
 """,
 )

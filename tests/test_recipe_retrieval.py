@@ -222,3 +222,26 @@ def test_group_split_never_straddles_a_source(spark, sf_dir):
         .collect()
     )
     assert per_source and all(r.n_splits == 1 for r in per_source)
+
+
+def test_proportional_samplers_survive_extreme_ratios(spark):
+    """A stratum 200x the smallest must be DOWNSAMPLED, not dropped; and a
+    200x outlier weight must not zero out the rest of the corpus — the
+    100-bucket resolution bug (review finding)."""
+    from kafka_clickhouse_example_spark.operators.sampling import (
+        balanced_sample,
+        weighted_bernoulli_sample,
+    )
+
+    rows = [(i, "big") for i in range(2000)] + [(90000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = balanced_sample(df, "lang", "doc_id").groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in kept}
+    assert by_lang.get("big", 0) > 0, "large stratum vanished"
+    assert by_lang["big"] <= 40  # ~10 expected, generous bound
+
+    wrows = [(i, 10) for i in range(2000)] + [(90001, 2000)]
+    wdf = spark.createDataFrame(wrows, "doc_id long, w long")
+    n = weighted_bernoulli_sample(wdf, "w", "doc_id").count()
+    # expected ~ 2000 * 10/2000 = 10 light rows + the heavy row
+    assert n > 0, "light rows deterministically unsampleable"

@@ -220,3 +220,39 @@ def test_driver_side_contract_guard_trips(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(QS, "N_QUERIES", QS.MAX_DRIVER_ROWS // QS.TOP_K + 1)
     with _pytest.raises(ValueError, match="MAX_DRIVER_ROWS"):
         QS.sim_recall_report(spark, sf_dir)
+
+
+def test_zero_norm_vectors_rank_last_not_first(spark):
+    """A zero embedding must never top a ranking: NaN cosine would rank
+    FIRST under Spark's desc window ordering; the kernels emit the -2
+    sentinel instead."""
+    import numpy as np
+
+    from kafka_clickhouse_example_spark.operators import similarity as S
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]), (4, [0.5, 0.5, 0.0, 0.0])]
+    import pandas as pd
+
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = pd.DataFrame({"qid": [1], "qvec": [np.array(rows[0][1])]})
+    got = S.topk_bruteforce_pandas(corpus, queries, k=3)
+    out = [(r.vec_id, r.cosine_sim) for r in got.orderBy("rank").collect()]
+    assert out[0][0] == 2  # nearest real neighbor, not the zero vector
+    zero = [c for v, c in out if v == 3]
+    assert zero and zero[0] == -2.0
+
+
+def test_lsh_bucket_pairs_string_ids_both_paths(spark):
+    """The numpy path must handle non-integer id columns exactly like the
+    column-expression reference path (review finding: forced int64)."""
+    rows = [("a", [1.0, 0.0]), ("b", [0.99, 0.01]), ("c", [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    from kafka_clickhouse_example_spark.operators.similarity import lsh_bucket_pairs
+
+    got_np = {(r.id1, r.id2, round(r.cosine_sim, 9))
+              for r in lsh_bucket_pairs(df, 0.9, bits=2, use_numpy=True).collect()}
+    got_col = {(r.id1, r.id2, round(r.cosine_sim, 9))
+               for r in lsh_bucket_pairs(df, 0.9, bits=2, use_numpy=False).collect()}
+    assert got_np == got_col
+    assert got_np and all(isinstance(x[0], str) for x in got_np)
