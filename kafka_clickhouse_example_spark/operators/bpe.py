@@ -235,8 +235,15 @@ def encode_corpus(
                 }
             )
 
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    # NULL text must encode as (0, 0) like empty/whitespace docs, not kill
+    # the job: split(trim(NULL)) is NULL, which crosses Arrow as None and
+    # blew up len()/sum() in the closure (advisor finding). coalesce to an
+    # empty array BEFORE the boundary so the closure only ever sees lists.
+    words = F.coalesce(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+        ),
+        F.array().cast("array<string>"),
     )
     # carry the id column's ACTUAL type through the Arrow boundary — a
     # hardcoded `long` broke string-keyed corpora (review finding)

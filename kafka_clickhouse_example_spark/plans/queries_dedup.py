@@ -987,12 +987,37 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supports WITH RECURSIVE with UNION ALL only (UNION-distinct recursion is
 # UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), so the traversal carries
 # an explicit depth bound — which also makes it cycle-safe on the undirected
-# duplicate graph and caps the iteration count at 3 joins regardless of data.
+# duplicate graph and caps the iteration count at 2 joins regardless of data.
+#
+# Edge relation: CANONICAL-STAR, not all-pairs. A duplicate group of size g
+# is a clique in the exact-dup graph, and on a clique the star through the
+# group minimum (doc <-> min(doc_id), both directions) has the same
+# reachable set from any seed — so `n_reachable` per seed is unchanged
+# while the edge count drops from g*(g-1) to 2*(g-1) per group. The depth
+# bound drops 3 -> 2 with it: a clique has diameter 1, the star diameter 2,
+# so star-depth-2 covers clique-depth-3 exactly; and because UNION ALL
+# recursion counts PATHS, not nodes, depth 2 also caps the traversal at
+# ~2g rows per group where depth 3 would re-explode to (g-1)^2
+# member->canonical->member walks. One viral boilerplate doc with 1e6
+# copies is 2e6 edge rows + ~2e6 traversal rows, not 1e12 (the round-4
+# `weak`; linearity pinned by tests/test_dedup_paths.py).
 _REACH3_SQL = """
-WITH RECURSIVE edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM {table} a JOIN {table} b
-    ON md5(a.text) = md5(b.text) AND a.doc_id <> b.doc_id
+WITH RECURSIVE grp AS (
+  SELECT doc_id, md5(text) AS h FROM {table}
+),
+canon AS (
+  SELECT h, min(doc_id) AS canonical
+  FROM grp GROUP BY h HAVING count(*) > 1
+),
+spokes AS (
+  SELECT c.canonical, g.doc_id AS member
+  FROM grp g JOIN canon c ON g.h = c.h
+  WHERE g.doc_id <> c.canonical
+),
+edges AS (
+  SELECT canonical AS src, member AS dst FROM spokes
+  UNION ALL
+  SELECT member AS src, canonical AS dst FROM spokes
 ),
 seeds AS (
   SELECT src AS seed FROM edges GROUP BY src
@@ -1003,7 +1028,7 @@ reach(seed, node, depth) AS (
   UNION ALL
   SELECT r.seed, e.dst, r.depth + 1
   FROM reach r JOIN edges e ON e.src = r.node
-  WHERE r.depth < 3
+  WHERE r.depth < 2
 )
 SELECT seed AS canonical_id,
        CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reachable
@@ -1017,15 +1042,18 @@ def dedup_reach3_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface a warehouse user expects, executed by Spark 4's iterative CTE
     runtime on the exact same SQL text the DuckDB oracle runs (only the
     table name differs). Seeds are each duplicate group's canonical (the
-    doc smaller than every sibling); the traversal walks the undirected
-    exact-dup edge graph at most 3 hops.
+    doc smaller than every sibling); the traversal computes depth-<=3
+    reachability on the undirected exact-dup graph by walking its
+    canonical-star representation at most 2 hops (clique diameter 1 ->
+    star diameter 2, so the reachable sets coincide — see the edge
+    relation comment above).
 
     Scale honesty: each recursion level is a full join + union step, so
     depth-bounded traversals (3 iterations here) are fine, but UNBOUNDED
     closure over big graphs belongs to operators/dedup.duplicate_clusters
-    (the driver-loop CC operator with lineage cuts) — this query is the
-    SQL-parity surface, not the 100 TB path. The edge relation itself is
-    an md5 equi-join (hash-bucketed, never all-pairs).
+    (the driver-loop CC operator with lineage cuts). The edge relation is
+    canonical-star (doc <-> group min), O(g) edges per duplicate group —
+    never all-pairs — so a single viral boilerplate group stays linear.
     """
     configure_runtime(spark)
     docs = load_compute_table(spark, sf_dir, "documents")

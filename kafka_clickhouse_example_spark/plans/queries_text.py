@@ -722,7 +722,7 @@ from kafka_clickhouse_example_spark.operators.retrieval import BM25_Q as _BM25_Q
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 # Rational idf (no ln): same monotone (N-df+0.5)/(df+0.5) core the tfidf
 # query uses — log-free so the score is pure IEEE mul/div, bit-identical
-# across engines; Q30 fixed-point makes the per-doc SUM order-independent.
+# across engines; BM25_Q fixed-point (Q20) makes the per-doc SUM order-independent.
 _BM25_SCORE_SQL = f"""
   ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
   * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
@@ -751,15 +751,15 @@ stats AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         CAST(floor(({_BM25_SCORE_SQL}) * {_BM25_Q}) AS BIGINT) AS q30
+         CAST(floor(({_BM25_SCORE_SQL}) * {_BM25_Q}) AS BIGINT) AS qfix
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_terms,
-       round(CAST(sum(q30) AS DOUBLE) / {_BM25_Q}, 6) AS score
+       round(CAST(sum(qfix) AS DOUBLE) / {_BM25_Q}, 6) AS score
 FROM scored
 GROUP BY doc_id
-ORDER BY sum(q30) DESC, doc_id
+ORDER BY sum(qfix) DESC, doc_id
 LIMIT {BM25_TOP_K}
 """,
 )
@@ -770,7 +770,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log-free rational core (N-df+0.5)/(df+0.5) (same device as
     text_tfidf_top_terms: ln() differs across libm implementations, a
     monotone-equivalent rational idf does not), and per-term scores sum
-    in Q30 fixed point so the per-document total is addition-order
+    in BM25_Q fixed point (Q20) so the per-document total is addition-order
     independent — the ranking key is the exact BIGINT sum.
 
     Scale: the explode filters to query terms BEFORE the shuffle, so only
@@ -799,27 +799,27 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_clickhouse_example_spark.operators.retrieval import bm25_q
 
-    q30 = bm25_q(
+    qfix = bm25_q(
         F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"),
         BM25_K1, BM25_B,
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", q30.alias("q30"))
+        .select("doc_id", qfix.alias("qfix"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_terms"),
-            F.sum("q30").alias("q30_sum"),
+            F.sum("qfix").alias("qfix_sum"),
         )
-        .orderBy(F.col("q30_sum").desc(), "doc_id")
+        .orderBy(F.col("qfix_sum").desc(), "doc_id")
         .limit(BM25_TOP_K)
         .select(
             "doc_id",
             "n_terms",
-            F.round(F.col("q30_sum").cast("double") / _BM25_Q, 6).alias("score"),
+            F.round(F.col("qfix_sum").cast("double") / _BM25_Q, 6).alias("score"),
         )
     )
 
@@ -909,20 +909,20 @@ stats AS (
 ),
 scored AS (
   SELECT q.qid, tf.doc_id,
-         CAST(floor(({_BM25_SCORE_SQL}) * {_BM25_Q}) AS BIGINT) AS q30
+         CAST(floor(({_BM25_SCORE_SQL}) * {_BM25_Q}) AS BIGINT) AS qfix
   FROM tf JOIN queries q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
 ),
 per_doc AS (
   SELECT qid, doc_id,
          CAST(count(*) AS BIGINT) AS n_terms,
-         sum(q30) AS q30_sum
+         sum(qfix) AS qfix_sum
   FROM scored GROUP BY qid, doc_id
 )
 SELECT CAST(qid AS BIGINT) AS qid, rnk, doc_id, n_terms,
-       round(CAST(q30_sum AS DOUBLE) / {_BM25_Q}, 6) AS score
+       round(CAST(qfix_sum AS DOUBLE) / {_BM25_Q}, 6) AS score
 FROM (
   SELECT *, CAST(row_number() OVER (
-              PARTITION BY qid ORDER BY q30_sum DESC, doc_id) AS BIGINT) AS rnk
+              PARTITION BY qid ORDER BY qfix_sum DESC, doc_id) AS BIGINT) AS rnk
   FROM per_doc
 ) WHERE rnk <= {BM25_BATCH_K}
 ORDER BY qid, rnk
@@ -933,7 +933,7 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-{BM25_BATCH_K} — the production retrieval shape (a query
     workload, not a single lookup). The query table joins in as a
     broadcast term->qid map; scoring reuses text_bm25_topk's devices
-    (rational idf, Q30 exact ranking key); the per-query cut is a window
+    (rational idf, BM25_Q exact ranking key); the per-query cut is a window
     partitioned BY QID — thousands of concurrent queries parallelize
     across partitions, no global sort, and no per-query job loop (the
     anti-pattern: looping submit-per-query turns a batch into driver
@@ -971,7 +971,7 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_clickhouse_example_spark.operators.retrieval import bm25_q
 
-    q30 = bm25_q(
+    qfix = bm25_q(
         F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"),
         BM25_K1, BM25_B,
     )
@@ -979,13 +979,13 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(queries), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("qid", "doc_id", q30.alias("q30"))
+        .select("qid", "doc_id", qfix.alias("qfix"))
         .groupBy("qid", "doc_id")
-        .agg(F.count("*").alias("n_terms"), F.sum("q30").alias("q30_sum"))
+        .agg(F.count("*").alias("n_terms"), F.sum("qfix").alias("qfix_sum"))
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("qid").orderBy(F.col("q30_sum").desc(), "doc_id")
+    w = Window.partitionBy("qid").orderBy(F.col("qfix_sum").desc(), "doc_id")
     return (
         per_doc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= BM25_BATCH_K)
@@ -994,7 +994,7 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
             "doc_id",
             "n_terms",
-            F.round(F.col("q30_sum").cast("double") / _BM25_Q, 6).alias("score"),
+            F.round(F.col("qfix_sum").cast("double") / _BM25_Q, 6).alias("score"),
         )
         .orderBy("qid", "rnk")
     )

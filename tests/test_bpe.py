@@ -208,6 +208,19 @@ class TestEncodeCorpus:
         # 'ab' -> [a,b,</w>] -> [ab,</w>] -> [ab</w>]: 1 piece per word
         assert rows[3] == (2, 2)
 
+    def test_null_text_doc(self, spark):
+        """NULL text must encode as (0, 0) like empty docs, not abort the
+        job (advisor finding: split(trim(NULL)) crossed Arrow as None)."""
+        from kafka_clickhouse_example_spark.operators import bpe as B
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "ab ab"), (3, None)], "doc_id long, text string"
+        )
+        rules = [(0, "a", "b", 2)]
+        rows = {r.doc_id: (r.n_words, r.n_pieces) for r in B.encode_corpus(df, rules).collect()}
+        assert rows[1] == (0, 0) and rows[3] == (0, 0)
+        assert rows[2] == (2, 4)  # 'ab' -> [ab, </w>] twice
+
 
 def test_batched_escalates_past_a_hot_token_head(spark):
     """A corpus whose top-ranked pairs all share one hot token must still

@@ -75,7 +75,7 @@ def test_index_rebuild_is_idempotent(spark, sf_dir, term_index):
 
 def test_query_path_has_no_postings_aggregation(spark, term_index):
     """df/stats are prebuilt: the query plan must contain exactly ONE
-    aggregate pair (the per-doc q30 sum), not a df-recomputation over the
+    aggregate pair (the per-doc BM25_Q fixed-point sum), not a df-recomputation over the
     postings."""
     df = bm25_topk_from_index(spark, term_index, list(BM25_TERMS), k=BM25_TOP_K)
     plan = df._jdf.queryExecution().executedPlan().toString()
