@@ -45,6 +45,22 @@ def with_stream_offsets(
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``weight_col`` over the total order
     ``order_cols`` (must include a unique tiebreak), distributed."""
+    return stream_offsets_with_total(
+        df, weight_col, order_cols, offset_col, num_partitions
+    )[0]
+
+
+def stream_offsets_with_total(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    offset_col: str = "start_offset",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """The two-pass prefix-sum skeleton, returning (DataFrame, grand
+    total). This is THE one implementation — operators/ranking.py's
+    global rank/ntile are this with weight=1 (round-4 deferred refactor
+    B unified the two previously lock-step copies)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     ranged = (
@@ -89,7 +105,7 @@ def with_stream_offsets(
             carried += int(csum[-1])
             yield pdf
 
-    return ranged.mapInPandas(offset_partition, schema=out_schema)
+    return ranged.mapInPandas(offset_partition, schema=out_schema), acc
 
 
 def with_pack_chunks(

@@ -4,31 +4,28 @@ single-partition window Spark would otherwise plan.
 
 ``Window.orderBy(...)`` with no partitionBy collapses the entire relation
 into ONE task — the textbook 100 TB failure. The classic distributed
-alternative implemented here:
+alternative: range-exchange + in-partition sort, O(P) per-partition counts
+prefix-summed on the driver, then rank = partition offset + local position.
 
-1. ``repartitionByRange`` on the sort key (range exchange — the same
-   machinery as a global ``orderBy``, sampled boundaries, scales with
-   executor count) + ``sortWithinPartitions``.
-2. Count rows per partition (a cheap aggregate whose result is one row per
-   partition — P rows, not data rows).
-3. Collect the P partition counts to the driver (bounded by cluster
-   parallelism, never by data), prefix-sum them into start offsets.
-4. ``mapInPandas``: within each already-sorted partition, global rank =
-   partition start offset + local position; ntile follows arithmetically
-   from (rank, N).
-
-Two passes over the data, both scan-parallel; driver state is O(P).
-Determinism requires a total sort order — callers must include a unique
-tiebreak column.
+That two-pass skeleton lives in exactly ONE place —
+``operators/packing.stream_offsets_with_total`` (the general weighted
+form) — and global rank is its weight=1 specialization: an exclusive
+prefix count of ones is rank-1. ntile follows arithmetically from
+(rank, N). Determinism requires a total sort order — callers must include
+a unique tiebreak column.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.packing import (
+    stream_offsets_with_total,
+)
+
+_RANK_W = "_rank_w"
+_RANK_OFF = "_rank_off"
 
 
 def with_global_rank(
@@ -48,45 +45,17 @@ def _ranked_with_total(
     rank_col: str,
     num_partitions: int | None,
 ) -> tuple[DataFrame, int]:
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_cols]
-    # Materialize the range-partitioned sort ONCE: the boundary sampling in
-    # repartitionByRange is not stable across job executions, so running the
-    # count job and the rank job against the lazy plan can see different
-    # partitionings — offsets from one, positions from the other. The
-    # checkpoint is the two-pass algorithm's intermediate, not a cache
-    # nicety. (At cluster scale: persist(MEMORY_AND_DISK) between passes.)
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    offset_df, total = stream_offsets_with_total(
+        df.withColumn(_RANK_W, F.lit(1).cast("long")),
+        weight_col=_RANK_W,
+        order_cols=order_cols,
+        offset_col=_RANK_OFF,
+        num_partitions=num_partitions,
     )
-    # One row per partition — O(P) driver state, not O(rows).
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    out_schema = ranged.drop("_pid").schema.add(rank_col, "long")
-
-    def rank_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            start = offsets[int(pdf["_pid"].iloc[0])] + pos
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[rank_col] = range(start + 1, start + 1 + len(pdf))
-            pos += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(rank_partition, schema=out_schema), acc
+    ranked = offset_df.withColumn(
+        rank_col, (F.col(_RANK_OFF) + F.lit(1)).cast("long")
+    ).drop(_RANK_W, _RANK_OFF)
+    return ranked, total
 
 
 def with_global_ntile(

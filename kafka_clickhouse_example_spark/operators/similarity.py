@@ -330,6 +330,35 @@ def _md5_ordered_sample(
     return np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
 
 
+def _sq_dists(x, cent, cent_n2=None):
+    """Row-to-centroid squared distances via the expanded
+    ||x||^2 - 2<x,c> + ||c||^2 form — THE assignment kernel shared by
+    every IVF/PQ path (was copy-pasted five times; round-4 deferred
+    refactor A). Pass a precomputed ``cent_n2 = (cent*cent).sum(axis=1)``
+    to hoist centroid norms out of per-batch loops; the expression and
+    evaluation order match every original call site exactly, so results
+    are bit-for-bit unchanged. (``_subspace_kmeans`` deliberately keeps
+    the non-expanded (x-c)^2 form — switching it would perturb trained
+    codebooks through float rounding.)"""
+    if cent_n2 is None:
+        cent_n2 = (cent * cent).sum(axis=1)
+    return (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + cent_n2[None, :]
+
+
+def _sq_dists_sub(sub, books, books_n2):
+    """Per-subspace variant of :func:`_sq_dists`: (B, M, dsub) slices
+    against (M, K, dsub) codebooks -> (B, M, K), with the codebook norms
+    ``books_n2 = (books*books).sum(axis=2)`` always precomputed (both
+    callers already hoist them for the ADC norm reconstruction)."""
+    import numpy as np
+
+    return (
+        (sub * sub).sum(axis=2)[:, :, None]
+        - 2.0 * np.einsum("bsd,skd->bsk", sub, books)
+        + books_n2[None, :, :]
+    )
+
+
 def _subspace_kmeans(mat, subspaces: int, codebook_k: int, iters: int):
     """Deterministic per-subspace Lloyd (subspaces=1 == plain k-means):
     seeds are the first k sample rows, fixed ``iters`` rounds, empty
@@ -417,9 +446,10 @@ def topk_ivf(
 
     cent = np.asarray(centroids, dtype=np.float64)
 
+    cent_n2 = (cent * cent).sum(axis=1)  # hoisted out of the batch loop
     qids = queries_pdf["qid"].to_numpy()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
-    qd2 = (qmat * qmat).sum(axis=1)[:, None] - 2.0 * (qmat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    qd2 = _sq_dists(qmat, cent, cent_n2)
     probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
     qnorm = np.linalg.norm(qmat, axis=1)
     member = np.zeros((len(qids), cent.shape[0]), dtype=bool)  # (Q, cells)
@@ -432,12 +462,7 @@ def topk_ivf(
                 continue
             ids = pdf[id_col].to_numpy()
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            d2 = (
-                (m * m).sum(axis=1)[:, None]
-                - 2.0 * (m @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            cells = d2.argmin(axis=1)
+            cells = _sq_dists(m, cent, cent_n2).argmin(axis=1)
             norms = np.linalg.norm(m, axis=1)
             outs = []
             for i in range(len(qids)):
@@ -560,12 +585,7 @@ def topk_pq(
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             sub = m.reshape(len(ids), n_sub, dsub)
             # encode: codes[b, s] = argmin_c ||sub[b,s] - books[s,c]||^2
-            d2 = (
-                (sub * sub).sum(axis=2)[:, :, None]
-                - 2.0 * np.einsum("bsd,skd->bsk", sub, books)
-                + cn2[None, :, :]
-            )
-            codes = d2.argmin(axis=2)  # (B, M)
+            codes = _sq_dists_sub(sub, books, cn2).argmin(axis=2)  # (B, M)
             approx_norm = np.sqrt(cn2[srange[None, :], codes].sum(axis=1))
             outs = []
             for i in range(len(qids)):
@@ -645,12 +665,7 @@ def train_pq_codebooks_residual(
         if sample is not None
         else _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
     )
-    d2 = (
-        (mat * mat).sum(axis=1)[:, None]
-        - 2.0 * (mat @ cent.T)
-        + (cent * cent).sum(axis=1)[None, :]
-    )
-    resid = mat - cent[d2.argmin(axis=1)]
+    resid = mat - cent[_sq_dists(mat, cent).argmin(axis=1)]
     return _subspace_kmeans(resid, subspaces, codebook_k, iters)
 
 
@@ -690,16 +705,14 @@ def topk_ivfpq(
     n_sub, book_k, dsub = books.shape
     qids = queries_pdf["qid"].to_numpy()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
+    qnorm = np.linalg.norm(qmat, axis=1)  # hoisted out of the (query, batch) loop
     n_short = shortlist_mult * k
     cn2 = (books * books).sum(axis=2)  # (M, K)
+    cent_n2 = (cent * cent).sum(axis=1)  # (C,) — shared by probe + scan + norms
     srange = np.arange(n_sub)
 
     # per-query probed cells
-    qd2 = (
-        (qmat * qmat).sum(axis=1)[:, None]
-        - 2.0 * (qmat @ cent.T)
-        + (cent * cent).sum(axis=1)[None, :]
-    )
+    qd2 = _sq_dists(qmat, cent, cent_n2)
     probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
     member = np.zeros((len(qids), cent.shape[0]), dtype=bool)
     for i in range(len(qids)):
@@ -713,7 +726,6 @@ def topk_ivfpq(
     # centroid/code cross terms for the approx norm of (centroid + residual):
     # ||x||^2 ~ ||c||^2 + 2*<c_m, r_m> + ||r_m||^2 summed over subspaces
     cent_cross = np.einsum("csd,skd->csk", cent_sub, books)  # (C, M, K)
-    cent_n2 = (cent * cent).sum(axis=1)  # (C,)
 
     def scan(batches):
         for pdf in batches:
@@ -721,19 +733,9 @@ def topk_ivfpq(
                 continue
             ids = pdf[id_col].to_numpy()
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            d2 = (
-                (m * m).sum(axis=1)[:, None]
-                - 2.0 * (m @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            cells = d2.argmin(axis=1)  # (B,)
+            cells = _sq_dists(m, cent, cent_n2).argmin(axis=1)  # (B,)
             resid = (m - cent[cells]).reshape(len(ids), n_sub, dsub)
-            rd2 = (
-                (resid * resid).sum(axis=2)[:, :, None]
-                - 2.0 * np.einsum("bsd,skd->bsk", resid, books)
-                + cn2[None, :, :]
-            )
-            codes = rd2.argmin(axis=2)  # (B, M)
+            codes = _sq_dists_sub(resid, books, cn2).argmin(axis=2)  # (B, M)
             # approx reconstruction terms per row
             r_n2 = cn2[srange[None, :], codes].sum(axis=1)  # ||r~||^2
             c_cross = cent_cross[cells[:, None], srange[None, :], codes].sum(axis=1)
@@ -750,7 +752,7 @@ def topk_ivfpq(
                     + lut[i][srange[None, :], codes[mask]].sum(axis=1)
                 )
                 acos = adot / (
-                    approx_norm[mask] * np.linalg.norm(qmat[i])
+                    approx_norm[mask] * qnorm[i]
                 )
                 cid = ids[mask]
                 if len(cid) > n_short:
