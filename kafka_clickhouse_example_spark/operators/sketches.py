@@ -14,8 +14,12 @@ cells — groupBy aggregation gives map-side partial counting for free, and
 a 4x2048 sketch is at most 8,192 rows regardless of input size, so sketch
 construction is one shuffle of bounded width and merging partials (e.g.
 per-day sketches) is a union + re-aggregate of KB-scale relations. Probing
-broadcasts the (tiny) sketch against the probe keys. All hashing is
-xxhash64 JVM-side — no Python boundary anywhere.
+broadcasts the (tiny) sketch against the probe keys. Row hashes are the
+Kirsch-Mitzenmacher family (h1 + r*h2) mod width over the two 56-bit md5
+halves (operators/dedup.md5_half) — one md5 per row, all JVM-side, and
+engine-portable, so the whole sketch is SQL-expressible and the registered
+query carries a DuckDB oracle (same device the minhash/bootstrap oracles
+certify).
 """
 
 from __future__ import annotations
@@ -25,13 +29,29 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_example_spark.operators.dedup import md5_half
+
 CMS_DEPTH = 4
 CMS_WIDTH = 2048
 
 
-def _cell(key, r: int, width: int):
-    # seed the row hash by mixing r in as an extra hashed column
-    return F.pmod(F.xxhash64(key, F.lit(r)), F.lit(width))
+def _cell_array(key, depth: int, width: int):
+    """(r, idx) struct array for one key: idx_r = (h1 + r*h2) % width with
+    h1/h2 the md5 halves of the key's string form — computed ONCE per row,
+    shared by all depth cells. h1 + r*h2 < 2^56 + depth*2^56 stays far
+    from int64 overflow, and both terms are non-negative so Spark % and
+    DuckDB % agree."""
+    h1 = md5_half(key.cast("string"), 0)
+    h2 = md5_half(key.cast("string"), 1)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                ((h1 + F.lit(r) * h2) % F.lit(width)).alias("idx"),
+            )
+            for r in range(depth)
+        ]
+    )
 
 
 def cms_build(
@@ -43,10 +63,7 @@ def cms_build(
     inline array (no join, no extra scan), then a bounded-cardinality
     groupBy (<= depth*width groups) with map-side partials.
     """
-    key = F.col(key_col)
-    cells = F.array(
-        *[F.struct(F.lit(r).alias("r"), _cell(key, r, width).alias("idx")) for r in range(depth)]
-    )
+    cells = _cell_array(F.col(key_col), depth, width)
     return (
         df.select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
@@ -77,10 +94,7 @@ def cms_probe(
     a probe key hashing into a never-touched cell scores 0 via the left
     join's coalesce — correct, since absence proves count 0 for that row.
     """
-    key = F.col(key_col)
-    cells = F.array(
-        *[F.struct(F.lit(r).alias("r"), _cell(key, r, width).alias("idx")) for r in range(depth)]
-    )
+    cells = _cell_array(F.col(key_col), depth, width)
     probe_cells = probes.select(key_col, F.explode(cells).alias("c")).select(
         key_col, F.col("c.r").alias("r"), F.col("c.idx").alias("idx")
     )

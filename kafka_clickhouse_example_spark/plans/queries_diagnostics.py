@@ -100,14 +100,51 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_user_counts_cms")  # rows-only: xxhash64 cells are engine-specific
+def _cms_h_sql(which: int) -> str:
+    # operators/dedup.md5_half over the key's string form — the exact
+    # bytes Spark's md5(cast(cast(user_id as string) as binary)) hashes.
+    return f"('0x' || substr(md5(CAST(user_id AS VARCHAR)), {1 + which * 14}, 14))::BIGINT"
+
+
+_CMS_ORACLE = f"""
+WITH rs AS (SELECT unnest(range(0, {SK.CMS_DEPTH})) AS r),
+cells AS (
+  SELECT rs.r AS r, (e.h1 + rs.r * e.h2) % {SK.CMS_WIDTH} AS idx,
+         count(*) AS cnt
+  FROM (SELECT {_cms_h_sql(0)} AS h1, {_cms_h_sql(1)} AS h2 FROM events) e
+  CROSS JOIN rs GROUP BY 1, 2
+),
+probe_cells AS (
+  SELECT p.user_id, rs.r AS r, (p.h1 + rs.r * p.h2) % {SK.CMS_WIDTH} AS idx
+  FROM (SELECT DISTINCT user_id, {_cms_h_sql(0)} AS h1, {_cms_h_sql(1)} AS h2
+        FROM events) p
+  CROSS JOIN rs
+),
+est AS (
+  SELECT pc.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+  FROM probe_cells pc LEFT JOIN cells c ON pc.r = c.r AND pc.idx = c.idx
+  GROUP BY pc.user_id
+),
+tru AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n FROM events GROUP BY user_id
+)
+SELECT e.user_id, t.true_n, e.est_n,
+       CAST(e.est_n - t.true_n AS BIGINT) AS overestimate
+FROM est e JOIN tru t USING (user_id)
+ORDER BY e.user_id
+"""
+
+
+@register("events_user_counts_cms", oracle=_CMS_ORACLE)
 def events_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy report: estimate every user's event count
     from a 4x2048 sketch and compare to the exact count. est_n >= true_n
     always (CMS never undercounts); the overestimate column is the
-    measurable collision error. Rows-only (xxhash64 cell layout is
-    engine-specific); the one-sided error contract and exact mergeability
-    are pinned by tests/test_sketches.py.
+    measurable collision error. Oracle-backed since round 5: the cell
+    hashes are the Kirsch-Mitzenmacher (h1 + r*h2) mod width family over
+    md5 halves (operators/dedup.md5_half), so DuckDB rebuilds the sketch
+    cell-for-cell in SQL; one-sided error and exact mergeability are
+    additionally pinned by tests/test_sketches.py.
     """
     configure_runtime(spark)
     events = load_compute_table(spark, sf_dir, "events")
