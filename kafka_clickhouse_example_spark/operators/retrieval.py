@@ -162,3 +162,56 @@ def bm25_topk_from_index(
             F.round(F.col("q_sum").cast("double") / BM25_Q, 6).alias("score"),
         )
     )
+
+
+def bm25_batch_topk_from_index(
+    spark: SparkSession,
+    table: str,
+    batch: dict[int, list[str]],
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25 served from the prebuilt index: the build-index ->
+    serve-queries story as one surface. Postings are bucket-pruned to the
+    UNION of all query terms (one pruned scan shared by every query in the
+    batch), the qid->term map / prebuilt df / prebuilt stats broadcast,
+    and the per-query top-k cut is a window partitioned by qid — same
+    downstream plan as the live plans/queries_text.text_bm25_batch_topk,
+    minus the corpus tokenize. Row-for-row parity with the live path is
+    pinned by tests/test_retrieval_index.py.
+    """
+    from pyspark.sql import Window
+
+    union_terms = sorted({t for ts in batch.values() for t in ts})
+    idx = spark.table(table).filter(F.col("term").isin(union_terms))
+    dfreq = spark.table(table + "_terms").filter(F.col("term").isin(union_terms))
+    stats = spark.table(table + "_stats")
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(batch.items()) for t in ts],
+        "qid long, term string",
+    )
+    q = bm25_q(
+        F.col("tf"), F.col("dl"), F.col("df"), F.col("n_docs"), F.col("avgdl"), k1, b
+    )
+    per_doc = (
+        idx.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", q.alias("q"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("q").alias("q_sum"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("q_sum").desc(), "doc_id")
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "rnk",
+            "doc_id",
+            "n_terms",
+            F.round(F.col("q_sum").cast("double") / BM25_Q, 6).alias("score"),
+        )
+        .orderBy("qid", "rnk")
+    )

@@ -928,7 +928,9 @@ FROM (
 ORDER BY qid, rnk
 """,
 )
-def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bm25_batch_topk(
+    spark: SparkSession, sf_dir: str, index_table: str | None = None
+) -> DataFrame:
     """Batch BM25: {len(BM25_BATCH)} queries retrieved in ONE pass with
     per-query top-{BM25_BATCH_K} — the production retrieval shape (a query
     workload, not a single lookup). The query table joins in as a
@@ -944,7 +946,22 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qid, doc) candidate-sized. At 100 TB with 10k queries the filter
     admits only the union vocabulary's postings; the window's qid
     partitioning spreads the cut over the cluster.
+
+    Pass ``index_table`` (a table built by retrieval.build_term_index over
+    the same corpus) to serve the batch from the prebuilt bucket-pruned
+    inverted index instead of tokenizing the corpus — identical results
+    (same bm25_q tree; parity pinned in tests/test_retrieval_index.py),
+    no corpus-sized work per batch.
     """
+    if index_table is not None:
+        from kafka_clickhouse_example_spark.operators.retrieval import (
+            bm25_batch_topk_from_index,
+        )
+
+        configure_runtime(spark)
+        return bm25_batch_topk_from_index(
+            spark, index_table, BM25_BATCH, BM25_BATCH_K, BM25_K1, BM25_B
+        )
     docs = _docs(spark, sf_dir)
     a = T.tokens(F.col("text"))
     toks = docs.select(

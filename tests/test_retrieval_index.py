@@ -81,3 +81,38 @@ def test_query_path_has_no_postings_aggregation(spark, term_index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # partial+final of the single groupBy(doc_id) => exactly 2 HashAggregate
     assert plan.count("HashAggregate") == 2, plan
+
+
+def test_batch_index_matches_live_batch(spark, sf_dir, term_index):
+    """The build-index -> serve-queries batch surface: serving the whole
+    BM25_BATCH workload from the prebuilt index must return row-for-row
+    the live tokenize-per-batch result (same bm25_q tree, same data)."""
+    from kafka_clickhouse_example_spark.plans.queries_text import (
+        text_bm25_batch_topk,
+    )
+
+    live = [tuple(r) for r in text_bm25_batch_topk(spark, sf_dir).collect()]
+    indexed = [
+        tuple(r)
+        for r in text_bm25_batch_topk(spark, sf_dir, index_table=term_index).collect()
+    ]
+    assert indexed == live
+
+
+def test_batch_index_scan_is_bucket_pruned(spark, term_index):
+    """The batch path must keep posting-list lookup behavior: one pruned
+    scan for the union of all batch terms, no full-index read."""
+    from kafka_clickhouse_example_spark.operators.retrieval import (
+        bm25_batch_topk_from_index,
+    )
+    from kafka_clickhouse_example_spark.plans.queries_text import (
+        BM25_BATCH,
+        BM25_BATCH_K,
+    )
+
+    df = bm25_batch_topk_from_index(spark, term_index, BM25_BATCH, BM25_BATCH_K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    n_union = len({t for ts in BM25_BATCH.values() for t in ts})
+    assert int(m.group(1)) <= n_union
