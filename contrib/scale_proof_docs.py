@@ -66,6 +66,7 @@ def main() -> None:
     _gen(spark, "orders", {"o_orderkey": True, "o_custkey": True})
     _gen(spark, "lineitem", {"l_orderkey": True})
     _gen(spark, "customer", {"c_custkey": True})
+    _gen(spark, "embeddings", {"vec_id": True})
 
     from kafka_clickhouse_example_spark.registry import all_queries
 
