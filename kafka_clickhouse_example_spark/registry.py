@@ -65,19 +65,26 @@ def _load_all() -> None:
 _loaded = False
 
 
-def _certified_names() -> set[str]:
-    """Names with a green row in any driver CORRECTNESS_r*.json at repo root.
+def _green_tiers() -> tuple[set[str], set[str]]:
+    """(hash_green, rows_only_green) from the driver CORRECTNESS_r*.json
+    artifacts at repo root.
 
-    Green = hash_match true (oracle-verified) or a completed rows-only check
-    (err == "no_oracle" with a recorded spark row count). Used purely for
-    enumeration ordering: the driver's per-round gate samples a prefix of the
-    registry, so queries still waiting for their first green row must
-    enumerate first or they can wait forever behind already-certified ones.
+    hash_green = a hash_match:true row exists in any round (oracle-verified
+    values). rows_only_green = a completed rows-only check exists
+    (err == "no_oracle" with a recorded spark row count) — the weaker
+    certification for queries that had no oracle when sampled. Used purely
+    for enumeration ordering: the driver's per-round gate samples a prefix
+    of the registry, so (a) queries still waiting for their first green row
+    must enumerate first or they can wait forever behind already-certified
+    ones, and (b) queries whose oracle landed AFTER their rows-only row
+    must re-enumerate ahead of the fully-done cohort, or a semantics
+    upgrade could never earn a hash row (round-5 verdict ask #1).
     Reading the artifacts makes the priority self-maintaining round over
     round; if none exist (fresh clone), ordering falls back to registration
     order.
     """
-    green: set[str] = set()
+    hash_green: set[str] = set()
+    rows_only_green: set[str] = set()
     root = Path(__file__).resolve().parent.parent
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -89,11 +96,11 @@ def _certified_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            ):
-                green.add(name)
-    return green
+            if row.get("hash_match") is True:
+                hash_green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_only_green.add(name)
+    return hash_green, rows_only_green
 
 
 def _gate_priority() -> dict[str, int]:
@@ -127,13 +134,30 @@ def _gate_priority() -> dict[str, int]:
 
 
 def _certification_order(names: list[str]) -> list[str]:
-    certified = _certified_names()
+    """Three tiers, each internally in stable registration order:
+
+    1. pending — no green driver row at all (frozen gate_priority ranks
+       keep the long-waiting cohort ahead of later additions);
+    2. upgraded — certified rows-only, but an oracle has since been
+       registered: the green row predates the oracle and certifies only
+       row counts, so the query must re-enter the sample window to earn
+       a real hash row;
+    3. done — hash-certified (or rows-only with still no oracle: nothing
+       new for the gate to check).
+    """
+    hash_green, rows_only_green = _green_tiers()
+    certified = hash_green | rows_only_green
     priority = _gate_priority()
     fallback = len(priority) + 1
     pending = [n for n in names if n not in certified]
     pending.sort(key=lambda n: priority.get(n, fallback))  # stable: keeps reg order
-    done = [n for n in names if n in certified]
-    return pending + done
+    upgraded = [
+        n
+        for n in names
+        if n in rows_only_green and n not in hash_green and n in ORACLES
+    ]
+    done = [n for n in names if n in certified and n not in upgraded]
+    return pending + upgraded + done
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -30,14 +30,27 @@ def test_uncertified_queries_enumerate_first():
     registry positions 0-49). Queries without a green CORRECTNESS row must
     therefore enumerate before already-certified ones, or they never get a
     row. The ordering is derived from the CORRECTNESS_r*.json artifacts at
-    repo root, so it self-maintains each round."""
+    repo root, so it self-maintains each round. Round 6 added a middle
+    tier: a query certified ONLY rows-only whose oracle has since been
+    registered re-enumerates ahead of the done cohort so its values (not
+    just row counts) get driver-verified."""
     qs = list(registry.all_queries())
-    certified = registry._certified_names()
+    hash_green, rows_only_green = registry._green_tiers()
+    certified = hash_green | rows_only_green
     if not certified:  # fresh clone: nothing to order by
         return
     pending = [q for q in qs if q not in certified]
+    upgraded = [
+        q
+        for q in qs
+        if q in rows_only_green and q not in hash_green and q in registry.ORACLES
+    ]
     assert qs[: len(pending)] == pending, (
         "registry enumeration must list never-certified queries first"
+    )
+    assert qs[len(pending) : len(pending) + len(upgraded)] == upgraded, (
+        "rows-only-certified queries with a newly-landed oracle must "
+        "enumerate ahead of the fully-certified cohort"
     )
     # Within the pending group, the frozen round-3 cohort
     # (gate_priority.json) outranks queries added later, so new features
@@ -45,10 +58,39 @@ def test_uncertified_queries_enumerate_first():
     priority = registry._gate_priority()
     ranked = [registry._gate_priority().get(q, len(priority) + 1) for q in pending]
     assert ranked == sorted(ranked), "frozen cohort must precede newer pending queries"
-    # oracle enumeration follows the same priority
+    # oracle enumeration follows the same tiers
     ors = list(registry.all_oracles())
     pending_or = [q for q in ors if q not in certified]
     assert ors[: len(pending_or)] == pending_or
+
+
+def test_upgraded_tier_mechanism():
+    """Synthetic check of the three-tier order: given a fake green history,
+    a rows-only name that now has an oracle sorts between pending and done."""
+    names = ["done_hash", "upgraded_rows_only", "plain_rows_only", "brand_new"]
+    try:
+        registry.ORACLES.setdefault("upgraded_rows_only", "SELECT 1")
+        registry.ORACLES.setdefault("done_hash", "SELECT 1")
+        orig_tiers = registry._green_tiers
+        registry._green_tiers = lambda: (
+            {"done_hash"},
+            {"upgraded_rows_only", "plain_rows_only"},
+        )
+        try:
+            ordered = registry._certification_order(names)
+        finally:
+            registry._green_tiers = orig_tiers
+    finally:
+        registry.ORACLES.pop("upgraded_rows_only", None)
+        # done_hash was never a real oracle; drop it only if we added it
+        if registry.ORACLES.get("done_hash") == "SELECT 1":
+            registry.ORACLES.pop("done_hash")
+    assert ordered == [
+        "brand_new",
+        "upgraded_rows_only",
+        "done_hash",
+        "plain_rows_only",
+    ]
 
 
 def test_every_oracle_has_a_query():
