@@ -8,7 +8,7 @@ sets — the oracle checks the pair lists AND the jaccard values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import dedup as D
@@ -1001,23 +1001,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # member->canonical->member walks. One viral boilerplate doc with 1e6
 # copies is 2e6 edge rows + ~2e6 traversal rows, not 1e12 (the round-4
 # `weak`; linearity pinned by tests/test_dedup_paths.py).
-_REACH3_SQL = """
-WITH RECURSIVE grp AS (
-  SELECT doc_id, md5(text) AS h FROM {table}
-),
-canon AS (
-  SELECT h, min(doc_id) AS canonical
-  FROM grp GROUP BY h HAVING count(*) > 1
-),
-spokes AS (
-  SELECT c.canonical, g.doc_id AS member
-  FROM grp g JOIN canon c ON g.h = c.h
-  WHERE g.doc_id <> c.canonical
-),
-edges AS (
-  SELECT canonical AS src, member AS dst FROM spokes
+# The traversal core, parameterized on where `spokes` comes from: DuckDB
+# (oracle) derives it inline from the table; Spark derives it as a
+# DataFrame and MATERIALIZES it (localCheckpoint) first — CTE inlining
+# would otherwise re-derive grp/canon/spokes in every branch that
+# references it AND inside every recursion step, recomputing md5(text)
+# and rescanning the table ~6x (the round-5 4.2s constant factor).
+_REACH3_TRAVERSAL_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT canonical AS src, member AS dst FROM {spokes}
   UNION ALL
-  SELECT member AS src, canonical AS dst FROM spokes
+  SELECT member AS src, canonical AS dst FROM {spokes}
 ),
 seeds AS (
   SELECT src AS seed FROM edges GROUP BY src
@@ -1035,30 +1029,66 @@ SELECT seed AS canonical_id,
 FROM reach GROUP BY seed ORDER BY canonical_id
 """
 
+# Oracle: same traversal text, with spokes derived inline — merged into
+# one top-level WITH RECURSIVE (the traversal's own "WITH RECURSIVE "
+# prefix is stripped and its CTE list appended after the derivation CTEs).
+_REACH3_ORACLE = """
+WITH RECURSIVE grp AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+canon AS (
+  SELECT h, min(doc_id) AS canonical
+  FROM grp GROUP BY h HAVING count(*) > 1
+),
+spokes AS (
+  SELECT c.canonical, g.doc_id AS member
+  FROM grp g JOIN canon c ON g.h = c.h
+  WHERE g.doc_id <> c.canonical
+),
+""" + _REACH3_TRAVERSAL_SQL.format(spokes="spokes").strip().removeprefix(
+    "WITH RECURSIVE "
+)
 
-@register("dedup_reach3_sql_recursive", oracle=_REACH3_SQL.format(table="documents"))
+
+@register("dedup_reach3_sql_recursive", oracle=_REACH3_ORACLE)
 def dedup_reach3_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-bounded duplicate reachability via a RECURSIVE CTE — the SQL
     surface a warehouse user expects, executed by Spark 4's iterative CTE
-    runtime on the exact same SQL text the DuckDB oracle runs (only the
-    table name differs). Seeds are each duplicate group's canonical (the
-    doc smaller than every sibling); the traversal computes depth-<=3
-    reachability on the undirected exact-dup graph by walking its
-    canonical-star representation at most 2 hops (clique diameter 1 ->
-    star diameter 2, so the reachable sets coincide — see the edge
-    relation comment above).
+    runtime on the same traversal SQL the DuckDB oracle runs. Seeds are
+    each duplicate group's canonical (the doc smaller than every sibling);
+    the traversal computes depth-<=3 reachability on the undirected
+    exact-dup graph by walking its canonical-star representation at most
+    2 hops (clique diameter 1 -> star diameter 2, so the reachable sets
+    coincide — see the edge relation comment above).
+
+    The spokes relation (doc <-> group-min for groups of size > 1) is
+    derived once as a DataFrame — one md5 pass, one shuffle on the hash —
+    and localCheckpoint'ed before the recursion, the same memo device the
+    flows family uses (queries_flows.py:_flows): every recursion step then
+    joins a materialized KB-scale edge list instead of replaying the
+    derivation.
 
     Scale honesty: each recursion level is a full join + union step, so
-    depth-bounded traversals (3 iterations here) are fine, but UNBOUNDED
-    closure over big graphs belongs to operators/dedup.duplicate_clusters
-    (the driver-loop CC operator with lineage cuts). The edge relation is
-    canonical-star (doc <-> group min), O(g) edges per duplicate group —
-    never all-pairs — so a single viral boilerplate group stays linear.
+    depth-bounded traversals (2 join iterations here) are fine, but
+    UNBOUNDED closure over big graphs belongs to operators/
+    dedup.duplicate_clusters (the driver-loop CC operator with lineage
+    cuts). The edge relation is canonical-star (doc <-> group min), O(g)
+    edges per duplicate group — never all-pairs — so a single viral
+    boilerplate group stays linear.
     """
     configure_runtime(spark)
     docs = load_compute_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents_rcte")
-    return spark.sql(_REACH3_SQL.format(table="documents_rcte"))
+    w = Window.partitionBy("h")
+    spokes = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("canonical", F.min("doc_id").over(w))
+        .withColumn("gsize", F.count(F.lit(1)).over(w))
+        .filter((F.col("gsize") > 1) & (F.col("doc_id") != F.col("canonical")))
+        .select("canonical", F.col("doc_id").alias("member"))
+        .localCheckpoint(eager=True)
+    )
+    spokes.createOrReplaceTempView("reach3_spokes")
+    return spark.sql(_REACH3_TRAVERSAL_SQL.format(spokes="reach3_spokes"))
 
 
 CONTAINMENT_THRESHOLD = 0.9

@@ -202,7 +202,10 @@ def test_reach3_star_edges_linear_in_group_size(spark):
     min, both directions), NOT g*(g-1) all-pairs — the round-4 `weak`.
     One g=1000 group + 3 singletons: 1998 edges, and the traversal still
     reports the full clique reachability (n_reachable = g-1)."""
-    from kafka_clickhouse_example_spark.plans.queries_dedup import _REACH3_SQL
+    from kafka_clickhouse_example_spark.plans.queries_dedup import (
+        _REACH3_ORACLE,
+        _REACH3_TRAVERSAL_SQL,
+    )
 
     g = 1000
     rows = [(i, "dup boilerplate") for i in range(g)]
@@ -210,7 +213,11 @@ def test_reach3_star_edges_linear_in_group_size(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.createOrReplaceTempView("reach3_linear_docs")
 
-    sql = _REACH3_SQL.format(table="reach3_linear_docs")
+    # The oracle text IS the full derivation (grp/canon/spokes + traversal)
+    # in portable SQL — run it on Spark against the synthetic table. Both
+    # engines execute this identically, so asserting on it covers the
+    # materialized Spark path's spokes definition too (same expressions).
+    sql = _REACH3_ORACLE.replace("FROM documents", "FROM reach3_linear_docs")
     # count the edge relation itself: everything up to `seeds` defines it
     edges_cte = sql[: sql.index(",\nseeds AS")]
     n_edges = spark.sql(edges_cte + "\nSELECT count(*) AS n FROM edges").collect()[0].n
@@ -218,3 +225,26 @@ def test_reach3_star_edges_linear_in_group_size(spark):
 
     out = {r.canonical_id: r.n_reachable for r in spark.sql(sql).collect()}
     assert out == {0: g - 1}  # same answer the clique edge set gave
+
+    # And the Spark-side materialized traversal gives the same answer when
+    # fed the window-derived spokes relation the registered query builds.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("h")
+    spokes = (
+        df.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("canonical", F.min("doc_id").over(w))
+        .withColumn("gsize", F.count(F.lit(1)).over(w))
+        .filter((F.col("gsize") > 1) & (F.col("doc_id") != F.col("canonical")))
+        .select("canonical", F.col("doc_id").alias("member"))
+    )
+    spokes.createOrReplaceTempView("reach3_linear_spokes")
+    assert spokes.count() == g - 1
+    out2 = {
+        r.canonical_id: r.n_reachable
+        for r in spark.sql(
+            _REACH3_TRAVERSAL_SQL.format(spokes="reach3_linear_spokes")
+        ).collect()
+    }
+    assert out2 == {0: g - 1}
