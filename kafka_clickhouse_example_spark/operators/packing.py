@@ -61,6 +61,17 @@ def stream_offsets_with_total(
     total). This is THE one implementation — operators/ranking.py's
     global rank/ntile are this with weight=1 (round-4 deferred refactor
     B unified the two previously lock-step copies)."""
+    # Reserved internal names: a clash would surface as an opaque
+    # duplicate-column / wrong-dtype error deep in the Arrow exchange (or
+    # silently corrupt the offsets via the wrong `_pid`) — name the real
+    # problem up front instead (ADVICE r5; same style as the null-weight
+    # diagnostic below).
+    clashes = {"_pid", offset_col} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            "with_stream_offsets: input already has reserved column(s) "
+            f"{sorted(clashes)} — rename them or pass a different offset_col"
+        )
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     ranged = (

@@ -45,6 +45,15 @@ def _ranked_with_total(
     rank_col: str,
     num_partitions: int | None,
 ) -> tuple[DataFrame, int]:
+    # Reserved internal names (plus packing's _pid, checked there): fail
+    # with the real cause instead of an opaque duplicate-column error or a
+    # silently-corrupted rank (ADVICE r5).
+    clashes = {_RANK_W, _RANK_OFF, rank_col} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            "with_global_rank/ntile: input already has reserved column(s) "
+            f"{sorted(clashes)} — rename them (or choose another rank_col)"
+        )
     offset_df, total = stream_offsets_with_total(
         df.withColumn(_RANK_W, F.lit(1).cast("long")),
         weight_col=_RANK_W,
@@ -72,6 +81,11 @@ def with_global_ntile(
     the rest ``floor(N/n)`` — derived arithmetically from the global rank,
     so the result is bit-identical to the window-function definition.
     """
+    if tile_col in df.columns:
+        raise ValueError(
+            f"with_global_ntile: input already has column {tile_col!r} — "
+            "rename it or choose another tile_col"
+        )
     ranked, total = _ranked_with_total(df, order_cols, "_rnk", num_partitions)
     big, rem = divmod(total, n)  # rem tiles of size big+1, then size big
     pivot = rem * (big + 1)

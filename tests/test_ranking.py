@@ -55,3 +55,28 @@ def test_no_single_partition_window(spark, vals):
     )
     assert "Window" not in plan, f"global Window snuck into the plan:\n{plan[:1500]}"
     assert "SinglePartition" not in plan
+
+
+def test_reserved_column_clash_raises(spark, vals):
+    """ADVICE r5: internal names (_rank_w/_rank_off/_pid/offset_col) must
+    be guarded — a clashing input column previously failed with an opaque
+    duplicate-column error or silently corrupted the rank."""
+    import pytest as _pytest
+
+    from kafka_clickhouse_example_spark.operators.packing import (
+        stream_offsets_with_total,
+    )
+
+    poisoned = vals.withColumn("_rank_off", F.lit(0))
+    with _pytest.raises(ValueError, match="reserved column"):
+        with_global_rank(poisoned, ["v", "id"])
+
+    with _pytest.raises(ValueError, match="reserved column"):
+        stream_offsets_with_total(
+            vals.withColumn("_pid", F.lit(0)), "v", ["v", "id"]
+        )
+    # output-name clash counts too
+    with _pytest.raises(ValueError, match="rank"):
+        with_global_rank(vals, ["v", "id"], rank_col="v")
+    with _pytest.raises(ValueError, match="tile_col"):
+        with_global_ntile(vals.withColumn("tile", F.lit(1)), ["v", "id"], 4)
