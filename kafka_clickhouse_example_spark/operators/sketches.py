@@ -26,13 +26,87 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.dedup import md5_half
 
 CMS_DEPTH = 4
 CMS_WIDTH = 2048
+
+# KMV (k-minimum-values / bottom-k) distinct sketch — the engine-portable
+# member of the distinct-count family (built-in HLL++/Datasketches remain
+# in the contract tests; their estimates are engine-specific, so queries
+# that need a DuckDB oracle use this sketch instead). The sketch of a key
+# set is the k SMALLEST distinct 56-bit md5-half hashes; with fewer than k
+# distinct hashes it degenerates to the exact distinct set (theta-style
+# "exact mode"). Estimator (Bar-Yossef et al. 2002): n_hat =
+# (k-1) * |hash space| / h_(k) — one integer-valued double product and one
+# division, no libm, so both engines produce the bit-identical double.
+# Mergeable exactly: bottom-k of a union == bottom-k of the unioned
+# bottom-k sets (min-wise), which the sketch-merge query certifies.
+# k=128: ~9% relative error (1/sqrt(k-2)); sized so the driver's sf0.01
+# gate (150 distinct users) exercises the ESTIMATOR branch, not just the
+# below-k exact mode — the formula itself gets hash-certified.
+KMV_K = 128
+_KMV_SPACE = float(1 << 56)  # exact power-of-two double
+
+
+def kmv_hash(key) -> "F.Column":
+    """56-bit md5-half hash of the key's string form (same bytes both
+    engines hash: md5(CAST(key AS VARCHAR)))."""
+    return md5_half(key.cast("string"), 0)
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """Global bottom-k sketch: one column ``h`` with at most k rows.
+
+    distinct -> orderBy().limit(k) plans as TakeOrderedAndProject (per-
+    partition top-k + driver merge of P*k rows), never a global sort —
+    the 100 TB shape: the full distinct-hash relation is reduced map-side.
+    """
+    return (
+        df.select(kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_build_grouped(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group bottom-k sketches: (group_cols..., h), <= k rows per group
+    via a partitioned (never single-partition) rank window."""
+    hashed = df.select(
+        *group_cols, kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = KMV_K) -> DataFrame:
+    """Union partial sketches and re-take the bottom-k: exactly the sketch
+    of the unioned key sets (min-wise property)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches)
+    return unioned.select("h").distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_col(n_hashes, kth_hash, k: int = KMV_K) -> "F.Column":
+    """Distinct-count estimate as a Column, given the sketch's row count
+    and its largest (= k-th smallest overall) hash.
+
+    Exact mode below k distinct hashes; otherwise (k-1)*SPACE/h_k.
+    (k-1)*SPACE is a product of an exact small int and an exact power of
+    two (<= 8 + 1 mantissa bits), the int64->double conversions and the
+    division are IEEE round-to-nearest — bit-identical in Spark and DuckDB.
+    """
+    est = F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth_hash.cast("double")
+    return F.when(n_hashes < k, n_hashes.cast("double")).otherwise(est)
 
 
 def _cell_array(key, depth: int, width: int):

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_example_spark.operators import sketches as SK
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_tables
@@ -540,18 +541,71 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_value_percentiles_approx")  # rows-only: sketch != exact
+@register(
+    "events_value_percentiles_approx",
+    oracle="""
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, vc,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       min(CASE WHEN c >= ceil(n * 0.5)  THEN vc END) / 100.0 AS p50,
+       min(CASE WHEN c >= ceil(n * 0.9)  THEN vc END) / 100.0 AS p90,
+       min(CASE WHEN c >= ceil(n * 0.99) THEN vc END) / 100.0 AS p99
+FROM cum GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (KLL-style sketch): constant memory per group at any
-    scale — the 100 TB path. No SQL oracle (sketch output is
-    engine-specific); sanity bound vs the exact query in tests."""
+    """Approximate percentiles from a fixed-resolution histogram sketch:
+    values quantize to integer cents (one exact double multiply+floor),
+    the per-group histogram is the sketch — mergeable by cell-wise add,
+    memory bounded by domain/resolution (56k cells for this corpus's
+    [0, 560] value range), absolute error <= 0.01 by construction. The
+    percentile is the inverse-CDF over the cumulative histogram (smallest
+    cell whose running count reaches ceil(p*n)) — integer counts and one
+    fixed double chain, so the DuckDB oracle reproduces it bit-for-bit
+    (upgraded from rows-only round 6; percentile_approx — the KLL-style
+    path for UNBOUNDED domains — stays accuracy-pinned in
+    tests/test_sketches.py, its sketch output is engine-specific).
+
+    Scale: groupBy(event_type, cent) reduces map-side to the bounded cell
+    set; the window runs over <= cells-per-group rows, never the raw data.
+    """
     events = _t(spark, sf_dir, "events")["events"]
+    hist = events.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    ).agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.withColumn("c", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def pct(p: float):
+        return (
+            F.min(
+                F.when(F.col("c") >= F.ceil(F.col("n") * p), F.col("vc"))
+            )
+            / 100.0
+        )
+
     return (
-        events.groupBy("event_type")
+        cum.groupBy("event_type")
         .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+            pct(0.5).alias("p50"), pct(0.9).alias("p90"), pct(0.99).alias("p99")
         )
         .orderBy("event_type")
     )
@@ -686,18 +740,66 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_user_cardinality_approx")  # rows-only: HLL sketch is engine-specific
+_KMV_EST_SQL = (
+    f"CASE WHEN nh < {SK.KMV_K} THEN CAST(nh AS DOUBLE) "
+    f"ELSE {float(SK.KMV_K - 1)!r} * {float(1 << 56)!r} / CAST(hk AS DOUBLE) END"
+)
+
+
+@register(
+    "events_user_cardinality_approx",
+    oracle=f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {SK.KMV_K}
+),
+est AS (
+  SELECT event_type, count(*) AS nh, max(h) AS hk FROM sk GROUP BY event_type
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT n.event_type,
+       CAST(floor({_KMV_EST_SQL}) AS BIGINT) AS approx_users,
+       n.n_events
+FROM n JOIN est USING (event_type)
+ORDER BY event_type
+""",
+)
 def events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): constant-memory distinct
-    counting — at 100 TB the exact countDistinct's dedup shuffle is the
-    bottleneck, the sketch merges in fixed space. Sanity-bounded against the
-    exact count in tests; no SQL oracle (sketch estimates differ by engine)."""
+    """Constant-memory approximate distinct users per event type via the
+    engine-portable KMV bottom-k sketch (operators/sketches.kmv_*): at
+    100 TB the exact countDistinct's dedup shuffle is the bottleneck; the
+    sketch reduces map-side to <= k hashes per group and estimates
+    (k-1)*space/h_(k) — no libm, so the DuckDB oracle reproduces the
+    estimate bit-for-bit (upgraded from rows-only round 6; the built-in
+    HLL++ approx_count_distinct stays accuracy-pinned in
+    tests/test_sketches.py, its estimate is engine-specific by design).
+    Sketch error ~1/sqrt(k) = 9% at k=128 (sized so the sf0.01 gate
+    certifies the estimator branch, not just below-k exact mode)."""
     events = _t(spark, sf_dir, "events")["events"]
+    sk = SK.kmv_build_grouped(events, ["event_type"], "user_id")
+    est = sk.groupBy("event_type").agg(
+        F.count("*").alias("nh"), F.max("h").alias("hk")
+    )
+    n = events.groupBy("event_type").agg(F.count("*").alias("n_events"))
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.count("*").alias("n_events"),
+        n.join(F.broadcast(est), "event_type")
+        .select(
+            "event_type",
+            F.floor(SK.kmv_estimate_col(F.col("nh"), F.col("hk")))
+            .cast("bigint")
+            .alias("approx_users"),
+            "n_events",
         )
         .orderBy("event_type")
     )
@@ -1652,36 +1754,73 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_daily_users_sketch_merge")  # rows-only: sketch binaries are engine-specific
+@register(
+    "events_daily_users_sketch_merge",
+    oracle=f"""
+WITH dh AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+  FROM events
+),
+daily AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {SK.KMV_K}
+),
+msk AS (SELECT DISTINCT h FROM daily ORDER BY h LIMIT {SK.KMV_K}),
+mest AS (SELECT count(*) AS nh, max(h) AS hk FROM msk),
+dsk AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+  FROM events ORDER BY h LIMIT {SK.KMV_K}
+),
+dest AS (SELECT count(*) AS nh, max(h) AS hk FROM dsk),
+days AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_components
+         FROM events)
+SELECT (SELECT CAST(floor({_KMV_EST_SQL}) AS BIGINT) FROM mest) AS merged_estimate,
+       (SELECT CAST(floor({_KMV_EST_SQL}) AS BIGINT) FROM dest) AS direct_estimate,
+       days.n_components
+FROM days
+""",
+)
 def events_daily_users_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch certification — the property that makes sketches
-    the 100 TB answer to COUNT(DISTINCT): per-day Datasketches-HLL user
-    sketches are built independently (one pass, fixed memory per day/
-    partition), then hll_union_agg merges the day sketches and the merged
-    estimate is compared with a direct whole-relation sketch. HLL union is
-    register-wise max, so merged == direct EXACTLY at equal lgK — pinned
-    by tests/test_pipeline_ops.py along with a 5%-of-exact accuracy bound.
+    the 100 TB answer to COUNT(DISTINCT): per-day KMV bottom-k user
+    sketches (operators/sketches.kmv_*) are built independently (one pass,
+    <= k hashes of state per day), merged by union + re-bottom-k, and the
+    merged estimate is compared with a direct whole-relation sketch. The
+    bottom-k of a union IS the bottom-k of the unioned bottom-k sets
+    (min-wise), so merged == direct EXACTLY — and because the estimator is
+    a libm-free double chain over md5-half hashes, the whole construction
+    (daily sketches, merge, both estimates) is rebuilt cell-for-cell by
+    the DuckDB oracle (upgraded from rows-only round 6; Datasketches
+    HLL union — register-wise max, same exact-merge property — stays
+    pinned in tests/test_sketches.py, its binary is engine-specific).
     This is the matview/rollup story for distincts: store day sketches,
     answer any date-range distinct query by merging, never rescan."""
     events = _t(spark, sf_dir, "events")["events"]
-    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    daily = SK.kmv_build_grouped(
+        events.withColumn("day", F.to_date("ts")), ["day"], "user_id"
     )
-    merged = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-        F.count("*").alias("n_components"),
+    merged = SK.kmv_merge([daily.select("h")])
+    mest = merged.agg(F.count("*").alias("nh"), F.max("h").alias("hk")).select(
+        F.floor(SK.kmv_estimate_col(F.col("nh"), F.col("hk")))
+        .cast("bigint")
+        .alias("merged_estimate")
     )
-    direct = events.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est")
-    )
-    return (
-        merged.crossJoin(direct)  # two 1-row frames
+    dest = (
+        SK.kmv_build(events, "user_id")
+        .agg(F.count("*").alias("nh"), F.max("h").alias("hk"))
         .select(
-            F.col("est").cast("long").alias("merged_estimate"),
-            F.col("direct_est").cast("long").alias("direct_estimate"),
-            "n_components",
+            F.floor(SK.kmv_estimate_col(F.col("nh"), F.col("hk")))
+            .cast("bigint")
+            .alias("direct_estimate")
         )
     )
+    days = events.agg(
+        F.count_distinct(F.date_trunc("day", F.col("ts"))).alias("n_components")
+    )
+    return mest.crossJoin(dest).crossJoin(days)  # three 1-row frames
 
 
 @register(

@@ -211,10 +211,13 @@ def test_backfill_overwrites_only_incoming_partitions(spark, tmp_path):
     assert again == got
 
 
-def test_hll_sketch_merge_is_lossless_and_accurate(spark, sf_correctness_dir):
-    """Union of per-day HLL sketches must estimate EXACTLY what the direct
-    whole-relation sketch estimates (register-wise max merge), and both
-    must sit within 5% of the exact distinct count."""
+def test_kmv_sketch_merge_is_lossless_and_accurate(spark, sf_correctness_dir):
+    """Union of per-day KMV bottom-k sketches must estimate EXACTLY what
+    the direct whole-relation sketch estimates (min-wise merge), and both
+    must sit within ~3 std errors (30% at k=128) of the exact distinct
+    count. (Until round 6 this query was Datasketches HLL — that exact-
+    merge pin now lives in tests/test_sketches.py; the registered query
+    uses the engine-portable KMV so the driver hash-certifies it.)"""
     from kafka_clickhouse_example_spark.registry import all_queries
     from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
     from pyspark.sql import functions as F
@@ -230,7 +233,7 @@ def test_hll_sketch_merge_is_lossless_and_accurate(spark, sf_correctness_dir):
         .first()
         .n
     )
-    assert abs(row.merged_estimate - exact) <= 0.05 * exact
+    assert abs(row.merged_estimate - exact) <= 0.30 * exact
 
 
 def test_kll_merged_quantiles_within_rank_error(spark, sf_correctness_dir):

@@ -132,3 +132,105 @@ def test_fanout_sink_identical_and_replay_safe(spark, sf_dir, tmp_path):
     replay = spark.createDataFrame(part.collect(), part.schema)
     replay.write.mode("overwrite").parquet(bdir)
     assert sorted(tuple(r) for r in spark.read.parquet(a).select("event_id", "user_id").collect()) == expect
+
+
+# --- KMV bottom-k distinct sketch (round 6) ---------------------------------
+
+
+def test_kmv_merge_equals_direct_build(spark, sf_dir):
+    """Min-wise property: bottom-k of a union == bottom-k of the unioned
+    per-part bottom-k sketches, row for row."""
+    events = _events(spark, sf_dir)
+    a = events.filter(F.col("event_type") == "click")
+    b = events.filter(F.col("event_type") != "click")
+    merged = SK.kmv_merge(
+        [SK.kmv_build(a, "user_id"), SK.kmv_build(b, "user_id")]
+    )
+    direct = SK.kmv_build(events, "user_id")
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+
+def test_kmv_exact_mode_below_k(spark):
+    """With fewer than k distinct keys the sketch IS the distinct hash set
+    and the estimate is the exact count."""
+    df = spark.range(0, 50).select((F.col("id") % 7).alias("k"))
+    sk = SK.kmv_build(df, "k")
+    est = sk.agg(
+        SK.kmv_estimate_col(F.count("*"), F.max("h")).alias("est")
+    ).first()
+    assert est.est == 7.0
+
+
+def test_kmv_estimator_accuracy(spark):
+    """Estimator branch (n >> k): within 3 std errors (~27% at k=128)."""
+    n = 5000
+    df = spark.range(0, n).select(F.col("id").alias("k"))
+    sk = SK.kmv_build(df, "k")
+    est = sk.agg(
+        SK.kmv_estimate_col(F.count("*"), F.max("h")).alias("est")
+    ).first()
+    assert sk.count() == SK.KMV_K
+    assert abs(est.est - n) <= 0.27 * n, est.est
+
+
+# --- Engine-specific sketch family: pinned here since round 6 moved the
+# --- registered queries to engine-portable constructions the driver can
+# --- hash-certify. These remain the right tools when no cross-engine
+# --- oracle is needed.
+
+
+def test_datasketches_hll_union_merge_is_lossless(spark, sf_dir):
+    """Per-day Datasketches-HLL sketches unioned (register-wise max) must
+    estimate EXACTLY what the direct whole-relation sketch estimates, and
+    sit within 5% of exact (the pin formerly carried by the registered
+    events_daily_users_sketch_merge query)."""
+    events = _events(spark, sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    ).first()
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est")
+    ).first()
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    assert merged.est == direct.est
+    assert abs(merged.est - exact) <= 0.05 * exact
+
+
+def test_builtin_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ per-type approx distinct within 5% of exact (formerly the
+    registered events_user_cardinality_approx query)."""
+    events = _events(spark, sf_dir)
+    got = {
+        r.event_type: (r.approx, r.exact)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert got
+    for t, (approx, exact) in got.items():
+        assert abs(approx - exact) <= 0.05 * exact, (t, approx, exact)
+
+
+def test_builtin_percentile_approx_vs_exact(spark, sf_dir):
+    """percentile_approx(10000) per type within 1% of the exact percentile
+    (formerly the registered events_value_percentiles_approx query)."""
+    events = _events(spark, sf_dir)
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("ep50"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.ap50 - r.ep50) <= 0.01 * max(abs(r.ep50), 1.0), r
