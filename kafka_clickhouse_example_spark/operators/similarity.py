@@ -846,3 +846,68 @@ def topk_bruteforce_pandas(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "cosine_sim", "rank")
     )
+
+
+# Fixed-point quantization scale for the hash-certifiable vectorized
+# kernel: float32 components scale exactly (exponent shift) and floor to
+# int64; with |v| < 1 and D = 64 dims, dot products stay < 64 * 2^40 =
+# 2^46 — exact in int64 AND in the int64->double conversion (< 2^53).
+FIXED_POINT_SCALE = 1 << 20
+
+
+def topk_fixedpoint_pandas(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k with ENGINE-PORTABLE scoring: vectors
+    quantize to int64 fixed point (floor(v * 2^20)), the numpy matmul runs
+    exact integer arithmetic, and the quantized cosine is one fixed IEEE
+    double chain (int dot / (sqrt(int self-dot) * sqrt(int self-dot))) —
+    every step reproducible bit-for-bit in SQL, unlike float BLAS whose
+    summation order is library-private (topk_bruteforce_pandas). Quantized
+    cosine differs from true cosine by O(1e-5); ranking quality is
+    unaffected (pinned vs the exact kernel in tests/test_similarity.py).
+    """
+    import numpy as np
+
+    qids = queries_pdf["qid"].to_numpy()
+    qmat = np.floor(
+        np.stack(queries_pdf["qvec"].to_numpy()).astype("float64")
+        * FIXED_POINT_SCALE
+    ).astype(np.int64)  # (Q, D) exact
+    qself = np.sqrt((qmat * qmat).sum(axis=1).astype("float64"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy()
+            mat = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                * FIXED_POINT_SCALE
+            ).astype(np.int64)  # (N, D) exact
+            cself = np.sqrt((mat * mat).sum(axis=1).astype("float64"))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ qmat.T).astype("float64") / np.outer(cself, qself)
+            sims = np.nan_to_num(sims, nan=-2.0)  # zero-norm: rank last
+            n, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n),
+                    id_col: np.tile(vids, q),
+                    "cosine_sim": sims.T.ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, cosine_sim double"
+    ).filter(F.col("qid") != F.col(id_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "cosine_sim", "rank")
+    )

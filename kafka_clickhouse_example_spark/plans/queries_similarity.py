@@ -301,15 +301,69 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_ivfpq(emb, queries_pdf, TOP_K, cent, books).orderBy("qid", "rank")
 
 
-@register("sim_topk_pandas")  # rows-only: BLAS summation order != fold kernel
+# Fixed-point mirrors of the quantized kernel (operators/similarity.
+# topk_fixedpoint_pandas): int64 component quantization, exact integer
+# dot (order-free), then the fixed double chain — bit-identical cross-engine.
+def _int_vec_sql(v: str) -> str:
+    return (
+        f"list_transform({v}::DOUBLE[], "
+        f"x -> CAST(floor(x * {float(S.FIXED_POINT_SCALE)!r}) AS BIGINT))"
+    )
+
+
+def _idot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _icos_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST({_idot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_idot_sql(a, a)} AS DOUBLE)) * "
+        f"sqrt(CAST({_idot_sql(b, b)} AS DOUBLE))))"
+    )
+
+
+@register(
+    "sim_topk_pandas",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {_int_vec_sql("embedding")} AS iv FROM embeddings
+),
+q AS (SELECT vec_id AS qid, iv AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id, {_icos_sql("e.iv", "q.qv")} AS cosine_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine_sim, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+""",
+)
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy brute-force top-k — the throughput kernel (10-100x the
-    fold kernel). Validated against sim_topk_bruteforce in
-    tests/test_similarity.py to 1e-9; no SQL oracle because BLAS summation
-    order is not reproducible in SQL."""
+    """Arrow/numpy vectorized brute-force top-k — the batch-matmul kernel
+    shape (one (N,D)x(D,Q) product per Arrow batch instead of N*Q*D scalar
+    fold steps). Scoring is fixed-point int64 (floor(v * 2^20)): integer
+    dot products are exact and order-free, so the quantized cosine — one
+    deterministic double chain — is reproduced bit-for-bit by the DuckDB
+    oracle (upgraded from rows-only round 6; the float-BLAS variant
+    topk_bruteforce_pandas keeps its 1e-9 cross-validation against the
+    fold kernel in tests/test_similarity.py — its summation order is
+    library-private, which is exactly why the certified query quantizes).
+    Quantization perturbs cosines by O(1e-5); ranking quality vs the exact
+    kernel is pinned in tests."""
     emb = _emb(spark, sf_dir)
     queries_pdf = _queries_pdf(emb)
-    return S.topk_bruteforce_pandas(emb, queries_pdf, TOP_K).orderBy("qid", "rank")
+    return S.topk_fixedpoint_pandas(emb, queries_pdf, TOP_K).orderBy("qid", "rank")
 
 
 TOP_DIMS = 3

@@ -16,7 +16,10 @@ def results(spark, sf_dir):
     return exact, fast
 
 
-def test_pandas_kernel_matches_exact_ranks(results):
+def test_fixedpoint_kernel_matches_exact_ranks(results):
+    """The registered pandas query scores in int64 fixed point (round 6,
+    for the DuckDB oracle); quantization at 2^-20 must not change the
+    exact kernel's ranking on real data."""
     exact, fast = results
     assert len(exact) == len(fast) > 0
     assert [(r.qid, r.vec_id, r.rank) for r in exact] == [
@@ -24,8 +27,38 @@ def test_pandas_kernel_matches_exact_ranks(results):
     ]
 
 
-def test_pandas_kernel_matches_exact_cosines(results):
+def test_fixedpoint_kernel_cosines_within_quantization_error(results):
     exact, fast = results
+    for e, f in zip(exact, fast):
+        assert abs(e.cosine_sim - f.cosine_sim) < 1e-4
+
+
+def test_blas_kernel_matches_exact_cosines(spark, sf_dir):
+    """The float-BLAS throughput kernel (topk_bruteforce_pandas) keeps its
+    original 1e-9 pin against the fold kernel — it is no longer behind the
+    registered query (which quantizes for oracle parity) but remains the
+    unquantized hot path."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators import similarity as S
+    from kafka_clickhouse_example_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    exact = all_queries()["sim_topk_bruteforce"](spark, sf_dir).collect()
+    fast = (
+        S.topk_bruteforce_pandas(emb, queries_pdf, 10)
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    assert len(exact) == len(fast) > 0
+    assert [(r.qid, r.vec_id, r.rank) for r in exact] == [
+        (r.qid, r.vec_id, r.rank) for r in fast
+    ]
     for e, f in zip(exact, fast):
         assert abs(e.cosine_sim - f.cosine_sim) < 1e-9
 
