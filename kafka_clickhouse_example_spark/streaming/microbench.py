@@ -89,10 +89,67 @@ def streaming_throughput(
                 )
             if attempt > 0:  # attempt 0 is the warm-up
                 wall = min(wall, elapsed)
+
+        # Per-micro-batch latency distribution (round-5 verdict ask #8):
+        # the headline number above runs availableNow as ONE batch, which
+        # can't attribute a throughput drift to batch-size change vs host
+        # noise. A separate pass caps maxFilesPerTrigger so the same
+        # corpus streams as ~8 micro-batches; each batch's wall is the
+        # time from the previous foreachBatch return to this one's return
+        # (processing + scheduling — the walls sum to the run's total).
+        batch_log: list[dict] = []
+        mark = {"t": 0.0}
+
+        def dist_sink(batch_df, batch_id) -> None:
+            rows = batch_df.count()
+            now = time.perf_counter()
+            batch_log.append(
+                {
+                    "batch_id": int(batch_id),
+                    "rows": int(rows),
+                    "wall_sec": round(now - mark["t"], 4),
+                }
+            )
+            mark["t"] = now
+
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", max(1, files // 8))
+            .text(json_dir)
+        )
+        flows = flows_from_json(stream, use_arrow=use_arrow)
+        mark["t"] = time.perf_counter()
+        t0 = time.perf_counter()
+        q = (
+            flows.writeStream.foreachBatch(dist_sink)
+            .option("checkpointLocation", f"{ckpt_dir}-dist")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dist_wall = time.perf_counter() - t0
+        walls = sorted(b["wall_sec"] for b in batch_log)
+
+        def pct(p: float) -> float:
+            return walls[min(len(walls) - 1, int(p * len(walls)))] if walls else -1.0
+
+        distribution = {
+            "n_batches": len(batch_log),
+            "rows_per_batch_mean": round(
+                sum(b["rows"] for b in batch_log) / max(1, len(batch_log)), 1
+            ),
+            "wall_p50": pct(0.50),
+            "wall_p95": pct(0.95),
+            "wall_max": walls[-1] if walls else -1.0,
+            "rows_per_sec_batched": round(n_rows / dist_wall, 1),
+            "batches": batch_log,
+        }
+
         return {
             "rows": n_rows,
             "wall_sec": round(wall, 4),
             "rows_per_sec": round(n_rows / wall, 1),
+            "batch_distribution": distribution,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

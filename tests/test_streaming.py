@@ -306,6 +306,13 @@ def test_streaming_throughput_microbench(spark, sf_dir):
     assert r["rows"] > 0
     assert r["rows_per_sec"] > 0
     assert r["wall_sec"] > 0
+    # round 6: per-micro-batch latency distribution — batches must cover
+    # the full corpus exactly, walls must be ordered percentiles
+    dist = r["batch_distribution"]
+    assert dist["n_batches"] >= 2  # maxFilesPerTrigger split actually split
+    assert sum(b["rows"] for b in dist["batches"]) == r["rows"]
+    assert 0 < dist["wall_p50"] <= dist["wall_p95"] <= dist["wall_max"]
+    assert dist["rows_per_sec_batched"] > 0
 
 
 def test_stream_stream_interval_join_matches_batch(spark, flow_dir, tmp_path):
