@@ -117,14 +117,124 @@ def build_term_index(
 
     n_docs = docs.count()  # cheap metadata-ish scan; no tokenize
     per_doc = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    # sum_dl is stored as exact BIGINT (not just the derived avgdl) so an
+    # incremental delta merge can recompute avgdl with the IDENTICAL
+    # double division a fresh rebuild performs — avgdl_old * n_old would
+    # reintroduce float rounding and break rebuild parity.
     stats = per_doc.agg(
         F.lit(n_docs).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.lit(float(n_docs))).alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     )
     sw = stats.write.format("parquet").mode("overwrite")
     if path is not None:
         sw = sw.option("path", path + "_stats")
     sw.saveAsTable(table + "_stats")
+
+
+def update_term_index(
+    delta_docs: DataFrame,
+    table: str,
+    *,
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    check_new_ids: bool = True,
+) -> None:
+    """Merge a delta corpus (NEW documents only) into an existing index
+    WITHOUT re-tokenizing or re-shuffling the historical corpus — the
+    asymmetric incremental shape incremental_minhash_pairs uses
+    (operators/dedup.py): all O(corpus) work happened at build time, the
+    daily delta pays only O(delta).
+
+    - postings: the delta's (term, doc_id, tf, dl) rows APPEND as new
+      files into the same bucket layout (bucket pruning still prunes —
+      each bucket just has more files), so the merge writes O(delta)
+      bytes, never rewrites history;
+    - ``<table>_terms``: vocabulary-sized df merge (old + delta counts);
+    - ``<table>_stats``: exact BIGINT accumulators (n_docs, sum_dl) roll
+      forward and avgdl is re-derived with the same division a fresh
+      rebuild performs, so the merged index is ROW-IDENTICAL to
+      build_term_index over the concatenated corpus
+      (tests/test_retrieval_index.py pins it).
+
+    ``check_new_ids`` guards the append-only contract (a changed document
+    must be handled as delete + re-add, same as the SCD2 rule): it costs a
+    broadcast semi-join of the delta ids against the postings — map-only,
+    no shuffle — and can be disabled when ingest already guarantees
+    fresh ids.
+    """
+    spark = delta_docs.sparkSession
+    a = tokens(F.col(text_col))
+    toks = delta_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(a).cast("bigint").alias("dl"),
+        F.explode(a).alias("term"),
+    )
+    delta_postings = toks.groupBy("term", "doc_id").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+
+    if check_new_ids:
+        delta_ids = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        clash = (
+            spark.table(table)
+            .join(F.broadcast(delta_ids), "doc_id", "left_semi")
+            .select("doc_id")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"update_term_index: delta contains doc_id {clash[0].doc_id} "
+                "already present in the index — the merge is append-only; "
+                "handle updates as delete + re-add"
+            )
+
+    (
+        delta_postings.write.format("parquet")
+        .mode("append")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+
+    # Vocabulary-sized df merge. localCheckpoint BEFORE overwrite: the
+    # merged frame reads the table it replaces (self-referential overwrite
+    # rule — see .claude/skills/verify gotchas / sinks/merge.py).
+    delta_df = delta_postings.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    merged_df = (
+        spark.table(table + "_terms")
+        .unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    merged_df.write.format("parquet").mode("overwrite").saveAsTable(table + "_terms")
+
+    n_delta = delta_docs.count()
+    delta_sum = delta_postings.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("delta_sum_dl")
+    )
+    new_stats = (
+        spark.table(table + "_stats")
+        .crossJoin(F.broadcast(delta_sum))  # two 1-row frames
+        .select(
+            (F.col("n_docs") + F.lit(n_delta)).cast("bigint").alias("n_docs"),
+            (F.col("sum_dl") + F.col("delta_sum_dl")).cast("bigint").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = new_stats.first()  # 1-row frame: bounded driver read
+    final_stats = new_stats.select(
+        "n_docs",
+        # identical op order to build_term_index: sum_dl double / float(n)
+        (F.col("sum_dl").cast("double") / F.lit(float(row.n_docs))).alias("avgdl"),
+        "sum_dl",
+    )
+    final_stats.write.format("parquet").mode("overwrite").saveAsTable(table + "_stats")
 
 
 def bm25_topk_from_index(
