@@ -57,33 +57,60 @@ def _gen(spark, name: str, offsets: dict[str, bool]) -> None:
     print(f"generated {out}", file=sys.stderr)
 
 
+def _copy_dims(spark) -> None:
+    """Dimension tables copy through UNSCALED (1 copy): region/nation are
+    fixed-cardinality by TPC-H construction, and part/supplier keys are
+    referenced unchanged by the offset lineitem copies — scaling them
+    would break referential integrity of the joins under test."""
+    import shutil
+
+    for name in ("region", "nation", "part", "supplier"):
+        src = os.path.join(SRC, f"{name}.parquet")
+        dst = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+            print(f"copied {dst}", file=sys.stderr)
+
+
 def main() -> None:
     spark = get_spark("scale-proof", cpus=32, driver_memory="16g")
     configure_runtime(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
     _gen(spark, "documents", {"doc_id": True})
     _gen(spark, "events", {"event_id": True, "user_id": True})
     _gen(spark, "orders", {"o_orderkey": True, "o_custkey": True})
     _gen(spark, "lineitem", {"l_orderkey": True})
     _gen(spark, "customer", {"c_custkey": True})
     _gen(spark, "embeddings", {"vec_id": True})
+    _copy_dims(spark)
 
     from kafka_clickhouse_example_spark.registry import all_queries
 
     queries = all_queries()
-    names = sys.argv[1:] or ["text_bm25_topk"]
+    # --all (round-5 verdict ask #5): sweep the ENTIRE registry so
+    # super-linear tails that hand-picking misses show up in the ratio
+    # distribution. Per-query failures record -1 and never sink the sweep.
+    if sys.argv[1:] == ["--all"]:
+        names = sorted(queries)
+    else:
+        names = sys.argv[1:] or ["text_bm25_topk"]
     out = {}
     for sf_dir, label in [(SRC, "sf0.1"), (DST, "sf1")]:
         for name in names:
             fn = queries[name]
-            rows = fn(spark, sf_dir).count()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            out[f"{label}:{name}"] = {"sec": round(best, 3), "rows": rows}
-            print(label, name, round(best, 3), "s", rows, "rows", file=sys.stderr)
+            try:
+                rows = fn(spark, sf_dir).count()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                out[f"{label}:{name}"] = {"sec": round(best, 3), "rows": rows}
+                print(label, name, round(best, 3), "s", rows, "rows", file=sys.stderr)
+            except Exception as exc:
+                out[f"{label}:{name}"] = {"sec": -1.0, "rows": -1, "err": str(exc)[:200]}
+                print(label, name, "FAILED:", str(exc)[:200], file=sys.stderr)
     print(json.dumps(out))
 
 
