@@ -171,8 +171,13 @@ def update_term_index(
         F.size(a).cast("bigint").alias("dl"),
         F.explode(a).alias("term"),
     )
-    delta_postings = toks.groupBy("term", "doc_id").agg(
-        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    # Materialize once: the delta postings feed three consumers (bucket
+    # append, df merge, stats roll-forward) — without the checkpoint the
+    # delta would re-tokenize per consumer.
+    delta_postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.max("dl").alias("dl"), F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
 
     if check_new_ids:
