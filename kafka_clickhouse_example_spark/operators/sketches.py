@@ -73,17 +73,39 @@ def kmv_build(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
     )
 
 
+# Salt width for the two-phase grouped bottom-k: phase 1 ranks within
+# (group, h mod SALT) cells — parallelism groups x SALT — and keeps k per
+# cell, so phase 2's per-group window sees at most SALT*k rows, bounded
+# regardless of group cardinality.
+KMV_SALT = 32
+
+
 def kmv_build_grouped(
     df: DataFrame, group_cols: list[str], key_col: str, k: int = KMV_K
 ) -> DataFrame:
-    """Per-group bottom-k sketches: (group_cols..., h), <= k rows per group
-    via a partitioned (never single-partition) rank window."""
+    """Per-group bottom-k sketches: (group_cols..., h), <= k rows per group.
+
+    Bottom-k is decomposable (the k smallest of a union are among the k
+    smallest of each part), so this runs as a salted TWO-PHASE rank: a
+    single per-group window would funnel every distinct hash of a group
+    through one task — the single-partition-window failure at 1e9
+    distinct keys per group — while phase 1 here is groups x KMV_SALT
+    parallel cells and phase 2 ranks <= KMV_SALT*k survivors per group.
+    """
     hashed = df.select(
         *group_cols, kmv_hash(F.col(key_col)).alias("h")
     ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    w1 = Window.partitionBy(*group_cols, F.pmod(F.col("h"), F.lit(KMV_SALT))).orderBy(
+        "h"
+    )
+    local = (
+        hashed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
     return (
-        hashed.withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
