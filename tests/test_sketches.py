@@ -152,6 +152,37 @@ def test_kmv_merge_equals_direct_build(spark, sf_dir):
     )
 
 
+def test_kmv_grouped_two_phase_equals_single_window(spark):
+    """The salted two-phase rank (kmv_build_grouped) must reproduce the
+    naive per-group bottom-k EXACTLY — bottom-k decomposability — across
+    groups below k, straddling k, and far above a salt cell's k quota
+    (where phase 1's per-cell cut is actually load-bearing)."""
+    from pyspark.sql import Window
+
+    k = 8
+    # g0: 3 distinct keys (< k); g1: 20 (> k, < SALT*k); g2: 600 (>> SALT*k/32)
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 3 * 1000 + F.col("id") % 3)
+        .when(F.col("id") % 3 == 1, F.col("id") % 20)
+        .otherwise(F.col("id") % 600 + 100000)
+        .alias("k"),
+    )
+    got = SK.kmv_build_grouped(df, ["g"], "k", k=k)
+    naive = (
+        df.select("g", SK.kmv_hash(F.col("k")).alias("h"))
+        .distinct()
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    assert sorted((r.g, r.h) for r in got.collect()) == sorted(
+        (r.g, r.h) for r in naive.collect()
+    )
+
+
 def test_kmv_exact_mode_below_k(spark):
     """With fewer than k distinct keys the sketch IS the distinct hash set
     and the estimate is the exact count."""
