@@ -86,11 +86,18 @@ def kmv_build_grouped(
     """Per-group bottom-k sketches: (group_cols..., h), <= k rows per group.
 
     Bottom-k is decomposable (the k smallest of a union are among the k
-    smallest of each part), so this runs as a salted TWO-PHASE rank: a
-    single per-group window would funnel every distinct hash of a group
-    through one task — the single-partition-window failure at 1e9
-    distinct keys per group — while phase 1 here is groups x KMV_SALT
-    parallel cells and phase 2 ranks <= KMV_SALT*k survivors per group.
+    smallest of each part), so this runs as a salted TWO-PHASE rank.
+    Spark's InferWindowGroupLimit already pre-cuts any rank-limit window
+    to k rows per group PER UPSTREAM PARTITION (Partial WindowGroupLimit
+    before the exchange — verified in this plan), so even a single
+    per-group window never streams a group's full 1e9 distinct hashes
+    through one task; but its final task still processes min(D_g, P*k)
+    rows, which GROWS with the cluster's partition count P (P=1e5, k=128
+    -> 12.8M rows through one task per group). Phase 1 here ranks
+    (group, h mod KMV_SALT) cells — KMV_SALT-way parallel per group, each
+    cell seeing ~D_g/KMV_SALT of the data — and phase 2's per-group task
+    is bounded at KMV_SALT*k rows INDEPENDENT of P. Equivalence with the
+    naive window is pinned by tests/test_sketches.py.
     """
     hashed = df.select(
         *group_cols, kmv_hash(F.col(key_col)).alias("h")
