@@ -101,3 +101,36 @@ def test_filters_are_pushed(plans):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plans["q1_pricing_summary"]
     assert "EqualTo(p_type,STANDARD)" in plans["q8_market_share"]
     assert "EqualTo(l_returnflag,R)" in plans["q10_returned_items"]
+
+
+# Queries built on the per-group top-k rank pattern (row_number over a
+# partitioned window, filtered <= k). Spark only plans the map-side
+# pre-cut (Partial WindowGroupLimit before the exchange — k rows per
+# group per upstream partition instead of whole groups through the
+# shuffle) when the rank/filter shape stays inferable; a refactor that
+# e.g. filters on an expression OF the rank column silently reverts to
+# shipping full groups. Pin the pushdown for every such query.
+RANK_LIMIT_QUERIES = [
+    "sample_fixed_k_per_lang",
+    "text_top_bigrams_per_lang",
+    "top3_orders_per_customer",
+    "events_user_cardinality_approx",
+    "events_daily_users_sketch_merge",
+]
+
+
+def test_rank_limit_windows_push_group_limits(spark, sf_dir):
+    import re
+
+    qs = all_queries()
+    for name in RANK_LIMIT_QUERIES:
+        p = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(r"WindowGroupLimit.*Partial", p), (
+            f"{name}: rank-limit window lost its Partial WindowGroupLimit "
+            "pre-cut (whole groups now cross the shuffle)"
+        )
