@@ -76,8 +76,9 @@ def build_term_index(
 ) -> None:
     """Materialize the inverted index: (term, doc_id, tf, dl) posting rows
     bucketed AND sorted by term, ``<table>_terms`` (term, df — the
-    vocabulary-sized document frequencies), and ``<table>_stats`` (n_docs,
-    avgdl).
+    vocabulary-sized document frequencies), ``<table>_stats`` (n_docs,
+    avgdl, sum_dl), and ``<table>_docs`` (the indexed doc_id set —
+    update_term_index's O(n_docs) append-only guard).
 
     ONE corpus tokenize pass: df and the document lengths derive from the
     written postings (per-doc max(dl) recovers them exactly). n_docs comes
@@ -131,6 +132,20 @@ def build_term_index(
         sw = sw.option("path", path + "_stats")
     sw.saveAsTable(table + "_stats")
 
+    # <table>_docs: one row per indexed doc_id, FROM THE DOCS FRAME, not
+    # the postings — NULL-text documents produce zero postings but are
+    # part of the corpus (they count in n_docs), so a postings-derived id
+    # set would let update_term_index re-add them and silently
+    # double-count n_docs. Also the O(n_docs) relation the append-only
+    # guard scans instead of the O(postings) table (~1000x smaller at
+    # 100 TB: one id per doc vs one row per doc-term).
+    docw = docs.select(F.col(id_col).alias("doc_id")).write.format(
+        "parquet"
+    ).mode("overwrite")
+    if path is not None:
+        docw = docw.option("path", path + "_docs")
+    docw.saveAsTable(table + "_docs")
+
 
 def update_term_index(
     delta_docs: DataFrame,
@@ -160,9 +175,14 @@ def update_term_index(
 
     ``check_new_ids`` guards the append-only contract (a changed document
     must be handled as delete + re-add, same as the SCD2 rule): it costs a
-    broadcast semi-join of the delta ids against the postings — map-only,
-    no shuffle — and can be disabled when ingest already guarantees
-    fresh ids.
+    broadcast semi-join of the delta ids against ``<table>_docs`` — the
+    O(n_docs) id relation, not the O(postings) table (~1000x less IO at
+    corpus scale: one row per doc vs one per doc-term), and the only id
+    set that also covers NULL-text documents, which have NO postings rows
+    (a postings-based check would let a NULL-text re-add through and
+    silently double-count n_docs). Map-only, no shuffle; can be disabled
+    when ingest already guarantees fresh ids — ``_docs`` is rolled
+    forward either way.
     """
     spark = delta_docs.sparkSession
     a = tokens(F.col(text_col))
@@ -180,12 +200,11 @@ def update_term_index(
         .localCheckpoint(eager=True)
     )
 
+    delta_ids = delta_docs.select(F.col(id_col).alias("doc_id"))
     if check_new_ids:
-        delta_ids = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
         clash = (
-            spark.table(table)
-            .join(F.broadcast(delta_ids), "doc_id", "left_semi")
-            .select("doc_id")
+            spark.table(table + "_docs")
+            .join(F.broadcast(delta_ids.distinct()), "doc_id", "left_semi")
             .limit(1)
             .collect()
         )
@@ -240,6 +259,10 @@ def update_term_index(
         "sum_dl",
     )
     final_stats.write.format("parquet").mode("overwrite").saveAsTable(table + "_stats")
+
+    # Roll the id relation forward (append-only, O(delta) rows) so the
+    # NEXT merge's guard sees these docs — including NULL-text ones.
+    delta_ids.write.format("parquet").mode("append").saveAsTable(table + "_docs")
 
 
 def bm25_topk_from_index(

@@ -145,6 +145,7 @@ def test_incremental_update_matches_fresh_rebuild(spark, sf_dir):
             "postings": sorted(tuple(r) for r in spark.table(tbl).collect()),
             "terms": sorted(tuple(r) for r in spark.table(tbl + "_terms").collect()),
             "stats": sorted(tuple(r) for r in spark.table(tbl + "_stats").collect()),
+            "docs": sorted(tuple(r) for r in spark.table(tbl + "_docs").collect()),
         }
 
     with tempfile.TemporaryDirectory() as d:
@@ -156,6 +157,7 @@ def test_incremental_update_matches_fresh_rebuild(spark, sf_dir):
             assert merged["stats"] == fresh["stats"]
             assert merged["terms"] == fresh["terms"]
             assert merged["postings"] == fresh["postings"]
+            assert merged["docs"] == fresh["docs"]
             served_m = bm25_topk_from_index(spark, "inc_idx", ["spark", "merge"]).collect()
             served_f = bm25_topk_from_index(spark, "full_idx", ["spark", "merge"]).collect()
             assert served_m == served_f and len(served_m) > 0
@@ -171,7 +173,7 @@ def test_incremental_update_matches_fresh_rebuild(spark, sf_dir):
             assert m and int(m.group(2)) == 16 and int(m.group(1)) <= 1
         finally:
             for t in ("inc_idx", "full_idx"):
-                for suffix in ("", "_terms", "_stats"):
+                for suffix in ("", "_terms", "_stats", "_docs"):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
@@ -193,5 +195,44 @@ def test_incremental_update_rejects_existing_ids(spark, sf_dir):
             with _pytest.raises(ValueError, match="append-only"):
                 update_term_index(docs.limit(5), "dup_idx", buckets=4)
         finally:
-            for suffix in ("", "_terms", "_stats"):
+            for suffix in ("", "_terms", "_stats", "_docs"):
                 spark.sql(f"DROP TABLE IF EXISTS dup_idx{suffix}")
+
+
+def test_incremental_update_rejects_null_text_readd(spark, sf_dir):
+    """The guard must catch re-adds of NULL-text documents too: they have
+    ZERO postings rows (tokens of NULL explode to nothing), so a
+    postings-based id check can't see them — the <table>_docs relation,
+    written from the docs frame, can. Without this, re-adding a NULL-text
+    doc silently double-counts n_docs and skews every BM25 idf."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators.retrieval import (
+        update_term_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    nulled = docs.withColumn(
+        "text", F.when(F.col("doc_id") == docs.first().doc_id, None).otherwise(F.col("text"))
+    )
+    null_doc = nulled.filter(F.col("text").isNull())
+    assert null_doc.count() == 1
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            build_term_index(nulled, "nulldoc_idx", buckets=4, path=d + "/nd")
+            # the NULL-text doc is in _docs despite having no postings
+            assert (
+                spark.table("nulldoc_idx_docs")
+                .join(null_doc.select("doc_id"), "doc_id", "left_semi")
+                .count()
+                == 1
+            )
+            with _pytest.raises(ValueError, match="append-only"):
+                update_term_index(null_doc, "nulldoc_idx", buckets=4)
+        finally:
+            for suffix in ("", "_terms", "_stats", "_docs"):
+                spark.sql(f"DROP TABLE IF EXISTS nulldoc_idx{suffix}")
