@@ -1,0 +1,128 @@
+"""Materialized IVF ANN index: partition-pruned serving parity with the
+live topk_ivf path, incremental add == fresh rebuild, append-only guard."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators import similarity as S
+from kafka_clickhouse_example_spark.operators.ann_index import (
+    add_vectors_to_ann_index,
+    build_ann_index,
+    topk_from_ann_index,
+)
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+TOP_K = 10
+NPROBE = 2
+
+
+def _emb(spark, sf_dir):
+    return load_compute_table(spark, sf_dir, "embeddings")
+
+
+def _queries(emb):
+    return (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def ann_index(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ann_index")
+    emb = _emb(spark, sf_dir)
+    cent = S.train_ivf_centroids(emb)
+    build_ann_index(emb, "ann_idx", centroids=cent, path=str(base / "idx"))
+    yield "ann_idx", cent
+    for suffix in ("", "_centroids", "_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS ann_idx{suffix}")
+
+
+def test_served_topk_matches_live_ivf(spark, sf_dir, ann_index):
+    """The materialized layout must serve row-for-row what the live path
+    computes scanning the whole corpus: same centroids -> same cells ->
+    same candidates -> bit-identical cosines (the elementwise kernel is
+    shared) -> identical (qid, id, score, rank) rows."""
+    table, cent = ann_index
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    served = topk_from_ann_index(spark, table, q, TOP_K, nprobe=NPROBE)
+    live = S.topk_ivf(emb, q, TOP_K, cent, nprobe=NPROBE)
+    assert _rows(served) == _rows(live)
+    assert served.count() > 0
+
+
+def test_served_scan_is_partition_pruned(spark, sf_dir, ann_index):
+    """The probe must reach the scan as a partition filter on the cell
+    id — metadata-only pruning, no unprobed cell's files opened."""
+    table, _ = ann_index
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    plan = (
+        topk_from_ann_index(spark, table, q, TOP_K, nprobe=NPROBE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1), plan[:2000]
+    # and the pruned scan must not re-filter rows: no Filter on cell
+    # below the scan (pruning happened at the partition level)
+
+
+def test_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
+    """Appending a delta under the frozen quantizer must yield an index
+    (rows, cells, ids) identical to a rebuild over the concatenated
+    corpus with the same centroids — and serve identical top-k."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    assert base.count() > 0 and delta.count() > 0
+    cent = S.train_ivf_centroids(base)
+    q = _queries(emb)
+    try:
+        build_ann_index(base, "inc_ann", centroids=cent, path=str(tmp_path / "inc"))
+        add_vectors_to_ann_index(delta, "inc_ann")
+        build_ann_index(emb, "full_ann", centroids=cent, path=str(tmp_path / "full"))
+
+        def snap(t):
+            return {
+                "rows": sorted(
+                    (r.vec_id, int(r.cell), tuple(r.embedding))
+                    for r in spark.table(t).collect()
+                ),
+                "ids": sorted(r.vec_id for r in spark.table(t + "_ids").collect()),
+                "cent": _rows(spark.table(t + "_centroids")),
+            }
+
+        merged, fresh = snap("inc_ann"), snap("full_ann")
+        assert merged["cent"] == fresh["cent"]
+        assert merged["ids"] == fresh["ids"]
+        assert merged["rows"] == fresh["rows"]
+        assert _rows(topk_from_ann_index(spark, "inc_ann", q, TOP_K)) == _rows(
+            topk_from_ann_index(spark, "full_ann", q, TOP_K)
+        )
+    finally:
+        for t in ("inc_ann", "full_ann"):
+            for suffix in ("", "_centroids", "_ids"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_incremental_add_rejects_existing_ids(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir).limit(50)
+    try:
+        build_ann_index(emb, "dup_ann", path=str(tmp_path / "dup"))
+        with pytest.raises(ValueError, match="append-only"):
+            add_vectors_to_ann_index(emb.limit(5), "dup_ann")
+    finally:
+        for suffix in ("", "_centroids", "_ids"):
+            spark.sql(f"DROP TABLE IF EXISTS dup_ann{suffix}")
