@@ -41,20 +41,35 @@ from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.similarity import (
     IVF_NPROBE,
+    PQ_SHORTLIST_MULT,
     _sq_dists,
+    _sq_dists_sub,
+    as_double,
+    cosine,
     train_ivf_centroids,
+    train_pq_codebooks_residual,
 )
 
 
 def _assign_cells(
-    df: DataFrame, centroids, id_col: str, vec_col: str
+    df: DataFrame, centroids, id_col: str, vec_col: str, codebooks=None
 ) -> DataFrame:
     """Map-only nearest-centroid assignment: one (batch x k_cells) BLAS
     distance matrix per Arrow batch against broadcast centroids — the
     same `_sq_dists` kernel topk_ivf scans with, so layout cells and live
-    cells can never disagree."""
+    cells can never disagree. With ``codebooks`` the pass also PQ-encodes
+    the residual (vector − centroid) with topk_ivfpq's `_sq_dists_sub`
+    argmin and packs the M sub-codes as one BINARY value — the stored
+    form of what topk_ivfpq derives in-pass on every scan."""
     cent = np.asarray(centroids, dtype=np.float64)
     cent_n2 = (cent * cent).sum(axis=1)
+    books = None
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+        if books.shape[1] > 256:
+            raise ValueError("PQ codebook_k > 256 does not fit 1-byte codes")
+        cn2 = (books * books).sum(axis=2)
+        n_sub, _, dsub = books.shape
     id_t = df.schema[id_col].dataType.simpleString()
     vec_t = df.schema[vec_col].dataType.simpleString()
 
@@ -66,17 +81,21 @@ def _assign_cells(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             cells = _sq_dists(m, cent, cent_n2).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "cell": cells.astype("int32"),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col],
+                "cell": cells.astype("int32"),
+            }
+            if books is not None:
+                resid = (m - cent[cells]).reshape(len(m), n_sub, dsub)
+                codes = _sq_dists_sub(resid, books, cn2).argmin(axis=2)
+                out["code"] = [c.astype(np.uint8).tobytes() for c in codes]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, cell int"
-    )
+    schema = f"{id_col} {id_t}, {vec_col} {vec_t}, cell int"
+    if books is not None:
+        schema += ", code binary"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def build_ann_index(
@@ -84,6 +103,8 @@ def build_ann_index(
     table: str,
     *,
     centroids=None,
+    pq: bool = False,
+    codebooks=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     path: str | None = None,
@@ -92,13 +113,23 @@ def build_ann_index(
     tables. ``centroids`` defaults to a fresh deterministic train
     (similarity.train_ivf_centroids on the md5-ordered bounded sample);
     pass them explicitly to rebuild under a frozen quantizer (the
-    incremental-vs-rebuild parity contract requires it)."""
+    incremental-vs-rebuild parity contract requires it).
+
+    With ``pq=True`` (or explicit ``codebooks``) each row also stores its
+    M-byte residual PQ code and the codebooks land in
+    ``<table>_codebooks`` — the IVFADC serving layout: the ADC scan reads
+    (id, cell, code) ONLY, never the vector column (column pruning), and
+    full vectors are read just for the shortlist rerank."""
     spark = corpus.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(corpus, id_col=id_col, vec_col=vec_col)
     cent = np.asarray(centroids, dtype=np.float64)
+    if pq and codebooks is None:
+        codebooks = train_pq_codebooks_residual(
+            corpus, cent, id_col=id_col, vec_col=vec_col
+        )
 
-    assigned = _assign_cells(corpus, cent, id_col, vec_col)
+    assigned = _assign_cells(corpus, cent, id_col, vec_col, codebooks=codebooks)
     w = assigned.write.format("parquet").mode("overwrite").partitionBy("cell")
     if path is not None:
         w = w.option("path", path)
@@ -112,6 +143,21 @@ def build_ann_index(
     if path is not None:
         cw = cw.option("path", path + "_centroids")
     cw.saveAsTable(table + "_centroids")
+
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        book_df = spark.createDataFrame(
+            [
+                (int(m), int(c), [float(x) for x in books[m, c]])
+                for m in range(books.shape[0])
+                for c in range(books.shape[1])
+            ],
+            "m int, k int, centroid array<double>",
+        )
+        bw = book_df.write.format("parquet").mode("overwrite")
+        if path is not None:
+            bw = bw.option("path", path + "_codebooks")
+        bw.saveAsTable(table + "_codebooks")
 
     iw = corpus.select(id_col).write.format("parquet").mode("overwrite")
     if path is not None:
@@ -208,6 +254,138 @@ def topk_from_ann_index(
     )
 
 
+def _load_codebooks(spark: SparkSession, table: str) -> np.ndarray:
+    """Bounded driver read: M*K rows (8*16 by default), reshaped to the
+    (M, K, dsub) array the ADC kernels take."""
+    rows = spark.table(table + "_codebooks").orderBy("m", "k").collect()
+    n_sub = max(r.m for r in rows) + 1
+    book_k = max(r.k for r in rows) + 1
+    dsub = len(rows[0].centroid)
+    books = np.zeros((n_sub, book_k, dsub), dtype=np.float64)
+    for r in rows:
+        books[r.m, r.k] = r.centroid
+    return books
+
+
+def topk_pq_from_ann_index(
+    spark: SparkSession,
+    table: str,
+    queries_pdf: pd.DataFrame,
+    k: int,
+    nprobe: int = IVF_NPROBE,
+    shortlist_mult: int = PQ_SHORTLIST_MULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC serving from the materialized layout — the 1e9-vector IO
+    shape topk_ivfpq's docstring promises ("cells + residual codes would
+    be precomputed and STORED at production scale"): the ADC scan reads
+    (id, cell, code) of the PROBED PARTITIONS ONLY — per-candidate IO is
+    the M code bytes, the vector column is never touched (column
+    pruning) — and scores with topk_ivfpq's exact LUT decomposition over
+    the STORED codes; the approx shortlist is then exactly rescored with
+    the fold-kernel cosine reading full vectors for shortlist rows alone.
+    Stored codes == in-pass codes (same argmin kernels, pinned), so the
+    served rows are row-for-row the live topk_ivfpq's."""
+    cent = _load_centroids(spark, table)
+    books = _load_codebooks(spark, table)
+    n_sub, book_k, dsub = books.shape
+    cn2 = (books * books).sum(axis=2)
+    cent_n2 = (cent * cent).sum(axis=1)
+    qids = queries_pdf["qid"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]]
+    )
+    qnorm = np.linalg.norm(qmat, axis=1)
+    n_short = shortlist_mult * k
+    srange = np.arange(n_sub)
+
+    qd2 = _sq_dists(qmat, cent, cent_n2)
+    probe = np.argsort(qd2, axis=1)[:, :nprobe]
+    member = np.zeros((len(qids), cent.shape[0]), dtype=bool)
+    for i in range(len(qids)):
+        member[i, probe[i]] = True
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    lut = np.einsum("qsd,skd->qsk", qmat.reshape(len(qids), n_sub, dsub), books)
+    q_dot_cent = qmat @ cent.T
+    cent_sub = cent.reshape(cent.shape[0], n_sub, dsub)
+    cent_cross = np.einsum("csd,skd->csk", cent_sub, books)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
+            ).astype(np.int64)
+            r_n2 = cn2[srange[None, :], codes].sum(axis=1)
+            c_cross = cent_cross[cells[:, None], srange[None, :], codes].sum(axis=1)
+            approx_norm = np.sqrt(
+                np.maximum(cent_n2[cells] + 2.0 * c_cross + r_n2, 1e-12)
+            )
+            outs = []
+            for i in range(len(qids)):
+                mask = member[i, cells] & (ids != qids[i])
+                if not mask.any():
+                    continue
+                adot = (
+                    q_dot_cent[i, cells[mask]]
+                    + lut[i][srange[None, :], codes[mask]].sum(axis=1)
+                )
+                acos = adot / (approx_norm[mask] * qnorm[i])
+                cid = ids[mask]
+                if len(cid) > n_short:
+                    order = np.lexsort((cid, -acos))[:n_short]
+                    acos, cid = acos[order], cid[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
+                            id_col: cid,
+                            "approx_cos": acos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    idx = spark.table(table)
+    id_t = idx.schema[id_col].dataType.simpleString()
+    pruned = idx.filter(F.col("cell").isin(probed_cells))
+    approx = pruned.select(id_col, "cell", "code").mapInPandas(
+        scan, schema=f"qid long, {id_col} {id_t}, approx_cos double"
+    )
+    aw = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), F.col(id_col))
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= n_short)
+        .select("qid", id_col)
+    )
+    qdf = spark.createDataFrame(queries_pdf[["qid", "qvec"]])
+    # exact rerank: vectors read for shortlist rows of probed partitions
+    # only (partition pruning again; broadcast semi-shaped equi-join)
+    rescored = (
+        pruned.select(id_col, vec_col)
+        .join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            F.col(id_col),
+            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "cosine_sim", "rank")
+    )
+
+
 def add_vectors_to_ann_index(
     delta: DataFrame,
     table: str,
@@ -240,7 +418,13 @@ def add_vectors_to_ann_index(
             )
 
     cent = _load_centroids(spark, table)
-    assigned = _assign_cells(delta, cent, id_col, vec_col)
+    # a PQ layout must stay PQ: encode the delta under the stored books
+    books = (
+        _load_codebooks(spark, table)
+        if "code" in spark.table(table).columns
+        else None
+    )
+    assigned = _assign_cells(delta, cent, id_col, vec_col, codebooks=books)
     (
         assigned.write.format("parquet")
         .mode("append")

@@ -126,3 +126,96 @@ def test_incremental_add_rejects_existing_ids(spark, sf_dir, tmp_path):
     finally:
         for suffix in ("", "_centroids", "_ids"):
             spark.sql(f"DROP TABLE IF EXISTS dup_ann{suffix}")
+
+
+# --- PQ (IVFADC) layout ------------------------------------------------------
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        for suffix in ("", "_centroids", "_codebooks", "_ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_pq_served_matches_live_ivfpq(spark, sf_dir, tmp_path):
+    """Stored codes must serve row-for-row what topk_ivfpq derives
+    in-pass: same centroids + codebooks -> same cells and codes (shared
+    argmin kernels) -> same ADC shortlist -> identical exact rerank."""
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        topk_pq_from_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = S.train_ivf_centroids(emb)
+    books = S.train_pq_codebooks_residual(emb, cent)
+    q = _queries(emb)
+    try:
+        build_ann_index(
+            emb, "pq_ann", centroids=cent, codebooks=books,
+            path=str(tmp_path / "pq"),
+        )
+        served = topk_pq_from_ann_index(spark, "pq_ann", q, TOP_K, nprobe=NPROBE)
+        live = S.topk_ivfpq(emb, q, TOP_K, cent, books, nprobe=NPROBE)
+        assert _rows(served) == _rows(live)
+        assert served.count() > 0
+    finally:
+        _drop(spark, "pq_ann")
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir, tmp_path):
+    """The ADC branch's file scan must read (id, cell, code) ONLY — the
+    vector column stays unread until the shortlist rerank, which is the
+    whole IO point of storing codes (M bytes vs dim*4 per candidate)."""
+    import re
+
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        topk_pq_from_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    try:
+        build_ann_index(emb, "pqp_ann", pq=True, path=str(tmp_path / "pqp"))
+        plan = (
+            topk_pq_from_ann_index(spark, "pqp_ann", q, TOP_K, nprobe=NPROBE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        adc = [s for s in schemas if "code" in s]
+        assert adc and all("embedding" not in s for s in adc), schemas
+        # both scans partition-pruned to the probed cells
+        assert len(re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan)) >= 2
+    finally:
+        _drop(spark, "pqp_ann")
+
+
+def test_pq_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
+    """Appending under frozen centroids AND codebooks must reproduce the
+    rebuilt layout byte-for-byte, stored code bytes included."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cent = S.train_ivf_centroids(base)
+    books = S.train_pq_codebooks_residual(base, cent)
+    try:
+        build_ann_index(
+            base, "ipq_ann", centroids=cent, codebooks=books,
+            path=str(tmp_path / "ipq"),
+        )
+        add_vectors_to_ann_index(delta, "ipq_ann")
+        build_ann_index(
+            emb, "fpq_ann", centroids=cent, codebooks=books,
+            path=str(tmp_path / "fpq"),
+        )
+
+        def snap(t):
+            return sorted(
+                (r.vec_id, int(r.cell), bytes(r.code), tuple(r.embedding))
+                for r in spark.table(t).collect()
+            )
+
+        assert snap("ipq_ann") == snap("fpq_ann")
+    finally:
+        _drop(spark, "ipq_ann", "fpq_ann")
