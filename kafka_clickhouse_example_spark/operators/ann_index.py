@@ -129,8 +129,18 @@ def build_ann_index(
             corpus, cent, id_col=id_col, vec_col=vec_col
         )
 
-    assigned = _assign_cells(corpus, cent, id_col, vec_col, codebooks=codebooks)
-    w = assigned.write.format("parquet").mode("overwrite").partitionBy("cell")
+    assigned = _assign_cells(
+        corpus, cent, id_col, vec_col, codebooks=codebooks
+    ).withColumn("batch", F.lit("base"))
+    # "batch" is the SECOND partition level: cell pruning (the serving
+    # path) is untouched, and a labeled ingest batch owns exactly the
+    # (cell=*, batch=LABEL) partitions — dynamic overwrite of those makes
+    # streamed appends replay-idempotent (see add_vectors_to_ann_index).
+    w = (
+        assigned.write.format("parquet")
+        .mode("overwrite")
+        .partitionBy("cell", "batch")
+    )
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
@@ -159,7 +169,13 @@ def build_ann_index(
             bw = bw.option("path", path + "_codebooks")
         bw.saveAsTable(table + "_codebooks")
 
-    iw = corpus.select(id_col).write.format("parquet").mode("overwrite")
+    iw = (
+        corpus.select(id_col)
+        .withColumn("batch", F.lit("base"))
+        .write.format("parquet")
+        .mode("overwrite")
+        .partitionBy("batch")
+    )
     if path is not None:
         iw = iw.option("path", path + "_ids")
     iw.saveAsTable(table + "_ids")
@@ -386,6 +402,22 @@ def topk_pq_from_ann_index(
     )
 
 
+def _insert_dynamic(df: DataFrame, table: str) -> None:
+    """Dynamic partition overwrite into a metastore table: replaces
+    exactly the partitions present in ``df`` (same idempotency device as
+    sinks/backfill.overwrite_partitions, via insertInto because the
+    layout lives in the metastore). insertInto binds BY POSITION —
+    reorder to the table's column order first."""
+    spark = df.sparkSession
+    cols = spark.table(table).columns
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.select(*cols).write.insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def add_vectors_to_ann_index(
     delta: DataFrame,
     table: str,
@@ -393,17 +425,34 @@ def add_vectors_to_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     check_new_ids: bool = True,
+    batch_label: str | None = None,
 ) -> None:
     """Merge a delta of NEW vectors: assign against the STORED centroids
     (map-only over the delta — the quantizer is frozen with the layout,
-    so merged cells are identical to a rebuild under the same centroids),
-    append the assigned rows into the existing cell partitions, and roll
-    the id relation forward. O(delta) compute and write; history files
-    untouched. ``check_new_ids`` semi-joins the delta ids against the
-    O(n) ``<table>_ids`` relation (broadcast, map-only)."""
+    so merged cells are identical to a rebuild under the same centroids;
+    a PQ layout also encodes under the stored codebooks), land the rows
+    in the existing cell partitions, and roll the id relation forward.
+    O(delta) compute and write; history files untouched.
+
+    Two landing modes:
+    - ``batch_label=None`` (curated batch merge): plain append under the
+      "delta" batch partition, guarded by ``check_new_ids`` — a broadcast
+      semi-join of the delta ids against the O(n) ``<table>_ids``
+      relation.
+    - ``batch_label="..."`` (streaming/replayable merge): DYNAMIC
+      PARTITION OVERWRITE of exactly the (cell=*, batch=label)
+      partitions — re-running the same labeled delta (micro-batch replay
+      after a crash, a partially-written batch) converges to the same
+      content instead of duplicating it. Labels must be unique per
+      logical batch (the streaming sink uses the micro-batch id). The id
+      guard and replay cannot compose (a replay IS a re-add), so labeled
+      merges force ``check_new_ids=False`` semantics upstream: dedupe
+      ids before the sink (pipelines/ingest_dedup's gate shape) if the
+      source can repeat them.
+    """
     spark = delta.sparkSession
     delta_ids = delta.select(id_col)
-    if check_new_ids:
+    if check_new_ids and batch_label is None:
         clash = (
             spark.table(table + "_ids")
             .join(F.broadcast(delta_ids.distinct()), id_col, "left_semi")
@@ -424,11 +473,63 @@ def add_vectors_to_ann_index(
         if "code" in spark.table(table).columns
         else None
     )
-    assigned = _assign_cells(delta, cent, id_col, vec_col, codebooks=books)
-    (
-        assigned.write.format("parquet")
-        .mode("append")
-        .partitionBy("cell")
-        .saveAsTable(table)
+    label = batch_label if batch_label is not None else "delta"
+    assigned = _assign_cells(
+        delta, cent, id_col, vec_col, codebooks=books
+    ).withColumn("batch", F.lit(label))
+    ids_out = delta_ids.withColumn("batch", F.lit(label))
+    if batch_label is not None:
+        _insert_dynamic(assigned, table)
+        _insert_dynamic(ids_out, table + "_ids")
+    else:
+        (
+            assigned.write.format("parquet")
+            .mode("append")
+            .partitionBy("cell", "batch")
+            .saveAsTable(table)
+        )
+        (
+            ids_out.write.format("parquet")
+            .mode("append")
+            .partitionBy("batch")
+            .saveAsTable(table + "_ids")
+        )
+
+
+def start_ann_index_sink(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ANN index maintenance: each micro-batch of new vectors
+    is assigned (and PQ-encoded if the layout stores codes) against the
+    frozen quantizer and landed under ``batch=b<id>`` via dynamic
+    partition overwrite — effectively exactly-once, because a replayed
+    micro-batch overwrites its own partitions with identical content
+    (the same convergence device as sinks/backfill's matviews). Serving
+    sees new vectors as soon as the batch lands; cell pruning is
+    unaffected (cell stays the leading partition level). Upstream owns
+    id uniqueness (compose with pipelines/ingest_dedup's gate when the
+    source can repeat ids — a replay is indistinguishable from a re-add,
+    so the in-merge guard is structurally off here)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_vectors_to_ann_index(
+            batch_df,
+            table,
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_label=f"b{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
-    delta_ids.write.format("parquet").mode("append").saveAsTable(table + "_ids")

@@ -191,6 +191,78 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir, tmp_path):
         _drop(spark, "pqp_ann")
 
 
+def test_labeled_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
+    """A labeled merge must converge under replay: landing the SAME
+    logical batch twice (micro-batch redelivery after a crash) leaves the
+    index content — rows AND ids — exactly as after the first landing,
+    because the batch dynamic-overwrites its own (cell, batch) partitions
+    instead of appending."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    try:
+        build_ann_index(base, "rep_ann", path=str(tmp_path / "rep"))
+
+        def snap():
+            return {
+                "rows": sorted(
+                    (r.vec_id, int(r.cell), r.batch)
+                    for r in spark.table("rep_ann").collect()
+                ),
+                "ids": sorted(
+                    (r.vec_id, r.batch)
+                    for r in spark.table("rep_ann_ids").collect()
+                ),
+            }
+
+        add_vectors_to_ann_index(delta, "rep_ann", batch_label="b7")
+        first = snap()
+        assert any(b == "b7" for _, _, b in first["rows"])
+        add_vectors_to_ann_index(delta, "rep_ann", batch_label="b7")  # replay
+        assert snap() == first
+    finally:
+        _drop(spark, "rep_ann")
+
+
+def test_streaming_sink_maintains_index(spark, sf_dir, tmp_path):
+    """File-source stream of new vectors through start_ann_index_sink:
+    the maintained index must serve row-for-row what a batch build over
+    the full corpus serves (same frozen centroids)."""
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        start_ann_index_sink,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cent = S.train_ivf_centroids(base)
+    q = _queries(emb)
+    src = str(tmp_path / "src")
+    delta.select("vec_id", "embedding").write.parquet(src)
+    try:
+        build_ann_index(base, "str_ann", centroids=cent, path=str(tmp_path / "str"))
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)  # several micro-batches
+            .parquet(src)
+        )
+        qy = start_ann_index_sink(
+            stream, "str_ann", str(tmp_path / "ckpt")
+        )
+        qy.awaitTermination()
+        build_ann_index(emb, "strf_ann", centroids=cent, path=str(tmp_path / "strf"))
+        assert sorted(
+            (r.vec_id, int(r.cell)) for r in spark.table("str_ann").collect()
+        ) == sorted(
+            (r.vec_id, int(r.cell)) for r in spark.table("strf_ann").collect()
+        )
+        assert _rows(topk_from_ann_index(spark, "str_ann", q, TOP_K)) == _rows(
+            topk_from_ann_index(spark, "strf_ann", q, TOP_K)
+        )
+    finally:
+        _drop(spark, "str_ann", "strf_ann")
+
+
 def test_pq_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
     """Appending under frozen centroids AND codebooks must reproduce the
     rebuilt layout byte-for-byte, stored code bytes included."""
