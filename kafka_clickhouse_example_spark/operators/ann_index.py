@@ -14,22 +14,30 @@ Amortized serving writes the assignment once:
 - ``<table>_centroids``: the (k_cells x dim) coarse quantizer, stored so
   serving and incremental adds reuse the EXACT trained centroids (cell
   assignment must never drift from the layout);
+- ``<table>_codebooks`` (pq=True): residual PQ codebooks; each row then
+  also stores its M-byte code, and ``topk_pq_from_ann_index`` ADC-scans
+  reading (id, cell, code) only — per-candidate IO is the code bytes,
+  vectors are read just for the shortlist rerank (IVFADC);
 - ``<table>_ids``: the indexed id set — the O(n) append-only guard,
   the same device as retrieval's ``<table>_docs``.
 
 Incremental add is the asymmetric shape (dedup.incremental_minhash_pairs,
-retrieval.update_term_index): assigning a delta is a map-only pass over
-the DELTA against broadcast centroids; history is never rescanned or
-rewritten (new files land in existing cell=... partition directories).
+retrieval.update_term_index): assigning (and encoding) a delta is a
+map-only pass over the DELTA against broadcast centroids/codebooks;
+history is never rescanned or rewritten. ``start_ann_index_sink``
+maintains the index from a stream with replay-idempotent landings: each
+micro-batch dynamic-overwrites its own (cell, batch=b<id>) partitions,
+so redelivery converges instead of duplicating.
 
-Scale honesty: the cell layout freezes the quantizer. A corpus whose
-distribution drifts far from the training sample degrades recall and the
-fix is a rebuild (or a staged re-layout cell by cell) — the standard IVF
-operational trade, documented rather than hidden.
+Scale honesty: the cell layout freezes the quantizer (and codebooks). A
+corpus whose distribution drifts far from the training sample degrades
+recall and the fix is a rebuild (or a staged re-layout cell by cell) —
+the standard IVF operational trade, documented rather than hidden.
 
 No SQL oracle (k-means training is not SQL-expressible — same contract
-as sim_topk_ivf); certified by row-for-row parity with the live
-topk_ivf path plus plan pins, tests/test_ann_index.py.
+as sim_topk_ivf/sim_topk_ivfpq); certified by row-for-row parity with
+the live topk_ivf AND topk_ivfpq paths plus plan pins,
+tests/test_ann_index.py.
 """
 
 from __future__ import annotations
