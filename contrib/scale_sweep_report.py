@@ -41,10 +41,13 @@ def main() -> None:
         return round(finite[min(len(finite) - 1, int(p * len(finite)))], 2)
 
     print(f"queries: {len(rows)}  failed: {sum(1 for r in rows if r[0] == float('inf'))}")
-    print(
-        f"wall-ratio distribution (sf1/sf0.1, 10x input): "
-        f"p50={pct(0.5)} p75={pct(0.75)} p90={pct(0.9)} p95={pct(0.95)} max={round(finite[-1], 2)}"
-    )
+    if finite:
+        print(
+            f"wall-ratio distribution (sf1/sf0.1, 10x input): "
+            f"p50={pct(0.5)} p75={pct(0.75)} p90={pct(0.9)} p95={pct(0.95)} max={round(finite[-1], 2)}"
+        )
+    else:
+        print("wall-ratio distribution: no successful pairs (all FAIL)")
     print()
     print("| query | sf0.1 s | sf1 s | wall ratio | rows sf0.1 | rows sf1 | row ratio |")
     print("|---|---|---|---|---|---|---|")

@@ -49,7 +49,13 @@ from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.similarity import (
     IVF_NPROBE,
+    IVF_SAMPLE,
     PQ_SHORTLIST_MULT,
+    _adc_scan,
+    _adc_tables,
+    _ivf_cosine_scan,
+    _md5_ordered_sample,
+    _probe_members,
     _sq_dists,
     _sq_dists_sub,
     as_double,
@@ -129,12 +135,20 @@ def build_ann_index(
     (id, cell, code) ONLY, never the vector column (column pruning), and
     full vectors are read just for the shortlist rerank."""
     spark = corpus.sparkSession
+    # One bounded collect feeds both trainers (the sim_topk_ivfpq device:
+    # "one collect, not two") — the values are bit-identical to each
+    # trainer collecting its own sample, so live-path parity holds.
+    sample = None
+    if centroids is None or (pq and codebooks is None):
+        sample = _md5_ordered_sample(corpus, id_col, vec_col, IVF_SAMPLE)
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, id_col=id_col, vec_col=vec_col)
+        centroids = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, sample=sample
+        )
     cent = np.asarray(centroids, dtype=np.float64)
     if pq and codebooks is None:
         codebooks = train_pq_codebooks_residual(
-            corpus, cent, id_col=id_col, vec_col=vec_col
+            corpus, cent, id_col=id_col, vec_col=vec_col, sample=sample
         )
 
     assigned = _assign_cells(
@@ -219,50 +233,15 @@ def topk_from_ann_index(
     qmat = np.stack(
         [np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]]
     )
-    qd2 = _sq_dists(qmat, cent, cent_n2)
-    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
     qnorm = np.linalg.norm(qmat, axis=1)
-    member = np.zeros((len(qids), cent.shape[0]), dtype=bool)
-    for i in range(len(qids)):
-        member[i, probe[i]] = True
-    probed_cells = sorted({int(c) for row in probe for c in row})
+    member, probed_cells = _probe_members(qmat, cent, cent_n2, nprobe)
 
-    def scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["cell"].to_numpy()  # materialized — no re-assign
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            norms = np.linalg.norm(m, axis=1)
-            outs = []
-            for i in range(len(qids)):
-                mask = member[i, cells] & (ids != qids[i])
-                if not mask.any():
-                    continue
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (m[mask] * qmat[i][None, :]).sum(axis=1) / (
-                        norms[mask] * qnorm[i]
-                    )
-                cos = np.nan_to_num(cos, nan=-2.0)
-                cid = ids[mask]
-                if len(cos) > k:
-                    order = np.lexsort((cid, -cos))[:k]
-                    cos, cid = cos[order], cid[order]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
-                            id_col: cid,
-                            "cosine_sim": cos,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs)
-
+    scan = _ivf_cosine_scan(
+        qids, qmat, qnorm, member, k, id_col, vec_col,
+        # served path: cells read from the materialized layout — no
+        # re-assign; the scan body itself is literally topk_ivf's
+        cells_of=lambda pdf, m: pdf["cell"].to_numpy(),
+    )
     idx = spark.table(table)
     id_t = idx.schema[id_col].dataType.simpleString()
     scored = (
@@ -313,68 +292,25 @@ def topk_pq_from_ann_index(
     served rows are row-for-row the live topk_ivfpq's."""
     cent = _load_centroids(spark, table)
     books = _load_codebooks(spark, table)
-    n_sub, book_k, dsub = books.shape
-    cn2 = (books * books).sum(axis=2)
-    cent_n2 = (cent * cent).sum(axis=1)
     qids = queries_pdf["qid"].to_numpy()
     qmat = np.stack(
         [np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]]
     )
     qnorm = np.linalg.norm(qmat, axis=1)
     n_short = shortlist_mult * k
-    srange = np.arange(n_sub)
+    adc = _adc_tables(qmat, cent, books)
+    member, probed_cells = _probe_members(qmat, cent, adc["cent_n2"], nprobe)
 
-    qd2 = _sq_dists(qmat, cent, cent_n2)
-    probe = np.argsort(qd2, axis=1)[:, :nprobe]
-    member = np.zeros((len(qids), cent.shape[0]), dtype=bool)
-    for i in range(len(qids)):
-        member[i, probe[i]] = True
-    probed_cells = sorted({int(c) for row in probe for c in row})
-    lut = np.einsum("qsd,skd->qsk", qmat.reshape(len(qids), n_sub, dsub), books)
-    q_dot_cent = qmat @ cent.T
-    cent_sub = cent.reshape(cent.shape[0], n_sub, dsub)
-    cent_cross = np.einsum("csd,skd->csk", cent_sub, books)
+    def stored_cells_codes(pdf):
+        # served path: cells + codes READ from the layout (the live path
+        # derives them in-pass with the same argmin kernels — pinned)
+        cells = pdf["cell"].to_numpy()
+        codes = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
+        ).astype(np.int64)
+        return cells, codes
 
-    def scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["cell"].to_numpy()
-            codes = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
-            ).astype(np.int64)
-            r_n2 = cn2[srange[None, :], codes].sum(axis=1)
-            c_cross = cent_cross[cells[:, None], srange[None, :], codes].sum(axis=1)
-            approx_norm = np.sqrt(
-                np.maximum(cent_n2[cells] + 2.0 * c_cross + r_n2, 1e-12)
-            )
-            outs = []
-            for i in range(len(qids)):
-                mask = member[i, cells] & (ids != qids[i])
-                if not mask.any():
-                    continue
-                adot = (
-                    q_dot_cent[i, cells[mask]]
-                    + lut[i][srange[None, :], codes[mask]].sum(axis=1)
-                )
-                acos = adot / (approx_norm[mask] * qnorm[i])
-                cid = ids[mask]
-                if len(cid) > n_short:
-                    order = np.lexsort((cid, -acos))[:n_short]
-                    acos, cid = acos[order], cid[order]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
-                            id_col: cid,
-                            "approx_cos": acos,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs)
-
+    scan = _adc_scan(qids, qnorm, member, n_short, id_col, adc, stored_cells_codes)
     idx = spark.table(table)
     id_t = idx.schema[id_col].dataType.simpleString()
     pruned = idx.filter(F.col("cell").isin(probed_cells))
@@ -458,6 +394,14 @@ def add_vectors_to_ann_index(
       ids before the sink (pipelines/ingest_dedup's gate shape) if the
       source can repeat them.
     """
+    if batch_label in ("base", "delta"):
+        raise ValueError(
+            f"add_vectors_to_ann_index: batch_label {batch_label!r} is "
+            "reserved ('base' = the build layout, 'delta' = curated "
+            "appends) — a labeled merge dynamic-overwrites its own "
+            "partitions, so reusing a reserved label would silently "
+            "destroy previously landed vectors"
+        )
     spark = delta.sparkSession
     delta_ids = delta.select(id_col)
     if check_new_ids and batch_label is None:

@@ -147,6 +147,22 @@ def build_term_index(
     docw.saveAsTable(table + "_docs")
 
 
+def _external_location(spark: SparkSession, table: str) -> str | None:
+    """Location of ``table`` IF it is an external table, else None.
+
+    An overwrite via saveAsTable drops and recreates the table; without
+    re-supplying the path, a path-built (external) side table would be
+    silently recreated MANAGED in the warehouse, leaving stale parquet at
+    the published location for any path-based consumer (review finding).
+    Managed tables return None — recreating them managed is the status quo.
+    """
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    if info.get("Type", "").upper() != "EXTERNAL":
+        return None
+    return info.get("Location")
+
+
 def update_term_index(
     delta_docs: DataFrame,
     table: str,
@@ -236,7 +252,13 @@ def update_term_index(
         .agg(F.sum("df").cast("bigint").alias("df"))
         .localCheckpoint(eager=True)
     )
-    merged_df.write.format("parquet").mode("overwrite").saveAsTable(table + "_terms")
+    # Overwrites recreate the table: keep a path-built side table at its
+    # published location (external stays external, see _external_location).
+    tw = merged_df.write.format("parquet").mode("overwrite")
+    terms_loc = _external_location(spark, table + "_terms")
+    if terms_loc is not None:
+        tw = tw.option("path", terms_loc)
+    tw.saveAsTable(table + "_terms")
 
     n_delta = delta_docs.count()
     delta_sum = delta_postings.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
@@ -258,7 +280,11 @@ def update_term_index(
         (F.col("sum_dl").cast("double") / F.lit(float(row.n_docs))).alias("avgdl"),
         "sum_dl",
     )
-    final_stats.write.format("parquet").mode("overwrite").saveAsTable(table + "_stats")
+    sw = final_stats.write.format("parquet").mode("overwrite")
+    stats_loc = _external_location(spark, table + "_stats")
+    if stats_loc is not None:
+        sw = sw.option("path", stats_loc)
+    sw.saveAsTable(table + "_stats")
 
     # Roll the id relation forward (append-only, O(delta) rows) so the
     # NEXT merge's guard sees these docs — including NULL-text ones.

@@ -359,6 +359,155 @@ def _sq_dists_sub(sub, books, books_n2):
     )
 
 
+def _probe_members(qmat, cent, cent_n2, nprobe: int):
+    """Per-query probed-cell membership, shared by every IVF path (live
+    and served): (Q, cells) boolean matrix + the sorted union of probed
+    cell ids (the served paths' partition-pruning predicate)."""
+    import numpy as np
+
+    qd2 = _sq_dists(qmat, cent, cent_n2)
+    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    member = np.zeros((qmat.shape[0], cent.shape[0]), dtype=bool)
+    for i in range(qmat.shape[0]):
+        member[i, probe[i]] = True
+    probed = sorted({int(c) for row in probe for c in row})
+    return member, probed
+
+
+def _ivf_cosine_scan(qids, qmat, qnorm, member, k: int, id_col: str,
+                     vec_col: str, cells_of):
+    """THE IVF cosine scan body — one definition for the live path
+    (``topk_ivf``, cells re-assigned per batch) and the served path
+    (``ann_index.topk_from_ann_index``, cells read from the materialized
+    layout), differing ONLY in ``cells_of(pdf, m) -> (B,) cell ids``. The
+    served-vs-live row-for-row parity contract depends on this body being
+    literally shared (review finding: it was copy-pasted, the same drift
+    risk _sq_dists was extracted for).
+
+    Elementwise product-sum (not matvec) so every reported cosine is
+    bit-identical to the pairwise fold kernel the recall tests compare
+    against; zero-norm rows get the -2.0 sentinel (rank last, never
+    NaN-first); per-batch top-k prefilter under the (cosine desc, id)
+    order is subset-safe, so each scan task emits at most Q*k rows.
+    """
+    import numpy as np
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = cells_of(pdf, m)
+            norms = np.linalg.norm(m, axis=1)
+            outs = []
+            for i in range(len(qids)):
+                mask = member[i, cells] & (ids != qids[i])
+                if not mask.any():
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m[mask] * qmat[i][None, :]).sum(axis=1) / (
+                        norms[mask] * qnorm[i]
+                    )
+                cos = np.nan_to_num(cos, nan=-2.0)
+                cid = ids[mask]
+                if len(cos) > k:
+                    order = np.lexsort((cid, -cos))[:k]
+                    cos, cid = cos[order], cid[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
+                            id_col: cid,
+                            "cosine_sim": cos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return scan
+
+
+def _adc_tables(qmat, cent, books):
+    """Query-side ADC lookup tables shared by live and served IVFADC:
+    dot(q, centroid + residual) decomposes into dot(q, centroid) +
+    sum_m LUT[q][m, code_m], and the candidate's approx norm into
+    ||c||^2 + 2*<c_m, r_m> + ||r_m||^2 summed over subspaces."""
+    import numpy as np
+
+    n_sub, book_k, dsub = books.shape
+    cn2 = (books * books).sum(axis=2)  # (M, K)
+    cent_n2 = (cent * cent).sum(axis=1)  # (C,)
+    srange = np.arange(n_sub)
+    lut = np.einsum("qsd,skd->qsk", qmat.reshape(len(qmat), n_sub, dsub), books)
+    q_dot_cent = qmat @ cent.T  # (Q, C)
+    cent_sub = cent.reshape(cent.shape[0], n_sub, dsub)
+    cent_cross = np.einsum("csd,skd->csk", cent_sub, books)  # (C, M, K)
+    return {
+        "cn2": cn2,
+        "cent_n2": cent_n2,
+        "srange": srange,
+        "lut": lut,
+        "q_dot_cent": q_dot_cent,
+        "cent_cross": cent_cross,
+    }
+
+
+def _adc_scan(qids, qnorm, member, n_short: int, id_col: str, adc,
+              cells_codes_of):
+    """THE ADC shortlist scan body — one definition for the live path
+    (``topk_ivfpq``, cells + residual codes derived in-pass) and the
+    served path (``ann_index.topk_pq_from_ann_index``, cells + codes read
+    from the stored layout), differing ONLY in
+    ``cells_codes_of(pdf) -> (cells, codes)``. Emits each batch's local
+    approx top-``n_short`` per query (subset-safe under (score desc, id));
+    the caller exactly rescores the global shortlist."""
+    import numpy as np
+
+    cn2, cent_n2, srange = adc["cn2"], adc["cent_n2"], adc["srange"]
+    lut, q_dot_cent, cent_cross = adc["lut"], adc["q_dot_cent"], adc["cent_cross"]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells, codes = cells_codes_of(pdf)
+            r_n2 = cn2[srange[None, :], codes].sum(axis=1)
+            c_cross = cent_cross[cells[:, None], srange[None, :], codes].sum(axis=1)
+            approx_norm = np.sqrt(
+                np.maximum(cent_n2[cells] + 2.0 * c_cross + r_n2, 1e-12)
+            )
+            outs = []
+            for i in range(len(qids)):
+                mask = member[i, cells] & (ids != qids[i])
+                if not mask.any():
+                    continue
+                adot = (
+                    q_dot_cent[i, cells[mask]]
+                    + lut[i][srange[None, :], codes[mask]].sum(axis=1)
+                )
+                acos = adot / (approx_norm[mask] * qnorm[i])
+                cid = ids[mask]
+                if len(cid) > n_short:
+                    order = np.lexsort((cid, -acos))[:n_short]
+                    acos, cid = acos[order], cid[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
+                            id_col: cid,
+                            "approx_cos": acos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return scan
+
+
 def _subspace_kmeans(mat, subspaces: int, codebook_k: int, iters: int):
     """Deterministic per-subspace Lloyd (subspaces=1 == plain k-means):
     seeds are the first k sample rows, fixed ``iters`` rounds, empty
@@ -391,6 +540,7 @@ def train_ivf_centroids(
     k: int = IVF_K,
     iters: int = IVF_ITERS,
     sample_size: int = IVF_SAMPLE,
+    sample=None,
 ):
     """Deterministic k-means coarse quantizer for IVF ANN.
 
@@ -400,9 +550,15 @@ def train_ivf_centroids(
     indexes) with the shared fixed-iteration Lloyd (``_subspace_kmeans``
     at subspaces=1), so the same data always yields the same centroids
     regardless of partitioning. Returns a (k, dim) float64 numpy array,
-    small enough to broadcast into every scoring task.
+    small enough to broadcast into every scoring task. Pass ``sample`` to
+    reuse an already-collected ``_md5_ordered_sample`` matrix (same device
+    as train_pq_codebooks_residual — one collect feeds both trainers).
     """
-    mat = _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
+    mat = (
+        sample
+        if sample is not None
+        else _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
+    )
     return _subspace_kmeans(mat, 1, k, iters)[0]
 
 
@@ -449,52 +605,14 @@ def topk_ivf(
     cent_n2 = (cent * cent).sum(axis=1)  # hoisted out of the batch loop
     qids = queries_pdf["qid"].to_numpy()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
-    qd2 = _sq_dists(qmat, cent, cent_n2)
-    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
     qnorm = np.linalg.norm(qmat, axis=1)
-    member = np.zeros((len(qids), cent.shape[0]), dtype=bool)  # (Q, cells)
-    for i in range(len(qids)):
-        member[i, probe[i]] = True
+    member, _ = _probe_members(qmat, cent, cent_n2, nprobe)
 
-    def scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            cells = _sq_dists(m, cent, cent_n2).argmin(axis=1)
-            norms = np.linalg.norm(m, axis=1)
-            outs = []
-            for i in range(len(qids)):
-                mask = member[i, cells] & (ids != qids[i])
-                if not mask.any():
-                    continue
-                # Elementwise product-sum (not matvec) so every reported
-                # cosine is bit-identical to the pairwise kernel the recall
-                # test compares against (BLAS matvec reorders the sum).
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (m[mask] * qmat[i][None, :]).sum(axis=1) / (
-                        norms[mask] * qnorm[i]
-                    )
-                # zero-norm sentinel: rank last, never NaN-first (see
-                # lsh prefilter note)
-                cos = np.nan_to_num(cos, nan=-2.0)
-                cid = ids[mask]
-                if len(cos) > k:
-                    order = np.lexsort((cid, -cos))[:k]
-                    cos, cid = cos[order], cid[order]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
-                            id_col: cid,
-                            "cosine_sim": cos,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs)
-
+    scan = _ivf_cosine_scan(
+        qids, qmat, qnorm, member, k, id_col, vec_col,
+        # live path: cells re-assigned per batch with the shared kernel
+        cells_of=lambda pdf, m: _sq_dists(m, cent, cent_n2).argmin(axis=1),
+    )
     scored = corpus.select(id_col, vec_col).mapInPandas(
         scan, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, cosine_sim double"
     )
@@ -707,69 +825,20 @@ def topk_ivfpq(
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
     qnorm = np.linalg.norm(qmat, axis=1)  # hoisted out of the (query, batch) loop
     n_short = shortlist_mult * k
-    cn2 = (books * books).sum(axis=2)  # (M, K)
-    cent_n2 = (cent * cent).sum(axis=1)  # (C,) — shared by probe + scan + norms
-    srange = np.arange(n_sub)
+    adc = _adc_tables(qmat, cent, books)
+    cn2, cent_n2 = adc["cn2"], adc["cent_n2"]
+    member, _ = _probe_members(qmat, cent, cent_n2, nprobe)
 
-    # per-query probed cells
-    qd2 = _sq_dists(qmat, cent, cent_n2)
-    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
-    member = np.zeros((len(qids), cent.shape[0]), dtype=bool)
-    for i in range(len(qids)):
-        member[i, probe[i]] = True
-    # ADC tables per (query, cell): dot(q, centroid + residual) =
-    # dot(q, centroid) + sum_m LUT[q][m, code_m] with LUT built from q
-    # against the codebooks (residual decomposition).
-    lut = np.einsum("qsd,skd->qsk", qmat.reshape(len(qids), n_sub, dsub), books)
-    q_dot_cent = qmat @ cent.T  # (Q, C)
-    cent_sub = cent.reshape(cent.shape[0], n_sub, dsub)
-    # centroid/code cross terms for the approx norm of (centroid + residual):
-    # ||x||^2 ~ ||c||^2 + 2*<c_m, r_m> + ||r_m||^2 summed over subspaces
-    cent_cross = np.einsum("csd,skd->csk", cent_sub, books)  # (C, M, K)
+    def derive_cells_codes(pdf):
+        # live path: cells + residual codes derived in-pass (the served
+        # layout stores exactly these — same argmin kernels, pinned)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        cells = _sq_dists(m, cent, cent_n2).argmin(axis=1)  # (B,)
+        resid = (m - cent[cells]).reshape(len(m), n_sub, dsub)
+        codes = _sq_dists_sub(resid, books, cn2).argmin(axis=2)  # (B, M)
+        return cells, codes
 
-    def scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            cells = _sq_dists(m, cent, cent_n2).argmin(axis=1)  # (B,)
-            resid = (m - cent[cells]).reshape(len(ids), n_sub, dsub)
-            codes = _sq_dists_sub(resid, books, cn2).argmin(axis=2)  # (B, M)
-            # approx reconstruction terms per row
-            r_n2 = cn2[srange[None, :], codes].sum(axis=1)  # ||r~||^2
-            c_cross = cent_cross[cells[:, None], srange[None, :], codes].sum(axis=1)
-            approx_norm = np.sqrt(
-                np.maximum(cent_n2[cells] + 2.0 * c_cross + r_n2, 1e-12)
-            )
-            outs = []
-            for i in range(len(qids)):
-                mask = member[i, cells] & (ids != qids[i])
-                if not mask.any():
-                    continue
-                adot = (
-                    q_dot_cent[i, cells[mask]]
-                    + lut[i][srange[None, :], codes[mask]].sum(axis=1)
-                )
-                acos = adot / (
-                    approx_norm[mask] * qnorm[i]
-                )
-                cid = ids[mask]
-                if len(cid) > n_short:
-                    order = np.lexsort((cid, -acos))[:n_short]
-                    acos, cid = acos[order], cid[order]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.full(len(cid), qids[i], dtype=np.int64),
-                            id_col: cid,
-                            "approx_cos": acos,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs)
-
+    scan = _adc_scan(qids, qnorm, member, n_short, id_col, adc, derive_cells_codes)
     approx = corpus.select(id_col, vec_col).mapInPandas(
         scan, schema=f"qid long, {id_col} {corpus.schema[id_col].dataType.simpleString()}, approx_cos double"
     )

@@ -99,6 +99,16 @@ def kmv_build_grouped(
     is bounded at KMV_SALT*k rows INDEPENDENT of P. Equivalence with the
     naive window is pinned by tests/test_sketches.py.
     """
+    # Reserved internal names: fail with the real cause instead of a
+    # duplicate-column AnalysisException ('h') or a silently-dropped group
+    # key ('_rn') — the same guard ranking/packing grew for ADVICE r5.
+    clashes = {"h", "_rn"} & set(group_cols)
+    if clashes:
+        raise ValueError(
+            f"kmv_build_grouped: group column(s) {sorted(clashes)} clash "
+            "with reserved internal names ('h', '_rn') — rename them "
+            "before sketching"
+        )
     hashed = df.select(
         *group_cols, kmv_hash(F.col(key_col)).alias("h")
     ).distinct()

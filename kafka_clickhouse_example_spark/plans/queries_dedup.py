@@ -1081,6 +1081,11 @@ def dedup_reach3_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("h")
     spokes = (
         docs.select("doc_id", F.md5("text").alias("h"))
+        # NULL text -> NULL hash: the oracle's spokes join (g.h = c.h)
+        # never matches NULL, so NULL-text docs form no duplicate group
+        # there; the window would lump them into ONE partition. Drop them
+        # before grouping to keep the equi-join semantics.
+        .filter(F.col("h").isNotNull())
         .withColumn("canonical", F.min("doc_id").over(w))
         .withColumn("gsize", F.count(F.lit(1)).over(w))
         .filter((F.col("gsize") > 1) & (F.col("doc_id") != F.col("canonical")))

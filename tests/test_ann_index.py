@@ -128,6 +128,17 @@ def test_incremental_add_rejects_existing_ids(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS dup_ann{suffix}")
 
 
+def test_labeled_merge_rejects_reserved_labels(spark, sf_dir):
+    """'base' (the build layout) and 'delta' (curated appends) are internal
+    partition labels; a labeled merge dynamic-overwrites its own
+    partitions, so reusing them would silently destroy landed vectors
+    (review finding) — must raise before touching any table."""
+    emb = _emb(spark, sf_dir).limit(5)
+    for label in ("base", "delta"):
+        with pytest.raises(ValueError, match="reserved"):
+            add_vectors_to_ann_index(emb, "no_such_ann", batch_label=label)
+
+
 # --- PQ (IVFADC) layout ------------------------------------------------------
 
 

@@ -196,6 +196,40 @@ def test_containment_tie_breaks_by_doc_id(spark):
     assert got[0].containment == 1.0
 
 
+def test_reach3_null_text_matches_oracle(spark):
+    """NULL-text docs must form NO duplicate group: the oracle's spokes
+    join (g.h = c.h) never matches a NULL hash, while the Spark window
+    over md5(text) would lump every NULL hash into ONE partition and
+    emit a phantom group (review finding). End-to-end parity on a corpus
+    with two NULL-text docs: the registered query vs DuckDB running the
+    registered oracle."""
+    import tempfile
+
+    import duckdb
+
+    from kafka_clickhouse_example_spark.plans.queries_dedup import (
+        _REACH3_ORACLE,
+        dedup_reach3_sql_recursive,
+    )
+
+    rows = [(1, "dup a"), (2, "dup a"), (3, None), (4, None), (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = sorted(
+            (r.canonical_id, r.n_reachable)
+            for r in dedup_reach3_sql_recursive(spark, d).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{d}/documents.parquet/*.parquet')"
+        )
+        want = sorted(tuple(r) for r in con.execute(_REACH3_ORACLE).fetchall())
+        con.close()
+    assert got == want == [(1, 1)]
+
+
 def test_reach3_star_edges_linear_in_group_size(spark):
     """The recursive-CTE demo's edge relation is canonical-star: a
     duplicate group of size g contributes 2*(g-1) edges (doc <-> group

@@ -177,6 +177,51 @@ def test_incremental_update_matches_fresh_rebuild(spark, sf_dir):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
+def test_incremental_update_keeps_external_side_tables(spark, sf_dir):
+    """A path-built index publishes its side tables at <path>_terms /
+    <path>_stats; the merge's overwrite recreates those tables and must
+    keep them EXTERNAL at the same location — without re-supplying the
+    path they silently migrate into the warehouse and the published
+    parquet goes stale for path-based consumers (review finding)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators.retrieval import (
+        update_term_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            build_term_index(base, "ext_idx", buckets=4, path=d + "/ext")
+            update_term_index(delta, "ext_idx", buckets=4)
+            for suffix in ("_terms", "_stats"):
+                table_rows = sorted(
+                    tuple(r) for r in spark.table("ext_idx" + suffix).collect()
+                )
+                path_rows = sorted(
+                    tuple(r)
+                    for r in spark.read.parquet(d + "/ext" + suffix).collect()
+                )
+                assert table_rows == path_rows, suffix
+                info = {
+                    r.col_name: r.data_type
+                    for r in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED ext_idx{suffix}"
+                    ).collect()
+                }
+                assert info["Type"].upper() == "EXTERNAL", suffix
+            # the merged stats at the published path reflect the delta
+            srow = spark.read.parquet(d + "/ext_stats").first()
+            assert srow.n_docs == base.count() + delta.count()
+        finally:
+            for suffix in ("", "_terms", "_stats", "_docs"):
+                spark.sql(f"DROP TABLE IF EXISTS ext_idx{suffix}")
+
+
 def test_incremental_update_rejects_existing_ids(spark, sf_dir):
     """Append-only contract: a delta re-using an indexed doc_id must raise
     (updates are delete + re-add, the SCD2 rule), not silently double-count."""

@@ -160,12 +160,17 @@ def test_kmv_grouped_two_phase_equals_single_window(spark):
     from pyspark.sql import Window
 
     k = 8
-    # g0: 3 distinct keys (< k); g1: 20 (> k, < SALT*k); g2: 600 (>> SALT*k/32)
+    # Keys derive from floor(id/3), which is INDEPENDENT of the id%3 group
+    # split (id%X with X a multiple of 3 is not — it collapses to one
+    # residue class per group; review finding). g0: 3 distinct keys (< k);
+    # g1: 20 (> k, < SALT*k); g2: 600 (> SALT*k=256 — salt cells average
+    # ~19 > k, so phase 1's per-cell cut is load-bearing).
+    q = F.floor(F.col("id") / 3)
     df = spark.range(0, 5000).select(
         (F.col("id") % 3).cast("string").alias("g"),
-        F.when(F.col("id") % 3 == 0, F.col("id") % 3 * 1000 + F.col("id") % 3)
-        .when(F.col("id") % 3 == 1, F.col("id") % 20)
-        .otherwise(F.col("id") % 600 + 100000)
+        F.when(F.col("id") % 3 == 0, q % 3)
+        .when(F.col("id") % 3 == 1, (q % 20) + 1000)
+        .otherwise((q % 600) + 100000)
         .alias("k"),
     )
     got = SK.kmv_build_grouped(df, ["g"], "k", k=k)
@@ -181,6 +186,20 @@ def test_kmv_grouped_two_phase_equals_single_window(spark):
     assert sorted((r.g, r.h) for r in got.collect()) == sorted(
         (r.g, r.h) for r in naive.collect()
     )
+
+
+def test_kmv_grouped_rejects_reserved_group_columns(spark):
+    """Group columns named 'h' or '_rn' would collide with the sketch's
+    internal columns (duplicate-column error / silently-dropped key) —
+    the guard must raise the named error instead (same contract as
+    ranking/packing, ADVICE r5)."""
+    import pytest as _pytest
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("h"), (F.col("id") % 3).alias("v")
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        SK.kmv_build_grouped(df, ["h"], "v", k=4)
 
 
 def test_kmv_exact_mode_below_k(spark):
