@@ -19,7 +19,13 @@ Amortized serving writes the assignment once:
   reading (id, cell, code) only — per-candidate IO is the code bytes,
   vectors are read just for the shortlist rerank (IVFADC);
 - ``<table>_ids``: the indexed id set — the O(n) append-only guard,
-  the same device as retrieval's ``<table>_docs``.
+  the same device as retrieval's ``<table>_docs``;
+- ``<table>_deletes``: the tombstone id set — ``delete_vectors_from_
+  ann_index`` appends O(delta), serving anti-joins it (deletes visible
+  immediately), and ``compact_ann_index`` rewrites only the partitions
+  that contain tombstoned rows before resetting it. Deletes are id-level
+  metadata until a maintenance window — the Lucene/FAISS shape — which
+  completes the documented "delete + re-add" update contract.
 
 Incremental add is the asymmetric shape (dedup.incremental_minhash_pairs,
 retrieval.update_term_index): assigning (and encoding) a delta is a
@@ -202,12 +208,36 @@ def build_ann_index(
         iw = iw.option("path", path + "_ids")
     iw.saveAsTable(table + "_ids")
 
+    # <table>_deletes: the (initially empty) tombstone id set. Deletes
+    # append here in O(delta); serving anti-joins it; compact_ann_index
+    # physically removes the rows and resets it. Created at build time so
+    # every serving/maintenance path can assume it exists.
+    dw = corpus.select(id_col).limit(0).write.format("parquet").mode("overwrite")
+    if path is not None:
+        dw = dw.option("path", path + "_deletes")
+    dw.saveAsTable(table + "_deletes")
+
 
 def _load_centroids(spark: SparkSession, table: str) -> np.ndarray:
     """Bounded driver read: k_cells rows (256 by default), ordered by
     cell id so row index == cell id."""
     rows = spark.table(table + "_centroids").orderBy("cell").collect()
     return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+def _without_tombstones(df: DataFrame, table: str, id_col: str) -> DataFrame:
+    """Serving-time tombstone mask: anti-join the (partition-pruned) scan
+    against ``<table>_deletes`` BEFORE scoring, so a deleted vector can
+    never occupy a per-batch top-k slot and shadow a live candidate.
+    Broadcast is safe because compaction bounds the tombstone set (the
+    documented maintenance cadence: compact when the set grows past
+    broadcast scale). Indexes built before the deletes surface existed
+    lack the side table and skip the join."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table + "_deletes"):
+        return df
+    dels = spark.table(table + "_deletes").select(id_col)
+    return df.join(F.broadcast(dels), id_col, "left_anti")
 
 
 def topk_from_ann_index(
@@ -244,9 +274,11 @@ def topk_from_ann_index(
     )
     idx = spark.table(table)
     id_t = idx.schema[id_col].dataType.simpleString()
+    live = _without_tombstones(
+        idx.filter(F.col("cell").isin(probed_cells)), table, id_col
+    )
     scored = (
-        idx.filter(F.col("cell").isin(probed_cells))
-        .select(id_col, vec_col, "cell")
+        live.select(id_col, vec_col, "cell")
         .mapInPandas(scan, schema=f"qid long, {id_col} {id_t}, cosine_sim double")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -313,7 +345,9 @@ def topk_pq_from_ann_index(
     scan = _adc_scan(qids, qnorm, member, n_short, id_col, adc, stored_cells_codes)
     idx = spark.table(table)
     id_t = idx.schema[id_col].dataType.simpleString()
-    pruned = idx.filter(F.col("cell").isin(probed_cells))
+    pruned = _without_tombstones(
+        idx.filter(F.col("cell").isin(probed_cells)), table, id_col
+    )
     approx = pruned.select(id_col, "cell", "code").mapInPandas(
         scan, schema=f"qid long, {id_col} {id_t}, approx_cos double"
     )
@@ -405,6 +439,23 @@ def add_vectors_to_ann_index(
     spark = delta.sparkSession
     delta_ids = delta.select(id_col)
     if check_new_ids and batch_label is None:
+        # A pending tombstone would mask the re-added row at serve time
+        # (tombstones are id-level): the documented delete + re-add flow
+        # is delete -> compact -> add. Checked BEFORE the append-only
+        # guard so the error names the actual remedy.
+        if spark.catalog.tableExists(table + "_deletes"):
+            tomb = (
+                spark.table(table + "_deletes")
+                .join(F.broadcast(delta_ids.distinct()), id_col, "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if tomb:
+                raise ValueError(
+                    f"add_vectors_to_ann_index: delta contains {id_col} "
+                    f"{tomb[0][id_col]} with a pending tombstone — run "
+                    "compact_ann_index before re-adding a deleted id"
+                )
         clash = (
             spark.table(table + "_ids")
             .join(F.broadcast(delta_ids.distinct()), id_col, "left_semi")
@@ -446,6 +497,107 @@ def add_vectors_to_ann_index(
             .partitionBy("batch")
             .saveAsTable(table + "_ids")
         )
+
+
+def delete_vectors_from_ann_index(
+    ids: DataFrame, table: str, *, id_col: str = "vec_id"
+) -> None:
+    """Tombstone deletion — the missing half of the documented
+    "delete + re-add" update contract. O(delta): the distinct,
+    actually-indexed subset of ``ids`` (semi-join against the O(n)
+    ``<table>_ids`` relation — deleting an unknown id is a no-op, not an
+    error) APPENDS into ``<table>_deletes``; no index file is touched.
+    Serving masks tombstoned ids before scoring
+    (:func:`_without_tombstones`), so the delete is visible immediately;
+    :func:`compact_ann_index` later rewrites only the partitions that
+    contain tombstoned rows. Re-running the same delete appends duplicate
+    tombstone rows — semantically idempotent (anti-join), physically
+    deduped at compaction.
+
+    The Lucene/FAISS shape: deletes at 1e9-vector scale are id-level
+    metadata until a maintenance window, never synchronous rewrites of a
+    cell-partitioned layout.
+    """
+    spark = ids.sparkSession
+    doomed = (
+        ids.select(id_col)
+        .distinct()
+        .join(spark.table(table + "_ids").select(id_col), id_col, "left_semi")
+    )
+    doomed.write.format("parquet").mode("append").saveAsTable(table + "_deletes")
+
+
+def compact_ann_index(
+    spark: SparkSession, table: str, *, id_col: str = "vec_id"
+) -> None:
+    """Physically remove tombstoned rows and reset the tombstone set.
+
+    Rewrites ONLY the (cell, batch) partitions that actually contain a
+    tombstoned row — dynamic partition overwrite, O(affected partitions),
+    history elsewhere untouched — and the affected batch partitions of
+    ``<table>_ids`` the same way. A partition whose every row is
+    tombstoned cannot be replaced by a zero-row dynamic overwrite, so
+    fully-emptied partitions are dropped with ALTER TABLE .. DROP
+    PARTITION (bounded loop, one DDL per emptied partition). Frames that
+    read a table are localCheckpoint'ed before overwriting it
+    (self-referential overwrite rule). After compaction the deleted ids
+    are gone from ``<table>_ids`` too, so they may be re-added.
+    """
+    if not spark.catalog.tableExists(table + "_deletes"):
+        return
+    dels = (
+        spark.table(table + "_deletes")
+        .select(id_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if dels.isEmpty():
+        return
+
+    def rewrite(tbl: str, part_cols: list[str]) -> None:
+        frame = spark.table(tbl)
+        hit = (
+            frame.join(F.broadcast(dels), id_col, "left_semi")
+            .select(*part_cols)
+            .distinct()
+        )
+        affected = hit.collect()  # bounded: O(partitions containing a tombstone)
+        if not affected:
+            return
+        keep = (
+            frame.join(F.broadcast(hit), part_cols, "left_semi")
+            .join(F.broadcast(dels), id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        _insert_dynamic(keep, tbl)
+        kept = {
+            tuple(r) for r in keep.select(*part_cols).distinct().collect()
+        }
+        for r in affected:
+            if tuple(r) in kept:
+                continue
+            spec = ", ".join(
+                f"{c}='{r[c]}'" if isinstance(r[c], str) else f"{c}={r[c]}"
+                for c in part_cols
+            )
+            spark.sql(f"ALTER TABLE {tbl} DROP PARTITION ({spec})")
+
+    rewrite(table, ["cell", "batch"])
+    rewrite(table + "_ids", ["batch"])
+
+    # Reset the tombstone set (schema-preserving empty overwrite; a
+    # path-built side table must stay external at its published location
+    # — the same rule update_term_index follows).
+    from kafka_clickhouse_example_spark.operators.retrieval import (
+        _external_location,
+    )
+
+    empty = spark.table(table + "_deletes").limit(0).localCheckpoint(eager=True)
+    ew = empty.write.format("parquet").mode("overwrite")
+    loc = _external_location(spark, table + "_deletes")
+    if loc is not None:
+        ew = ew.option("path", loc)
+    ew.saveAsTable(table + "_deletes")
 
 
 def start_ann_index_sink(

@@ -43,7 +43,7 @@ def ann_index(spark, sf_dir, tmp_path_factory):
     cent = S.train_ivf_centroids(emb)
     build_ann_index(emb, "ann_idx", centroids=cent, path=str(base / "idx"))
     yield "ann_idx", cent
-    for suffix in ("", "_centroids", "_ids"):
+    for suffix in ("", "_centroids", "_ids", "_deletes"):
         spark.sql(f"DROP TABLE IF EXISTS ann_idx{suffix}")
 
 
@@ -113,7 +113,7 @@ def test_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
         )
     finally:
         for t in ("inc_ann", "full_ann"):
-            for suffix in ("", "_centroids", "_ids"):
+            for suffix in ("", "_centroids", "_ids", "_deletes"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
@@ -124,8 +124,111 @@ def test_incremental_add_rejects_existing_ids(spark, sf_dir, tmp_path):
         with pytest.raises(ValueError, match="append-only"):
             add_vectors_to_ann_index(emb.limit(5), "dup_ann")
     finally:
-        for suffix in ("", "_centroids", "_ids"):
+        for suffix in ("", "_centroids", "_ids", "_deletes"):
             spark.sql(f"DROP TABLE IF EXISTS dup_ann{suffix}")
+
+
+def test_delete_masks_serving_and_compact_removes(spark, sf_dir, tmp_path):
+    """The delete half of the "delete + re-add" contract: a tombstoned
+    vector disappears from served results IMMEDIATELY (row-for-row parity
+    with a frozen-quantizer rebuild over the corpus minus the victim),
+    stays physically present until compaction, and after compact_ann_index
+    the rows/ids are gone, tombstones reset, and the id is re-addable —
+    restoring the original serving exactly."""
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        compact_ann_index,
+        delete_vectors_from_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = S.train_ivf_centroids(emb)
+    q = _queries(emb)
+    try:
+        build_ann_index(emb, "del_ann", centroids=cent, path=str(tmp_path / "del"))
+        served0 = _rows(topk_from_ann_index(spark, "del_ann", q, TOP_K, nprobe=NPROBE))
+        victim = int(served0[0][1])  # an id that IS currently served
+        victims = emb.filter(F.col("vec_id") == victim)
+        n_all = emb.count()
+
+        delete_vectors_from_ann_index(victims.select("vec_id"), "del_ann")
+        served1 = _rows(topk_from_ann_index(spark, "del_ann", q, TOP_K, nprobe=NPROBE))
+        assert all(r[1] != victim for r in served1)
+        rest = emb.filter(F.col("vec_id") != victim)
+        build_ann_index(rest, "del_ref", centroids=cent, path=str(tmp_path / "ref"))
+        assert served1 == _rows(
+            topk_from_ann_index(spark, "del_ref", q, TOP_K, nprobe=NPROBE)
+        )
+        # tombstone only: rows still on disk until the maintenance window
+        assert spark.table("del_ann").count() == n_all
+
+        compact_ann_index(spark, "del_ann")
+        assert spark.table("del_ann").count() == n_all - 1
+        assert (
+            spark.table("del_ann_ids").filter(F.col("vec_id") == victim).count()
+            == 0
+        )
+        assert spark.table("del_ann_deletes").count() == 0
+        assert served1 == _rows(
+            topk_from_ann_index(spark, "del_ann", q, TOP_K, nprobe=NPROBE)
+        )
+        # compaction cleared the id, so delete + re-add round-trips
+        add_vectors_to_ann_index(victims, "del_ann")
+        assert served0 == _rows(
+            topk_from_ann_index(spark, "del_ann", q, TOP_K, nprobe=NPROBE)
+        )
+    finally:
+        for t in ("del_ann", "del_ref"):
+            for suffix in ("", "_centroids", "_ids", "_deletes"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_readd_before_compact_raises(spark, sf_dir, tmp_path):
+    """A pending tombstone would mask a re-added row at serve time, so
+    the curated merge must refuse the id until compaction runs."""
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        delete_vectors_from_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir).limit(50)
+    try:
+        build_ann_index(emb, "tomb_ann", path=str(tmp_path / "tomb"))
+        one = emb.limit(1)
+        delete_vectors_from_ann_index(one.select("vec_id"), "tomb_ann")
+        with pytest.raises(ValueError, match="tombstone"):
+            add_vectors_to_ann_index(one, "tomb_ann")
+    finally:
+        for suffix in ("", "_centroids", "_ids", "_deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS tomb_ann{suffix}")
+
+
+def test_compact_drops_emptied_partitions(spark, sf_dir, tmp_path):
+    """Deleting EVERY row of a (cell, batch) partition: a zero-row dynamic
+    overwrite cannot replace it, so compaction must DROP the partition —
+    otherwise the tombstoned rows silently resurface once the tombstone
+    set is reset."""
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        compact_ann_index,
+        delete_vectors_from_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    try:
+        build_ann_index(emb, "empt_ann", path=str(tmp_path / "empt"))
+        idx = spark.table("empt_ann")
+        cell = idx.groupBy("cell").count().orderBy("count", "cell").first().cell
+        members = idx.filter(F.col("cell") == cell).select("vec_id")
+        n_members, n_all = members.count(), idx.count()
+        assert n_members > 0
+        delete_vectors_from_ann_index(members, "empt_ann")
+        compact_ann_index(spark, "empt_ann")
+        after = spark.table("empt_ann")
+        assert after.count() == n_all - n_members
+        assert after.filter(F.col("cell") == cell).count() == 0
+        assert spark.table("empt_ann_ids").count() == n_all - n_members
+        assert spark.table("empt_ann_deletes").count() == 0
+    finally:
+        for suffix in ("", "_centroids", "_ids", "_deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS empt_ann{suffix}")
 
 
 def test_labeled_merge_rejects_reserved_labels(spark, sf_dir):
@@ -144,7 +247,7 @@ def test_labeled_merge_rejects_reserved_labels(spark, sf_dir):
 
 def _drop(spark, *tables):
     for t in tables:
-        for suffix in ("", "_centroids", "_codebooks", "_ids"):
+        for suffix in ("", "_centroids", "_codebooks", "_ids", "_deletes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
