@@ -146,6 +146,20 @@ def build_term_index(
         docw = docw.option("path", path + "_docs")
     docw.saveAsTable(table + "_docs")
 
+    # <table>_deletes: the (initially empty) tombstone doc_id set.
+    # delete_docs_from_term_index appends O(delta); serving anti-joins it
+    # (deleted docs vanish from results immediately); compact_term_index
+    # physically rewrites and resets it.
+    delw = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .limit(0)
+        .write.format("parquet")
+        .mode("overwrite")
+    )
+    if path is not None:
+        delw = delw.option("path", path + "_deletes")
+    delw.saveAsTable(table + "_deletes")
+
 
 def _external_location(spark: SparkSession, table: str) -> str | None:
     """Location of ``table`` IF it is an external table, else None.
@@ -201,6 +215,23 @@ def update_term_index(
     forward either way.
     """
     spark = delta_docs.sparkSession
+    if check_new_ids and spark.catalog.tableExists(table + "_deletes"):
+        # A pending tombstone would mask the re-added doc at serve time:
+        # the documented flow is delete -> compact -> add. Checked before
+        # the append-only guard so the error names the actual remedy.
+        tomb_ids = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        tomb = (
+            spark.table(table + "_deletes")
+            .join(F.broadcast(tomb_ids), "doc_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if tomb:
+            raise ValueError(
+                f"update_term_index: delta contains doc_id "
+                f"{tomb[0].doc_id} with a pending tombstone — run "
+                "compact_term_index before re-adding a deleted doc"
+            )
     a = tokens(F.col(text_col))
     toks = delta_docs.select(
         F.col(id_col).alias("doc_id"),
@@ -291,6 +322,112 @@ def update_term_index(
     delta_ids.write.format("parquet").mode("append").saveAsTable(table + "_docs")
 
 
+def _without_deleted_docs(df: DataFrame, table: str) -> DataFrame:
+    """Serving-time tombstone mask: anti-join the (bucket-pruned) postings
+    scan against ``<table>_deletes`` so deleted docs vanish from results
+    immediately. The corpus statistics (df, n_docs, avgdl) stay those of
+    the uncompacted index until :func:`compact_term_index` runs — exactly
+    Lucene's deleted-docs semantics (scores go slightly stale, results
+    never contain a deleted doc). Broadcast is safe: compaction bounds
+    the tombstone set. Indexes built before this surface existed lack the
+    side table and skip the join."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table + "_deletes"):
+        return df
+    dels = spark.table(table + "_deletes")
+    return df.join(F.broadcast(dels), "doc_id", "left_anti")
+
+
+def delete_docs_from_term_index(
+    ids: DataFrame, table: str, *, id_col: str = "doc_id"
+) -> None:
+    """Tombstone deletion — the missing half of the index's documented
+    "delete + re-add" update contract (same device as
+    ann_index.delete_vectors_from_ann_index). O(delta): the distinct,
+    actually-indexed subset of ``ids`` (semi-join against the O(n_docs)
+    ``<table>_docs`` relation — deleting an unknown doc is a no-op)
+    APPENDS into ``<table>_deletes``; no postings file is touched.
+    Serving anti-joins the set, so the doc disappears from results
+    immediately; physical removal (and the stats/df correction) happens
+    at :func:`compact_term_index`. Re-running the same delete appends
+    duplicate tombstone rows — semantically idempotent (anti-join),
+    deduped at compaction."""
+    spark = ids.sparkSession
+    doomed = (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(spark.table(table + "_docs"), "doc_id", "left_semi")
+    )
+    doomed.write.format("parquet").mode("append").saveAsTable(table + "_deletes")
+
+
+def compact_term_index(
+    spark: SparkSession, table: str, *, buckets: int = 16
+) -> None:
+    """Physically remove tombstoned documents and correct the statistics.
+
+    Postings are BUCKETED by term (bucket pruning is the serving story),
+    so unlike the cell-partitioned ANN layout there is no doc-keyed
+    partition to prune: compaction is a full postings rewrite — the
+    Lucene segment-merge cost shape, paid once per maintenance window and
+    amortized over every delete since the last one. The rewritten index
+    is ROW-IDENTICAL to build_term_index over the surviving corpus
+    (test-pinned): postings anti-joined against the tombstones, df
+    re-derived from the rewritten postings with build's exact groupBy,
+    stats recomputed with build's identical division order (n_docs from
+    the rolled-back ``_docs`` relation, which covers NULL-text docs that
+    have no postings rows), and the tombstone set reset. All overwrites
+    keep path-built side tables external at their published location.
+    """
+    if not spark.catalog.tableExists(table + "_deletes"):
+        return
+    dels = (
+        spark.table(table + "_deletes").distinct().localCheckpoint(eager=True)
+    )
+    if dels.isEmpty():
+        return
+
+    def _overwrite(df: DataFrame, tbl: str, bucketed: bool = False) -> None:
+        w = df.write.format("parquet").mode("overwrite")
+        if bucketed:
+            w = w.bucketBy(buckets, "term").sortBy("term")
+        loc = _external_location(spark, tbl)
+        if loc is not None:
+            w = w.option("path", loc)
+        w.saveAsTable(tbl)
+
+    cols = spark.table(table).columns
+    keep_postings = (
+        spark.table(table)
+        .join(F.broadcast(dels), "doc_id", "left_anti")
+        .select(*cols)  # the join fronts doc_id; keep build's column order
+        .localCheckpoint(eager=True)  # self-referential overwrite rule
+    )
+    _overwrite(keep_postings, table, bucketed=True)
+
+    written = spark.table(table)
+    dfreq = written.groupBy("term").agg(F.count("*").alias("df"))
+    _overwrite(dfreq.localCheckpoint(eager=True), table + "_terms")
+
+    keep_docs = (
+        spark.table(table + "_docs")
+        .join(F.broadcast(dels), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = keep_docs.count()
+    per_doc = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    stats = per_doc.agg(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.lit(float(n_docs))).alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    )
+    _overwrite(stats.localCheckpoint(eager=True), table + "_stats")
+    _overwrite(keep_docs, table + "_docs")
+
+    empty = spark.table(table + "_deletes").limit(0).localCheckpoint(eager=True)
+    _overwrite(empty, table + "_deletes")
+
+
 def bm25_topk_from_index(
     spark: SparkSession,
     table: str,
@@ -305,8 +442,11 @@ def bm25_topk_from_index(
     :func:`bm25_score` tree); zero corpus-sized work per query — no
     aggregation over the postings at all (review finding: df used to be
     recomputed per query even though it is a build-time property).
+    Tombstoned docs are masked (:func:`_without_deleted_docs`).
     """
-    idx = spark.table(table).filter(F.col("term").isin(terms))
+    idx = _without_deleted_docs(
+        spark.table(table).filter(F.col("term").isin(terms)), table
+    )
     dfreq = spark.table(table + "_terms").filter(F.col("term").isin(terms))
     stats = spark.table(table + "_stats")
     q = bm25_q(
@@ -348,7 +488,9 @@ def bm25_batch_topk_from_index(
     from pyspark.sql import Window
 
     union_terms = sorted({t for ts in batch.values() for t in ts})
-    idx = spark.table(table).filter(F.col("term").isin(union_terms))
+    idx = _without_deleted_docs(
+        spark.table(table).filter(F.col("term").isin(union_terms)), table
+    )
     dfreq = spark.table(table + "_terms").filter(F.col("term").isin(union_terms))
     stats = spark.table(table + "_stats")
     queries = spark.createDataFrame(

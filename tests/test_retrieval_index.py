@@ -25,9 +25,8 @@ def term_index(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents")
     build_term_index(docs, "term_idx", buckets=16, path=str(base / "idx"))
     yield "term_idx"
-    spark.sql("DROP TABLE IF EXISTS term_idx")
-    spark.sql("DROP TABLE IF EXISTS term_idx_terms")
-    spark.sql("DROP TABLE IF EXISTS term_idx_stats")
+    for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS term_idx{suffix}")
 
 
 def test_query_scan_is_bucket_pruned(spark, term_index):
@@ -67,9 +66,8 @@ def test_index_rebuild_is_idempotent(spark, sf_dir, term_index):
     with tempfile.TemporaryDirectory() as d:
         build_term_index(docs, "term_idx2", buckets=16, path=d + "/idx")
         again = bm25_topk_from_index(spark, "term_idx2", ["spark", "merge"]).collect()
-        spark.sql("DROP TABLE IF EXISTS term_idx2")
-        spark.sql("DROP TABLE IF EXISTS term_idx2_terms")
-        spark.sql("DROP TABLE IF EXISTS term_idx2_stats")
+        for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS term_idx2{suffix}")
     assert again == before
 
 
@@ -173,7 +171,7 @@ def test_incremental_update_matches_fresh_rebuild(spark, sf_dir):
             assert m and int(m.group(2)) == 16 and int(m.group(1)) <= 1
         finally:
             for t in ("inc_idx", "full_idx"):
-                for suffix in ("", "_terms", "_stats", "_docs"):
+                for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
@@ -218,7 +216,7 @@ def test_incremental_update_keeps_external_side_tables(spark, sf_dir):
             srow = spark.read.parquet(d + "/ext_stats").first()
             assert srow.n_docs == base.count() + delta.count()
         finally:
-            for suffix in ("", "_terms", "_stats", "_docs"):
+            for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
                 spark.sql(f"DROP TABLE IF EXISTS ext_idx{suffix}")
 
 
@@ -240,7 +238,7 @@ def test_incremental_update_rejects_existing_ids(spark, sf_dir):
             with _pytest.raises(ValueError, match="append-only"):
                 update_term_index(docs.limit(5), "dup_idx", buckets=4)
         finally:
-            for suffix in ("", "_terms", "_stats", "_docs"):
+            for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
                 spark.sql(f"DROP TABLE IF EXISTS dup_idx{suffix}")
 
 
@@ -279,5 +277,79 @@ def test_incremental_update_rejects_null_text_readd(spark, sf_dir):
             with _pytest.raises(ValueError, match="append-only"):
                 update_term_index(null_doc, "nulldoc_idx", buckets=4)
         finally:
-            for suffix in ("", "_terms", "_stats", "_docs"):
+            for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
                 spark.sql(f"DROP TABLE IF EXISTS nulldoc_idx{suffix}")
+
+
+def test_delete_masks_serving_and_compact_matches_rebuild(spark, sf_dir):
+    """The delete half of the index's "delete + re-add" contract: a
+    tombstoned doc (including a NULL-text one, which has no postings
+    rows) vanishes from served results immediately with stats left stale
+    (Lucene deleted-docs semantics); compact_term_index then rewrites the
+    index ROW-IDENTICAL to a fresh build over the surviving corpus;
+    re-adding is refused while the tombstone is pending and round-trips
+    after compaction."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators.retrieval import (
+        compact_term_index,
+        delete_docs_from_term_index,
+        update_term_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    null_id = docs.first().doc_id
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == null_id, None).otherwise(F.col("text")),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            build_term_index(docs, "delt_idx", buckets=4, path=d + "/delt")
+            served0 = bm25_topk_from_index(
+                spark, "delt_idx", ["spark", "merge"]
+            ).collect()
+            assert served0
+            victim = served0[0].doc_id  # a doc currently being served
+            victims = docs.filter(F.col("doc_id").isin([victim, null_id]))
+
+            delete_docs_from_term_index(victims.select("doc_id"), "delt_idx")
+            served1 = bm25_topk_from_index(
+                spark, "delt_idx", ["spark", "merge"]
+            ).collect()
+            assert all(r.doc_id != victim for r in served1)
+            with _pytest.raises(ValueError, match="tombstone"):
+                update_term_index(victims, "delt_idx", buckets=4)
+
+            compact_term_index(spark, "delt_idx", buckets=4)
+            rest = docs.join(victims.select("doc_id"), "doc_id", "left_anti")
+            build_term_index(rest, "delt_ref", buckets=4, path=d + "/ref")
+
+            def snap(t):
+                return {
+                    s: sorted(tuple(r) for r in spark.table(t + s).collect())
+                    for s in ("", "_terms", "_stats", "_docs", "_deletes")
+                }
+
+            assert snap("delt_idx") == snap("delt_ref")
+            # the NULL-text victim counted in n_docs and is gone from it
+            assert (
+                spark.table("delt_idx_stats").first().n_docs
+                == docs.count() - 2
+            )
+            # delete + compact + re-add round-trips
+            update_term_index(victims, "delt_idx", buckets=4)
+            assert (
+                spark.table("delt_idx_docs")
+                .filter(F.col("doc_id").isin([victim, null_id]))
+                .count()
+                == 2
+            )
+        finally:
+            for t in ("delt_idx", "delt_ref"):
+                for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
