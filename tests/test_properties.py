@@ -274,3 +274,42 @@ def test_containment_pairs_match_bruteforce(spark, texts):
     for k, (n_common, c) in want.items():
         assert got[k][0] == n_common
         assert abs(got[k][1] - c) < 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+def test_kmv_merge_and_exact_mode_on_arbitrary_keys(spark, keys, cut):
+    """KMV (bottom-k) mergeability on ARBITRARY key multisets and split
+    points: the sketch of a union must equal the merge of the per-part
+    sketches row for row (min-wise property — including empty parts and
+    duplicate keys), and below k distinct keys the estimator must be the
+    exact distinct count."""
+    from kafka_clickhouse_example_spark.operators import sketches as SK
+
+    k = 8
+    cut = min(cut, len(keys))
+
+    def mk(vals):
+        return spark.createDataFrame([(v,) for v in vals], "k long")
+
+    direct = SK.kmv_build(mk(keys), "k", k=k)
+    merged = SK.kmv_merge(
+        [SK.kmv_build(mk(keys[:cut]), "k", k=k), SK.kmv_build(mk(keys[cut:]), "k", k=k)],
+        k=k,
+    )
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+    n_distinct = len(set(keys))
+    if n_distinct < k:
+        est = direct.agg(
+            SK.kmv_estimate_col(F.count("*"), F.max("h"), k=k).alias("e")
+        ).first()
+        assert est.e == float(n_distinct)
