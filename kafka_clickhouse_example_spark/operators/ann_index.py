@@ -48,10 +48,20 @@ tests/test_ann_index.py.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from kafka_clickhouse_example_spark.operators.tombstones import (
+    append_tombstones,
+    mask_deleted,
+    raise_if_pending_tombstone,
+    reset_tombstones,
+)
+from kafka_clickhouse_example_spark.sources.catalog import table_location
 
 from kafka_clickhouse_example_spark.operators.similarity import (
     IVF_NPROBE,
@@ -226,18 +236,10 @@ def _load_centroids(spark: SparkSession, table: str) -> np.ndarray:
 
 
 def _without_tombstones(df: DataFrame, table: str, id_col: str) -> DataFrame:
-    """Serving-time tombstone mask: anti-join the (partition-pruned) scan
-    against ``<table>_deletes`` BEFORE scoring, so a deleted vector can
-    never occupy a per-batch top-k slot and shadow a live candidate.
-    Broadcast is safe because compaction bounds the tombstone set (the
-    documented maintenance cadence: compact when the set grows past
-    broadcast scale). Indexes built before the deletes surface existed
-    lack the side table and skip the join."""
-    spark = df.sparkSession
-    if not spark.catalog.tableExists(table + "_deletes"):
-        return df
-    dels = spark.table(table + "_deletes").select(id_col)
-    return df.join(F.broadcast(dels), id_col, "left_anti")
+    """Serving-time tombstone mask (tombstones.mask_deleted): applied to
+    the partition-pruned scan BEFORE scoring, so a deleted vector can
+    never occupy a per-batch top-k slot and shadow a live candidate."""
+    return mask_deleted(df, table + "_deletes", id_col)
 
 
 def topk_from_ann_index(
@@ -436,26 +438,26 @@ def add_vectors_to_ann_index(
             "partitions, so reusing a reserved label would silently "
             "destroy previously landed vectors"
         )
+    if batch_label is not None and not re.fullmatch(r"[A-Za-z0-9._-]+", batch_label):
+        raise ValueError(
+            f"add_vectors_to_ann_index: batch_label {batch_label!r} must "
+            "match [A-Za-z0-9._-]+ — the label becomes a partition "
+            "directory name and a DROP PARTITION literal at compaction, "
+            "so quotes/slashes/spaces would corrupt both"
+        )
     spark = delta.sparkSession
     delta_ids = delta.select(id_col)
     if check_new_ids and batch_label is None:
         # A pending tombstone would mask the re-added row at serve time
         # (tombstones are id-level): the documented delete + re-add flow
-        # is delete -> compact -> add. Checked BEFORE the append-only
-        # guard so the error names the actual remedy.
-        if spark.catalog.tableExists(table + "_deletes"):
-            tomb = (
-                spark.table(table + "_deletes")
-                .join(F.broadcast(delta_ids.distinct()), id_col, "left_semi")
-                .limit(1)
-                .collect()
-            )
-            if tomb:
-                raise ValueError(
-                    f"add_vectors_to_ann_index: delta contains {id_col} "
-                    f"{tomb[0][id_col]} with a pending tombstone — run "
-                    "compact_ann_index before re-adding a deleted id"
-                )
+        # is delete -> compact -> add.
+        raise_if_pending_tombstone(
+            delta_ids,
+            table + "_deletes",
+            id_col,
+            "add_vectors_to_ann_index",
+            "compact_ann_index",
+        )
         clash = (
             spark.table(table + "_ids")
             .join(F.broadcast(delta_ids.distinct()), id_col, "left_semi")
@@ -518,13 +520,7 @@ def delete_vectors_from_ann_index(
     metadata until a maintenance window, never synchronous rewrites of a
     cell-partitioned layout.
     """
-    spark = ids.sparkSession
-    doomed = (
-        ids.select(id_col)
-        .distinct()
-        .join(spark.table(table + "_ids").select(id_col), id_col, "left_semi")
-    )
-    doomed.write.format("parquet").mode("append").saveAsTable(table + "_deletes")
+    append_tombstones(ids, table + "_deletes", table + "_ids", id_col)
 
 
 def compact_ann_index(
@@ -554,6 +550,30 @@ def compact_ann_index(
     if dels.isEmpty():
         return
 
+    def drop_partition(tbl: str, spec_pairs: list[tuple[str, object]]) -> None:
+        # DROP PARTITION on an EXTERNAL table removes only catalog
+        # metadata; the parquet files stay on disk, and a later append
+        # that re-creates the same partition would list them again —
+        # deleted rows resurrecting AFTER the tombstones were reset
+        # (review finding). Delete the directory through the Hadoop FS
+        # too (no-op when the managed-table DROP already removed it).
+        # Values are path- and DDL-safe: cell is an int, batch labels
+        # are charset-validated at add time.
+        spec = ", ".join(
+            f"{c}='{v}'" if isinstance(v, str) else f"{c}={v}"
+            for c, v in spec_pairs
+        )
+        spark.sql(f"ALTER TABLE {tbl} DROP PARTITION ({spec})")
+        loc = table_location(spark, tbl)
+        if loc is None:
+            return
+        part_dir = loc.rstrip("/") + "/" + "/".join(
+            f"{c}={v}" for c, v in spec_pairs
+        )
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(part_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+
     def rewrite(tbl: str, part_cols: list[str]) -> None:
         frame = spark.table(tbl)
         hit = (
@@ -574,30 +594,15 @@ def compact_ann_index(
             tuple(r) for r in keep.select(*part_cols).distinct().collect()
         }
         for r in affected:
-            if tuple(r) in kept:
-                continue
-            spec = ", ".join(
-                f"{c}='{r[c]}'" if isinstance(r[c], str) else f"{c}={r[c]}"
-                for c in part_cols
-            )
-            spark.sql(f"ALTER TABLE {tbl} DROP PARTITION ({spec})")
+            if tuple(r) not in kept:
+                drop_partition(tbl, [(c, r[c]) for c in part_cols])
 
     rewrite(table, ["cell", "batch"])
     rewrite(table + "_ids", ["batch"])
 
-    # Reset the tombstone set (schema-preserving empty overwrite; a
-    # path-built side table must stay external at its published location
-    # — the same rule update_term_index follows).
-    from kafka_clickhouse_example_spark.operators.retrieval import (
-        _external_location,
-    )
-
-    empty = spark.table(table + "_deletes").limit(0).localCheckpoint(eager=True)
-    ew = empty.write.format("parquet").mode("overwrite")
-    loc = _external_location(spark, table + "_deletes")
-    if loc is not None:
-        ew = ew.option("path", loc)
-    ew.saveAsTable(table + "_deletes")
+    # Remove exactly the compacted tombstones (mid-compaction appends
+    # survive); keeps a path-built side table at its published location.
+    reset_tombstones(spark, table + "_deletes", dels, id_col)
 
 
 def start_ann_index_sink(

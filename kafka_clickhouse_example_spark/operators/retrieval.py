@@ -27,6 +27,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.text import tokens
+from kafka_clickhouse_example_spark.operators.tombstones import (
+    append_tombstones,
+    mask_deleted,
+    raise_if_pending_tombstone,
+    reset_tombstones,
+)
+from kafka_clickhouse_example_spark.sources.catalog import (
+    bucket_count,
+    external_location as _external_location,
+)
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -161,22 +171,6 @@ def build_term_index(
     delw.saveAsTable(table + "_deletes")
 
 
-def _external_location(spark: SparkSession, table: str) -> str | None:
-    """Location of ``table`` IF it is an external table, else None.
-
-    An overwrite via saveAsTable drops and recreates the table; without
-    re-supplying the path, a path-built (external) side table would be
-    silently recreated MANAGED in the warehouse, leaving stale parquet at
-    the published location for any path-based consumer (review finding).
-    Managed tables return None — recreating them managed is the status quo.
-    """
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-    info = {r.col_name: r.data_type for r in rows}
-    if info.get("Type", "").upper() != "EXTERNAL":
-        return None
-    return info.get("Location")
-
-
 def update_term_index(
     delta_docs: DataFrame,
     table: str,
@@ -215,23 +209,14 @@ def update_term_index(
     forward either way.
     """
     spark = delta_docs.sparkSession
-    if check_new_ids and spark.catalog.tableExists(table + "_deletes"):
-        # A pending tombstone would mask the re-added doc at serve time:
-        # the documented flow is delete -> compact -> add. Checked before
-        # the append-only guard so the error names the actual remedy.
-        tomb_ids = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
-        tomb = (
-            spark.table(table + "_deletes")
-            .join(F.broadcast(tomb_ids), "doc_id", "left_semi")
-            .limit(1)
-            .collect()
+    if check_new_ids:
+        raise_if_pending_tombstone(
+            delta_docs.select(F.col(id_col).alias("doc_id")),
+            table + "_deletes",
+            "doc_id",
+            "update_term_index",
+            "compact_term_index",
         )
-        if tomb:
-            raise ValueError(
-                f"update_term_index: delta contains doc_id "
-                f"{tomb[0].doc_id} with a pending tombstone — run "
-                "compact_term_index before re-adding a deleted doc"
-            )
     a = tokens(F.col(text_col))
     toks = delta_docs.select(
         F.col(id_col).alias("doc_id"),
@@ -323,47 +308,35 @@ def update_term_index(
 
 
 def _without_deleted_docs(df: DataFrame, table: str) -> DataFrame:
-    """Serving-time tombstone mask: anti-join the (bucket-pruned) postings
-    scan against ``<table>_deletes`` so deleted docs vanish from results
-    immediately. The corpus statistics (df, n_docs, avgdl) stay those of
-    the uncompacted index until :func:`compact_term_index` runs — exactly
-    Lucene's deleted-docs semantics (scores go slightly stale, results
-    never contain a deleted doc). Broadcast is safe: compaction bounds
-    the tombstone set. Indexes built before this surface existed lack the
-    side table and skip the join."""
-    spark = df.sparkSession
-    if not spark.catalog.tableExists(table + "_deletes"):
-        return df
-    dels = spark.table(table + "_deletes")
-    return df.join(F.broadcast(dels), "doc_id", "left_anti")
+    """Serving-time tombstone mask (tombstones.mask_deleted): deleted docs
+    vanish from results immediately, while the corpus statistics (df,
+    n_docs, avgdl) stay those of the uncompacted index until
+    :func:`compact_term_index` runs — exactly Lucene's deleted-docs
+    semantics (scores go slightly stale, results never contain a deleted
+    doc)."""
+    return mask_deleted(df, table + "_deletes", "doc_id")
 
 
 def delete_docs_from_term_index(
     ids: DataFrame, table: str, *, id_col: str = "doc_id"
 ) -> None:
     """Tombstone deletion — the missing half of the index's documented
-    "delete + re-add" update contract (same device as
-    ann_index.delete_vectors_from_ann_index). O(delta): the distinct,
-    actually-indexed subset of ``ids`` (semi-join against the O(n_docs)
-    ``<table>_docs`` relation — deleting an unknown doc is a no-op)
-    APPENDS into ``<table>_deletes``; no postings file is touched.
-    Serving anti-joins the set, so the doc disappears from results
+    "delete + re-add" update contract (tombstones.append_tombstones, the
+    device shared with ann_index.delete_vectors_from_ann_index): O(delta)
+    append of the distinct, actually-indexed ids into ``<table>_deletes``
+    via one map-only broadcast semi-join over the O(n_docs) ``_docs``
+    relation; no postings file is touched. Serving masks the doc
     immediately; physical removal (and the stats/df correction) happens
-    at :func:`compact_term_index`. Re-running the same delete appends
-    duplicate tombstone rows — semantically idempotent (anti-join),
-    deduped at compaction."""
-    spark = ids.sparkSession
-    doomed = (
-        ids.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(spark.table(table + "_docs"), "doc_id", "left_semi")
+    at :func:`compact_term_index`."""
+    append_tombstones(
+        ids.select(F.col(id_col).alias("doc_id")),
+        table + "_deletes",
+        table + "_docs",
+        "doc_id",
     )
-    doomed.write.format("parquet").mode("append").saveAsTable(table + "_deletes")
 
 
-def compact_term_index(
-    spark: SparkSession, table: str, *, buckets: int = 16
-) -> None:
+def compact_term_index(spark: SparkSession, table: str) -> None:
     """Physically remove tombstoned documents and correct the statistics.
 
     Postings are BUCKETED by term (bucket pruning is the serving story),
@@ -376,8 +349,11 @@ def compact_term_index(
     re-derived from the rewritten postings with build's exact groupBy,
     stats recomputed with build's identical division order (n_docs from
     the rolled-back ``_docs`` relation, which covers NULL-text docs that
-    have no postings rows), and the tombstone set reset. All overwrites
-    keep path-built side tables external at their published location.
+    have no postings rows), and exactly the compacted tombstones removed
+    (tombstones appended mid-compaction survive the reset). All
+    overwrites keep path-built side tables external at their published
+    location, and the bucket count is read from the catalog — trusting a
+    caller-remembered count could silently re-bucket the layout.
     """
     if not spark.catalog.tableExists(table + "_deletes"):
         return
@@ -386,6 +362,7 @@ def compact_term_index(
     )
     if dels.isEmpty():
         return
+    buckets = bucket_count(spark, table)
 
     def _overwrite(df: DataFrame, tbl: str, bucketed: bool = False) -> None:
         w = df.write.format("parquet").mode("overwrite")
@@ -424,8 +401,7 @@ def compact_term_index(
     _overwrite(stats.localCheckpoint(eager=True), table + "_stats")
     _overwrite(keep_docs, table + "_docs")
 
-    empty = spark.table(table + "_deletes").limit(0).localCheckpoint(eager=True)
-    _overwrite(empty, table + "_deletes")
+    reset_tombstones(spark, table + "_deletes", dels, "doc_id")
 
 
 def bm25_topk_from_index(

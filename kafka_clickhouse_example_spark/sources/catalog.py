@@ -109,3 +109,38 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register each table as a temp view so queries can use spark.sql."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def table_info(spark: SparkSession, table: str) -> dict[str, str]:
+    """The DESCRIBE TABLE EXTENDED metadata rows as a dict — the one
+    place index-maintenance code reads catalog facts (Type, Location,
+    Num Buckets) instead of trusting caller-remembered parameters."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    return {r.col_name: r.data_type for r in rows}
+
+
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """The table's storage location (managed or external), or None."""
+    return table_info(spark, table).get("Location")
+
+
+def external_location(spark: SparkSession, table: str) -> str | None:
+    """Location of ``table`` IF it is an external table, else None.
+
+    An overwrite via saveAsTable drops and recreates the table; without
+    re-supplying the path, a path-built (external) table would be
+    silently recreated MANAGED in the warehouse, leaving stale parquet
+    at the published location for any path-based consumer. Managed
+    tables return None — recreating them managed is the status quo.
+    """
+    info = table_info(spark, table)
+    if info.get("Type", "").upper() != "EXTERNAL":
+        return None
+    return info.get("Location")
+
+
+def bucket_count(spark: SparkSession, table: str) -> int:
+    """The bucket count of a bucketed table, read from the catalog — a
+    rewrite that trusted a caller-remembered count could silently
+    re-bucket the layout on a mismatch."""
+    return int(table_info(spark, table)["Num Buckets"])

@@ -226,6 +226,15 @@ def test_compact_drops_emptied_partitions(spark, sf_dir, tmp_path):
         assert after.filter(F.col("cell") == cell).count() == 0
         assert spark.table("empt_ann_ids").count() == n_all - n_members
         assert spark.table("empt_ann_deletes").count() == 0
+        # EXTERNAL table: DROP PARTITION alone leaves the files on disk,
+        # and a later append re-creating the partition would resurface
+        # the deleted rows AFTER the tombstones were reset — the dropped
+        # partition's directory must be physically gone.
+        import os
+
+        assert not os.path.exists(
+            str(tmp_path / "empt" / f"cell={cell}" / "batch=base")
+        )
     finally:
         for suffix in ("", "_centroids", "_ids", "_deletes"):
             spark.sql(f"DROP TABLE IF EXISTS empt_ann{suffix}")
@@ -239,6 +248,11 @@ def test_labeled_merge_rejects_reserved_labels(spark, sf_dir):
     emb = _emb(spark, sf_dir).limit(5)
     for label in ("base", "delta"):
         with pytest.raises(ValueError, match="reserved"):
+            add_vectors_to_ann_index(emb, "no_such_ann", batch_label=label)
+    # labels become partition dir names AND DROP PARTITION literals at
+    # compaction: quotes/slashes/spaces must be rejected at add time
+    for label in ("it's-2026", "a/b", "a b", ""):
+        with pytest.raises(ValueError, match="must"):
             add_vectors_to_ann_index(emb, "no_such_ann", batch_label=label)
 
 

@@ -325,9 +325,19 @@ def test_delete_masks_serving_and_compact_matches_rebuild(spark, sf_dir):
             with _pytest.raises(ValueError, match="tombstone"):
                 update_term_index(victims, "delt_idx", buckets=4)
 
-            compact_term_index(spark, "delt_idx", buckets=4)
+            # bucket count is read from the catalog (a caller-remembered
+            # count could silently re-bucket the 4-bucket layout)
+            compact_term_index(spark, "delt_idx")
             rest = docs.join(victims.select("doc_id"), "doc_id", "left_anti")
             build_term_index(rest, "delt_ref", buckets=4, path=d + "/ref")
+            plan = (
+                bm25_topk_from_index(spark, "delt_idx", ["spark"])
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+            assert m and int(m.group(2)) == 4, "compaction re-bucketed the layout"
 
             def snap(t):
                 return {
