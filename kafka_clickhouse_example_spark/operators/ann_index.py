@@ -550,30 +550,6 @@ def compact_ann_index(
     if dels.isEmpty():
         return
 
-    def drop_partition(tbl: str, spec_pairs: list[tuple[str, object]]) -> None:
-        # DROP PARTITION on an EXTERNAL table removes only catalog
-        # metadata; the parquet files stay on disk, and a later append
-        # that re-creates the same partition would list them again —
-        # deleted rows resurrecting AFTER the tombstones were reset
-        # (review finding). Delete the directory through the Hadoop FS
-        # too (no-op when the managed-table DROP already removed it).
-        # Values are path- and DDL-safe: cell is an int, batch labels
-        # are charset-validated at add time.
-        spec = ", ".join(
-            f"{c}='{v}'" if isinstance(v, str) else f"{c}={v}"
-            for c, v in spec_pairs
-        )
-        spark.sql(f"ALTER TABLE {tbl} DROP PARTITION ({spec})")
-        loc = table_location(spark, tbl)
-        if loc is None:
-            return
-        part_dir = loc.rstrip("/") + "/" + "/".join(
-            f"{c}={v}" for c, v in spec_pairs
-        )
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(part_dir)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
-
     def rewrite(tbl: str, part_cols: list[str]) -> None:
         frame = spark.table(tbl)
         hit = (
@@ -593,9 +569,46 @@ def compact_ann_index(
         kept = {
             tuple(r) for r in keep.select(*part_cols).distinct().collect()
         }
-        for r in affected:
-            if tuple(r) not in kept:
-                drop_partition(tbl, [(c, r[c]) for c in part_cols])
+        emptied = [r for r in affected if tuple(r) not in kept]
+        if not emptied:
+            return
+        # DROP PARTITION on an EXTERNAL table removes only catalog
+        # metadata; the parquet files stay on disk, and a later append
+        # that re-creates the same partition would list them again —
+        # deleted rows resurrecting AFTER the tombstones were reset
+        # (review finding). Delete each dropped directory through the
+        # Hadoop FS too, and VERIFY it is gone: a silent delete failure
+        # reopens the hole, so it must raise here — before the tombstone
+        # reset, leaving the rows safely masked. Location and FS are
+        # invariant per table: resolved once, not per partition. Values
+        # are path- and DDL-safe: cell is an int, batch labels are
+        # charset-validated at add time.
+        loc = table_location(spark, tbl)
+        jfs = None
+        if loc is not None:
+            root = spark._jvm.org.apache.hadoop.fs.Path(loc)
+            jfs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for r in emptied:
+            spec_pairs = [(c, r[c]) for c in part_cols]
+            spec = ", ".join(
+                f"{c}='{v}'" if isinstance(v, str) else f"{c}={v}"
+                for c, v in spec_pairs
+            )
+            spark.sql(f"ALTER TABLE {tbl} DROP PARTITION ({spec})")
+            if jfs is None:
+                continue
+            part_dir = loc.rstrip("/") + "/" + "/".join(
+                f"{c}={v}" for c, v in spec_pairs
+            )
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(part_dir)
+            jfs.delete(jpath, True)
+            if jfs.exists(jpath):
+                raise RuntimeError(
+                    f"compact_ann_index: could not remove dropped "
+                    f"partition files at {part_dir} — stale parquet would "
+                    "resurface if the partition is re-created; tombstones "
+                    "were NOT reset, so the rows remain masked"
+                )
 
     rewrite(table, ["cell", "batch"])
     rewrite(table + "_ids", ["batch"])

@@ -143,4 +143,11 @@ def bucket_count(spark: SparkSession, table: str) -> int:
     """The bucket count of a bucketed table, read from the catalog — a
     rewrite that trusted a caller-remembered count could silently
     re-bucket the layout on a mismatch."""
-    return int(table_info(spark, table)["Num Buckets"])
+    info = table_info(spark, table)
+    if "Num Buckets" not in info:
+        raise ValueError(
+            f"bucket_count: table {table!r} is not bucketed (DESCRIBE has "
+            "no 'Num Buckets') — a bucketed-layout rewrite must not guess "
+            "a count; check the table name or rebuild the index"
+        )
+    return int(info["Num Buckets"])
