@@ -205,21 +205,154 @@ def temperature_sample(
     return kept if keep_stats else kept.drop("_n", "_rate")
 
 
+# --- cross-engine fixed-point log2 -------------------------------------------
+#
+# The Efraimidis-Spirakis priority needs a logarithm, and libm logarithms
+# are the one basic operation IEEE does NOT pin down: Spark's JVM
+# Math.log and DuckDB's C libm can disagree in the last ulp, which flips
+# a selection boundary and breaks cross-engine reproducibility (why this
+# sampler was registered rows-only through round 5). The fix is the same
+# device as the Q30 money convention and the CMS md5 hashing: do the
+# transcendental step in INTEGER arithmetic that both engines define
+# identically. floor(log2(h) * 2^20) via exponent extraction + 20 rounds
+# of mantissa squaring — shifts, multiplies and compares only.
+
+LOG2FP_FRAC_BITS = 20
+LOG2FP_HASH_BITS = 48  # md5-prefix width: 2^48 fits BIGINT with squaring room
+_L2_RESERVED = ("_l2_e", "_l2_t", "_l2_f")
+
+
+def with_log2fp(df: DataFrame, h_col: str, out_col: str) -> DataFrame:
+    """Append ``out_col`` = floor(log2(h) * 2**LOG2FP_FRAC_BITS) for a
+    BIGINT column ``h`` in [1, 2**48] — exact integer arithmetic, so any
+    engine that runs the same steps produces the same bits.
+
+    Algorithm: e = floor(log2 h) by a 48-way range CASE; mantissa
+    normalized to t in [2^30, 2^31) by shifts; then the classic
+    square-and-extract loop — s = t*t lands in [2^60, 2^62), s >= 2^61
+    means the squared mantissa crossed 2 (fraction bit 1, renormalize by
+    >>31), else bit 0 (>>30). 20 rounds give 20 fraction bits; max error
+    2^-20 relative on log2, and the map is weakly monotone in h (floor of
+    a monotone function), so rank uses downstream are order-safe.
+
+    Scale: a map-only column expression — ~60 integer ops/row, no
+    shuffle, no UDF. Claims every ``_l2_*`` column name while running
+    (raises on collision).
+    """
+    clash = [c for c in (*df.columns, out_col) if c.startswith("_l2_")] + (
+        [out_col] if out_col in df.columns else []
+    )
+    if clash:
+        raise ValueError(
+            f"with_log2fp: reserved/colliding column(s) {sorted(set(clash))}; "
+            "the chain claims every '_l2_*' name and the output name — "
+            "rename them first; silently overwriting would corrupt the "
+            "caller's data"
+        )
+    h = F.col(h_col)
+    ecase = F.when(h >= F.lit(1 << 47), F.lit(47))
+    for exp in range(46, -1, -1):
+        ecase = ecase.when(h >= F.lit(1 << exp), F.lit(exp))
+    df = (
+        df.withColumn("_l2_e", ecase.cast("long"))
+        .withColumn("_l2_t", F.expr(f"shiftright(shiftleft({h_col}, 47 - _l2_e), 17)"))
+        .withColumn("_l2_f", F.lit(0).cast("long"))
+    )
+    # Two selects of 10 lateral-alias steps each, NOT 20 chained selects:
+    # each DataFrame op re-analyzes the whole lineage, so the driver-side
+    # analysis cost of a long chain is quadratic in ops — measured ~4x
+    # wall on a bench-style build+run (1.83s -> 0.48s at sf0.1). Lateral
+    # column aliases keep every step a single named projection, so the
+    # optimizer never inlines t into its three use sites (which would blow
+    # the expression tree up 3^20).
+    done = 0
+    while done < LOG2FP_FRAC_BITS:
+        k = min(10, LOG2FP_FRAC_BITS - done)
+        exprs = ["*"]
+        pt, pf = "_l2_t", "_l2_f"
+        for j in range(k):
+            exprs.append(f"{pt} * {pt} AS _l2_s{j}")
+            exprs.append(
+                f"CASE WHEN _l2_s{j} >= {1 << 61} THEN shiftright(_l2_s{j}, 31) "
+                f"ELSE shiftright(_l2_s{j}, 30) END AS _l2_t{j}"
+            )
+            exprs.append(
+                f"{pf} * 2 + (CASE WHEN _l2_s{j} >= {1 << 61} THEN 1 ELSE 0 END) "
+                f"AS _l2_f{j}"
+            )
+            pt, pf = f"_l2_t{j}", f"_l2_f{j}"
+        df = (
+            df.selectExpr(*exprs)
+            .withColumn("_l2_t", F.col(pt))
+            .withColumn("_l2_f", F.col(pf))
+            .drop(*[c for j in range(k) for c in (f"_l2_s{j}", f"_l2_t{j}", f"_l2_f{j}")])
+        )
+        done += k
+    out = (
+        F.when(h >= F.lit(1 << 48), F.lit(48 << LOG2FP_FRAC_BITS))
+        .otherwise(
+            F.col("_l2_e") * F.lit(1 << LOG2FP_FRAC_BITS) + F.col("_l2_f")
+        )
+        .cast("long")
+    )
+    return df.withColumn(out_col, out).drop(*_L2_RESERVED)
+
+
+def log2fp_sql(payload_sql: str, out_col: str = "l2fp", prefix: str = "l2") -> str:
+    """The DuckDB rendering of the SAME fixed-point log2: a CTE chain to
+    splice into an oracle query. ``payload_sql`` must yield a BIGINT
+    column ``h`` (in [1, 2**48]) plus any payload columns; the returned
+    text is a complete WITH body whose final CTE ``{prefix}fin`` exposes
+    the payload and ``out_col`` (the working columns ``h``, ``e``, ``t``,
+    ``f`` are EXCLUDEd — payload columns must not use those names). Both
+    renderings are generated from the same constants so the engines move
+    in lockstep by construction. Give each application a distinct
+    ``prefix`` to take several logs in one query (e.g. log2 of a count
+    and of its total for an entropy ratio).
+    """
+    ecase = (
+        "CASE "
+        + " ".join(f"WHEN h >= {1 << exp} THEN {exp}" for exp in range(47, -1, -1))
+        + " END"
+    )
+    steps = ",\n".join(
+        f"{prefix}s{i + 1} AS (SELECT * REPLACE ("
+        f"CASE WHEN t*t >= {1 << 61} THEN (t*t) >> 31 ELSE (t*t) >> 30 END AS t, "
+        f"f*2 + (CASE WHEN t*t >= {1 << 61} THEN 1 ELSE 0 END) AS f) FROM {prefix}s{i})"
+        for i in range(LOG2FP_FRAC_BITS)
+    )
+    return f"""
+{prefix}w AS ({payload_sql}),
+{prefix}n AS (SELECT *, {ecase} AS e FROM {prefix}w),
+{prefix}s0 AS (SELECT *, (h << (47 - e)) >> 17 AS t, CAST(0 AS BIGINT) AS f FROM {prefix}n),
+{steps},
+{prefix}fin AS (
+  SELECT * EXCLUDE (h, e, t, f),
+         CASE WHEN h >= {1 << 48} THEN {48 << LOG2FP_FRAC_BITS}
+              ELSE (e << {LOG2FP_FRAC_BITS}) + f END AS {out_col}
+  FROM {prefix}s{LOG2FP_FRAC_BITS}
+)"""
+
+
 def weighted_sample_without_replacement(
     df: DataFrame, weight_col: str, key_col: str, k: int
 ) -> DataFrame:
     """Exactly-k weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis 2006): each row gets priority u^(1/w) for a deterministic
-    hash-uniform u in (0,1); the k largest priorities are the sample, and
+    hash-uniform u in (0,1]; the k largest priorities are the sample, and
     inclusion probabilities follow the successive-weighted-draw model the
     Bernoulli sampler (weighted_bernoulli_sample) cannot express — that one
     fixes RATE, this one fixes SIZE.
 
-    Implemented on the equivalent log scale (ln(u)/w, larger is better:
-    ln(u) < 0 so dividing by a larger weight moves the key toward 0) to
-    avoid pow() underflow for tiny weights. u derives from xxhash64 of the
-    key column — deterministic across runs, partitionings, and cluster
-    sizes.
+    Implemented on the equivalent log scale: maximizing u^(1/w) is
+    minimizing (48 - log2 h)/w for h = 48-bit md5 prefix of the key + 1
+    (u = h/2^48). log2 is the quantized integer ``with_log2fp`` — NOT
+    libm ln(), whose last-ulp engine differences flip selection
+    boundaries — and the final ratio is one IEEE double division, which
+    (unlike ln) is correctly rounded on every engine, so the selected set
+    is bit-reproducible across Spark, DuckDB, runs, and partitionings.
+    The 2^-20 log quantization perturbs inclusion odds by <1e-6
+    relative — far below the sampling noise of any real draw.
 
     Scale: a map pass to compute priorities + TakeOrdered(k) — no shuffle
     of the data, no per-group state; k rows to the driver.
@@ -227,15 +360,33 @@ def weighted_sample_without_replacement(
     Rows with non-positive weight are EXCLUDED up front: w=0 would divide
     by zero (an ANSI-mode error in Spark 4), and w<0 would flip the
     priority's sign and outrank every valid row — neither has a sampling
-    interpretation.
+    interpretation. NULL keys are excluded too: no hash identity, and the
+    engines disagree on NULL ordering defaults.
     """
-    # 53-bit mantissa-sized uniform in (0, 1]; +1 avoids ln(0)
-    u = (F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 53)) + 1) / float(1 << 53)
-    priority = F.ln(u) / F.col(weight_col).cast("double")
+    reserved = [c for c in ("_espk_h", "_priority") if c in df.columns]
+    if reserved:
+        raise ValueError(
+            f"weighted_sample_without_replacement: input already has "
+            f"reserved column(s) {reserved}; rename them first"
+        )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    base = (
+        df.filter((F.col(weight_col) > 0) & F.col(key_col).isNotNull())
+        .withColumn("_espk_h", h)
+    )
+    base = with_log2fp(base, "_espk_h", "_priority_l2")
+    neg_log2_u = F.lit(48 << LOG2FP_FRAC_BITS) - F.col("_priority_l2")
+    priority = neg_log2_u.cast("double") / F.col(weight_col).cast("double")
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("_priority", priority)
-        .orderBy(F.col("_priority").desc(), F.col(key_col))
+        base.withColumn("_priority", priority)
+        .orderBy(F.col("_priority").asc(), F.col(key_col))
         .limit(k)
-        .drop("_priority")
+        .drop("_espk_h", "_priority_l2", "_priority")
     )

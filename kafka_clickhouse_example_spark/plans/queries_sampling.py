@@ -312,14 +312,38 @@ def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_documents_weighted_k")  # rows-only: ln() priorities are libm-order sensitive
+_WK_PAYLOAD = (
+    "SELECT doc_id, lang, source, n_chars,\n"
+    "       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1) AS h\n"
+    "FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL"
+)
+
+
+@register(
+    "sample_documents_weighted_k",
+    oracle=f"""
+WITH {SP.log2fp_sql(_WK_PAYLOAD)}
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars
+  FROM l2fin
+  ORDER BY CAST({48 << SP.LOG2FP_FRAC_BITS} - l2fp AS DOUBLE)
+             / CAST(n_chars AS DOUBLE),
+           doc_id
+  LIMIT 50
+)
+ORDER BY doc_id
+""",
+)
 def sample_documents_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 50 documents drawn WITHOUT replacement with probability
     proportional to length (Efraimidis-Spirakis priorities over
-    hash-uniform draws; operators/sampling.py). Deterministic across
-    partitionings — pinned by tests/test_skew.py — but registered
-    rows-only: the ln() priority puts a libm call on the selection
-    boundary, which the cross-engine hash could flip on a last-ulp tie.
+    hash-uniform draws; operators/sampling.py). Rows-only through round 5
+    because the ln() priority put a libm call on the selection boundary;
+    now oracle-backed: the log runs in cross-engine integer fixed point
+    (sampling.with_log2fp / sampling.log2fp_sql — both renderings
+    generated from the same constants) and the only float op left is one
+    IEEE-correctly-rounded double division, so DuckDB reproduces the
+    selected set bit-for-bit.
     """
     from kafka_clickhouse_example_spark.operators.sampling import (
         weighted_sample_without_replacement,

@@ -1015,3 +1015,114 @@ def text_bm25_batch_topk(
         )
         .orderBy("qid", "rnk")
     )
+
+
+# --- token entropy per source (fixed-point log2, fully oracle-checkable) -----
+
+_ENTROPY_CNT = f"""
+SELECT source, term, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT source, unnest({TOKENS_SQL}) AS term FROM documents
+)
+WHERE term <> ''
+GROUP BY source, term"""
+
+_ENTROPY_ORACLE = f"""
+WITH cnt AS ({_ENTROPY_CNT}),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY source
+),
+{{chain_n}},
+{{chain_tot}}
+SELECT source, n_tokens, n_types,
+       entropy_q20,
+       CAST(entropy_q20 AS DOUBLE) / {1 << 20} AS entropy_bits
+FROM (
+  SELECT source, n_tokens, n_types,
+         CAST(sum((n * (l2_tot - l2_n)) // n_tokens) AS BIGINT) AS entropy_q20
+  FROM bfin
+  GROUP BY source, n_tokens, n_types
+)
+ORDER BY source
+"""
+
+
+def _entropy_oracle() -> str:
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    chain_n = SP.log2fp_sql(
+        "SELECT c.source, c.term, c.n, t.n_tokens, t.n_types, c.n AS h "
+        "FROM cnt c JOIN tot t USING (source)",
+        out_col="l2_n",
+        prefix="a",
+    )
+    chain_tot = SP.log2fp_sql(
+        "SELECT *, n_tokens AS h FROM afin", out_col="l2_tot", prefix="b"
+    )
+    return _ENTROPY_ORACLE.format(chain_n=chain_n.strip(), chain_tot=chain_tot.strip())
+
+
+@register("text_token_entropy_by_source", oracle=_entropy_oracle())
+def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the whitespace-token distribution per source —
+    the corpus-diversity signal (low entropy = templated/boilerplate
+    source; high = diverse vocabulary) that pretraining mixes weigh
+    sources by.
+
+    H = log2(N) - (1/N)·Σ n_i·log2(n_i) needs a logarithm, which libm
+    computes differently per engine; this query is oracle-checkable
+    BECAUSE the log runs in cross-engine integer fixed point
+    (operators/sampling.with_log2fp — the same device that made the
+    weighted sampler certifiable). The per-term contribution
+    floor(n_i·(L(N)-L(n_i))/N) is integer end-to-end; the only float op
+    is the final exact division by 2^20. Metric definition: the floor per
+    term under-counts by <n_types/N bits total — a deterministic,
+    engine-identical quantization documented as part of the metric.
+
+    Scale: token explode → (source, term) partial-agg shuffle (the same
+    shape as TF-IDF's tf stage, combine absorbs the fan-out); per-source
+    totals broadcast back; the log chain is ~60 integer ops/row, map-only;
+    final rollup is source-cardinality. Bound: n_i·(48<<20) must fit
+    int64, i.e. any single token type below ~1.8e11 occurrences per
+    source; past that, promote the product to DECIMAL(38,0) — the final
+    entropy stays BIGINT-small either way.
+    """
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    # Materialize the aggregated counts once: both join sides below derive
+    # from cnt, and without the checkpoint Spark re-runs the token explode
+    # for each (the corpus scanned twice for a vocab-sized relation). Same
+    # device as the flows family; cnt is sources x vocab — orders of
+    # magnitude smaller than the corpus at any scale.
+    cnt = (
+        toks.groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    j = cnt.join(F.broadcast(tot), "source")
+    j = SP.with_log2fp(j, "n", "l2_n")
+    j = SP.with_log2fp(j, "n_tokens", "l2_tot")
+    contrib = F.expr("(n * (l2_tot - l2_n)) div n_tokens")
+    ent = (
+        j.withColumn("_contrib", contrib)
+        .groupBy("source", "n_tokens", "n_types")
+        .agg(F.sum("_contrib").cast("long").alias("entropy_q20"))
+    )
+    return ent.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "entropy_q20",
+        (F.col("entropy_q20").cast("double") / F.lit(float(1 << 20))).alias(
+            "entropy_bits"
+        ),
+    ).orderBy("source")

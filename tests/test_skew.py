@@ -110,3 +110,76 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     # zero weight must not crash (ANSI divide-by-zero) and negative weight
     # must not auto-win; both are excluded entirely
     assert got == {3, 4, 5}
+
+
+def _log2fp_reference(h: int, frac_bits: int = 20) -> int:
+    """Pure-Python rendering of the fixed-point log2 — the executable
+    spec both engine renderings must match bit-for-bit."""
+    if h >= 1 << 48:
+        return 48 << frac_bits
+    e = h.bit_length() - 1
+    t = (h << (47 - e)) >> 17  # mantissa in [2^30, 2^31)
+    f = 0
+    for _ in range(frac_bits):
+        s = t * t
+        if s >= 1 << 61:
+            f = f * 2 + 1
+            t = s >> 31
+        else:
+            f = f * 2
+            t = s >> 30
+    return (e << frac_bits) + f
+
+
+def test_log2fp_spark_matches_python_and_duckdb(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from kafka_clickhouse_example_spark.operators.sampling import (
+        LOG2FP_FRAC_BITS,
+        log2fp_sql,
+        with_log2fp,
+    )
+
+    rng = random.Random(6)
+    hs = sorted(
+        {1, 2, 3, (1 << 47) - 1, 1 << 47, (1 << 48) - 1, 1 << 48}
+        | {rng.randrange(1, 1 << 48) for _ in range(400)}
+    )
+    ref = {h: _log2fp_reference(h, LOG2FP_FRAC_BITS) for h in hs}
+    # accuracy + monotonicity of the spec itself
+    for h, v in ref.items():
+        assert abs(v / (1 << LOG2FP_FRAC_BITS) - math.log2(h)) < 3e-6
+    vals = [ref[h] for h in hs]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    got = {
+        r["h"]: r["l2"]
+        for r in with_log2fp(df.repartition(7), "h", "l2").collect()
+    }
+    assert got == ref  # Spark rendering == executable spec, any partitioning
+
+    sql = (
+        "WITH "
+        + log2fp_sql(
+            "SELECT h AS key, h FROM (SELECT unnest(["
+            + ",".join(str(h) for h in hs)
+            + "]) AS h)"
+        )
+        + " SELECT key, l2fp FROM l2fin ORDER BY key"
+    )
+    duck = dict(duckdb.sql(sql).fetchall())
+    assert duck == ref  # DuckDB rendering == executable spec
+
+
+def test_log2fp_rejects_reserved_columns(spark):
+    import pytest
+
+    from kafka_clickhouse_example_spark.operators.sampling import with_log2fp
+
+    df = spark.createDataFrame([(5, 1)], "h long, _l2_t long")
+    with pytest.raises(ValueError, match="reserved"):
+        with_log2fp(df, "h", "out")
