@@ -219,83 +219,106 @@ def temperature_sample(
 
 LOG2FP_FRAC_BITS = 20
 LOG2FP_HASH_BITS = 48  # md5-prefix width: 2^48 fits BIGINT with squaring room
-_L2_RESERVED = ("_l2_e", "_l2_t", "_l2_f")
 
 
-def with_log2fp(df: DataFrame, h_col: str, out_col: str) -> DataFrame:
-    """Append ``out_col`` = floor(log2(h) * 2**LOG2FP_FRAC_BITS) for a
-    BIGINT column ``h`` in [1, 2**48] — exact integer arithmetic, so any
-    engine that runs the same steps produces the same bits.
+def with_log2fp_many(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Append, for each ``(h_col, out_col)`` pair,
+    ``out_col`` = floor(log2(h) * 2**LOG2FP_FRAC_BITS) for a BIGINT
+    column ``h`` in [1, 2**48] — exact integer arithmetic, so any engine
+    that runs the same steps produces the same bits.
 
-    Algorithm: e = floor(log2 h) by a 48-way range CASE; mantissa
-    normalized to t in [2^30, 2^31) by shifts; then the classic
+    Algorithm (per pair): e = floor(log2 h) by a 48-way range CASE;
+    mantissa normalized to t in [2^30, 2^31) by shifts; then the classic
     square-and-extract loop — s = t*t lands in [2^60, 2^62), s >= 2^61
     means the squared mantissa crossed 2 (fraction bit 1, renormalize by
     >>31), else bit 0 (>>30). 20 rounds give 20 fraction bits; max error
     2^-20 relative on log2, and the map is weakly monotone in h (floor of
     a monotone function), so rank uses downstream are order-safe.
 
-    Scale: a map-only column expression — ~60 integer ops/row, no
-    shuffle, no UDF. Claims every ``_l2_*`` column name while running
+    All pairs run INTERLEAVED through the same few projections: each
+    DataFrame op re-analyzes the whole lineage, so driver-side build time
+    is quadratic in op count — 20 chained selects measured ~4x the wall
+    of the grouped form on a bench-style build+run (1.83s -> 0.48s at
+    sf0.1), and a query taking four logs pays four chains unless they
+    share. Lateral column aliases keep every step a single named
+    projection (a nested expression would be inlined 3^20-fold by
+    projection collapse). Spark-side grouping does not affect values —
+    the steps are the same integer ops in the same order per pair, which
+    is what the DuckDB rendering (log2fp_sql) and the pure-Python spec
+    (tests/test_skew.py) pin.
+
+    Scale: map-only column expressions — ~60 integer ops/row per pair,
+    no shuffle, no UDF. Claims every ``_l2*`` column name while running
     (raises on collision).
     """
-    clash = [c for c in (*df.columns, out_col) if c.startswith("_l2_")] + (
-        [out_col] if out_col in df.columns else []
+    outs = [o for _, o in pairs]
+    clash = sorted(
+        {c for c in df.columns if c.startswith("_l2")}
+        | {o for o in outs if o in df.columns}
     )
-    if clash:
+    if clash or len(set(outs)) != len(outs):
         raise ValueError(
-            f"with_log2fp: reserved/colliding column(s) {sorted(set(clash))}; "
-            "the chain claims every '_l2_*' name and the output name — "
+            f"with_log2fp: reserved/colliding column(s) {clash or outs}; "
+            "the chain claims every '_l2*' name and each output name — "
             "rename them first; silently overwriting would corrupt the "
             "caller's data"
         )
-    h = F.col(h_col)
-    ecase = F.when(h >= F.lit(1 << 47), F.lit(47))
-    for exp in range(46, -1, -1):
-        ecase = ecase.when(h >= F.lit(1 << exp), F.lit(exp))
-    df = (
-        df.withColumn("_l2_e", ecase.cast("long"))
-        .withColumn("_l2_t", F.expr(f"shiftright(shiftleft({h_col}, 47 - _l2_e), 17)"))
-        .withColumn("_l2_f", F.lit(0).cast("long"))
-    )
-    # Two selects of 10 lateral-alias steps each, NOT 20 chained selects:
-    # each DataFrame op re-analyzes the whole lineage, so the driver-side
-    # analysis cost of a long chain is quadratic in ops — measured ~4x
-    # wall on a bench-style build+run (1.83s -> 0.48s at sf0.1). Lateral
-    # column aliases keep every step a single named projection, so the
-    # optimizer never inlines t into its three use sites (which would blow
-    # the expression tree up 3^20).
+    payload = list(df.columns)
+    # One init projection: exponent CASE, then mantissa + zero accumulator
+    # referencing it laterally.
+    init = ["*"]
+    for i, (h_col, _) in enumerate(pairs):
+        ecase = (
+            "CASE "
+            + " ".join(
+                f"WHEN {h_col} >= {1 << exp} THEN {exp}"
+                for exp in range(47, -1, -1)
+            )
+            + " END"
+        )
+        init.append(f"CAST({ecase} AS BIGINT) AS _l2{i}e")
+        init.append(f"shiftright(shiftleft({h_col}, 47 - _l2{i}e), 17) AS _l2{i}t")
+        init.append(f"CAST(0 AS BIGINT) AS _l2{i}f")
+    df = df.selectExpr(*init)
+    carried = [c for i in range(len(pairs)) for c in (f"_l2{i}e",)]
     done = 0
     while done < LOG2FP_FRAC_BITS:
         k = min(10, LOG2FP_FRAC_BITS - done)
         exprs = ["*"]
-        pt, pf = "_l2_t", "_l2_f"
-        for j in range(k):
-            exprs.append(f"{pt} * {pt} AS _l2_s{j}")
-            exprs.append(
-                f"CASE WHEN _l2_s{j} >= {1 << 61} THEN shiftright(_l2_s{j}, 31) "
-                f"ELSE shiftright(_l2_s{j}, 30) END AS _l2_t{j}"
-            )
-            exprs.append(
-                f"{pf} * 2 + (CASE WHEN _l2_s{j} >= {1 << 61} THEN 1 ELSE 0 END) "
-                f"AS _l2_f{j}"
-            )
-            pt, pf = f"_l2_t{j}", f"_l2_f{j}"
-        df = (
-            df.selectExpr(*exprs)
-            .withColumn("_l2_t", F.col(pt))
-            .withColumn("_l2_f", F.col(pf))
-            .drop(*[c for j in range(k) for c in (f"_l2_s{j}", f"_l2_t{j}", f"_l2_f{j}")])
+        finals: list[tuple[str, str, str]] = []  # (pair idx, last t, last f)
+        for i in range(len(pairs)):
+            pt, pf = f"_l2{i}t", f"_l2{i}f"
+            for j in range(k):
+                exprs.append(f"{pt} * {pt} AS _l2{i}s{j}")
+                exprs.append(
+                    f"CASE WHEN _l2{i}s{j} >= {1 << 61} THEN shiftright(_l2{i}s{j}, 31) "
+                    f"ELSE shiftright(_l2{i}s{j}, 30) END AS _l2{i}t{j}"
+                )
+                exprs.append(
+                    f"{pf} * 2 + (CASE WHEN _l2{i}s{j} >= {1 << 61} THEN 1 ELSE 0 END) "
+                    f"AS _l2{i}f{j}"
+                )
+                pt, pf = f"_l2{i}t{j}", f"_l2{i}f{j}"
+            finals.append((str(i), pt, pf))
+        df = df.selectExpr(*exprs).selectExpr(
+            *payload,
+            *carried,
+            *[f"{pt} AS _l2{i}t" for i, pt, _ in finals],
+            *[f"{pf} AS _l2{i}f" for i, _, pf in finals],
         )
         done += k
-    out = (
-        F.when(h >= F.lit(1 << 48), F.lit(48 << LOG2FP_FRAC_BITS))
-        .otherwise(
-            F.col("_l2_e") * F.lit(1 << LOG2FP_FRAC_BITS) + F.col("_l2_f")
-        )
-        .cast("long")
-    )
-    return df.withColumn(out_col, out).drop(*_L2_RESERVED)
+    outs_exprs = [
+        f"CAST(CASE WHEN {h_col} >= {1 << 48} THEN {48 << LOG2FP_FRAC_BITS} "
+        f"ELSE _l2{i}e * {1 << LOG2FP_FRAC_BITS} + _l2{i}f END AS BIGINT) "
+        f"AS {out_col}"
+        for i, (h_col, out_col) in enumerate(pairs)
+    ]
+    return df.selectExpr(*payload, *outs_exprs)
+
+
+def with_log2fp(df: DataFrame, h_col: str, out_col: str) -> DataFrame:
+    """Single-column convenience wrapper over ``with_log2fp_many``."""
+    return with_log2fp_many(df, [(h_col, out_col)])
 
 
 def log2fp_sql(payload_sql: str, out_col: str = "l2fp", prefix: str = "l2") -> str:

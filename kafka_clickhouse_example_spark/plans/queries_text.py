@@ -1109,8 +1109,7 @@ def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_tokens"), F.count("*").alias("n_types")
     )
     j = cnt.join(F.broadcast(tot), "source")
-    j = SP.with_log2fp(j, "n", "l2_n")
-    j = SP.with_log2fp(j, "n_tokens", "l2_tot")
+    j = SP.with_log2fp_many(j, [("n", "l2_n"), ("n_tokens", "l2_tot")])
     contrib = F.expr("(n * (l2_tot - l2_n)) div n_tokens")
     ent = (
         j.withColumn("_contrib", contrib)
@@ -1126,3 +1125,126 @@ def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits"
         ),
     ).orderBy("source")
+
+
+# --- per-source KL divergence vs the corpus token mix ------------------------
+
+_KL_ORACLE = f"""
+WITH cnt AS ({_ENTROPY_CNT}),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM cnt GROUP BY source
+),
+vocab AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS m FROM cnt GROUP BY term
+),
+grand AS (
+  SELECT CAST(sum(n) AS BIGINT) AS big_m FROM cnt
+),
+{{chain_n}},
+{{chain_tot}},
+{{chain_m}},
+{{chain_gm}}
+SELECT source, n_tokens, kl_q20,
+       CAST(kl_q20 AS DOUBLE) / {1 << 20} AS kl_bits
+FROM (
+  SELECT source, n_tokens,
+         CAST(sum(n * ((l2_n - l2_tot) - (l2_m - l2_gm))) AS BIGINT)
+           // n_tokens AS kl_q20
+  FROM dfin
+  GROUP BY source, n_tokens
+)
+ORDER BY source
+"""
+
+
+def _kl_oracle() -> str:
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    chain_n = SP.log2fp_sql(
+        "SELECT c.source, c.term, c.n, t.n_tokens, v.m, g.big_m, c.n AS h "
+        "FROM cnt c JOIN tot t USING (source) JOIN vocab v USING (term) "
+        "CROSS JOIN grand g",
+        out_col="l2_n",
+        prefix="a",
+    )
+    chain_tot = SP.log2fp_sql(
+        "SELECT *, n_tokens AS h FROM afin", out_col="l2_tot", prefix="b"
+    )
+    chain_m = SP.log2fp_sql("SELECT *, m AS h FROM bfin", out_col="l2_m", prefix="c")
+    chain_gm = SP.log2fp_sql(
+        "SELECT *, big_m AS h FROM cfin", out_col="l2_gm", prefix="d"
+    )
+    return _KL_ORACLE.format(
+        chain_n=chain_n.strip(),
+        chain_tot=chain_tot.strip(),
+        chain_m=chain_m.strip(),
+        chain_gm=chain_gm.strip(),
+    )
+
+
+@register("text_token_kl_by_source", oracle=_kl_oracle())
+def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus-wide mix, in bits — the mixture-skew diagnostic: a source
+    whose vocabulary usage matches the blended corpus scores ~0; a
+    templated or off-domain source scores high. The standard companion
+    to per-source entropy when reweighing pretraining mixes.
+
+    KL(P_s||Q) = (1/N_s)·Σ_i n_si·((log2 n_si - log2 N_s) -
+    (log2 m_i - log2 M)) — four logs, all in the cross-engine integer
+    fixed point of operators/sampling.with_log2fp. The summand can be
+    NEGATIVE (tokens the source under-uses), so the division happens
+    ONCE on the summed numerator — and as a true floor division
+    ((a - pmod(a, b)) div b), because Spark's `div` truncates toward
+    zero while DuckDB's `//` floors; on a negative total those differ
+    by 1. Quantized KL of a near-identical distribution can land at -1
+    q20 (~-1e-6 bits) rather than 0 — the price of engine-exact
+    determinism, documented as part of the metric.
+
+    Scale: one (source, term) partial-agg shuffle; totals, vocabulary
+    marginals, and the grand total all derive from the checkpointed
+    vocab-sized counts (corpus explode runs once). The vocab marginal
+    join is term-keyed (sort-merge/AQE; broadcastable while the vocab
+    is); the per-source and grand totals broadcast. Same int64 bound as
+    entropy: a single token type beyond ~1.8e11 occurrences per source
+    needs DECIMAL promotion of the product.
+    """
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = (
+        toks.groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    vocab = cnt.groupBy("term").agg(F.sum("n").alias("m"))
+    grand = cnt.agg(F.sum("n").alias("big_m"))
+    j = (
+        cnt.join(F.broadcast(tot), "source")
+        .join(vocab, "term")
+        .crossJoin(F.broadcast(grand))
+    )
+    j = SP.with_log2fp_many(
+        j,
+        [("n", "l2_n"), ("n_tokens", "l2_tot"), ("m", "l2_m"), ("big_m", "l2_gm")],
+    )
+    num = F.sum(
+        F.col("n") * ((F.col("l2_n") - F.col("l2_tot")) - (F.col("l2_m") - F.col("l2_gm")))
+    ).cast("long")
+    agg = j.groupBy("source", "n_tokens").agg(num.alias("_num"))
+    # floor division (matches DuckDB //): pmod keeps the remainder >= 0
+    kl = F.expr("(_num - pmod(_num, n_tokens)) div n_tokens")
+    return (
+        agg.withColumn("kl_q20", kl.cast("long"))
+        .select(
+            "source",
+            "n_tokens",
+            "kl_q20",
+            (F.col("kl_q20").cast("double") / F.lit(float(1 << 20))).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )

@@ -183,3 +183,42 @@ def test_log2fp_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(5, 1)], "h long, _l2_t long")
     with pytest.raises(ValueError, match="reserved"):
         with_log2fp(df, "h", "out")
+
+
+def test_log2fp_many_interleaved_equals_single_chains(spark):
+    import random
+
+    from kafka_clickhouse_example_spark.operators.sampling import (
+        with_log2fp,
+        with_log2fp_many,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(1, 1 << 48), rng.randrange(1, 1 << 48), rng.randrange(1, 1 << 48))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    many = {
+        (r["a"], r["b"], r["c"]): (r["la"], r["lb"], r["lc"])
+        for r in with_log2fp_many(
+            df, [("a", "la"), ("b", "lb"), ("c", "lc")]
+        ).collect()
+    }
+    single = with_log2fp(with_log2fp(with_log2fp(df, "a", "la"), "b", "lb"), "c", "lc")
+    ref = {
+        (r["a"], r["b"], r["c"]): (r["la"], r["lb"], r["lc"])
+        for r in single.collect()
+    }
+    # interleaving is a build-time grouping, never a value change
+    assert many == ref
+
+
+def test_log2fp_many_rejects_duplicate_outputs(spark):
+    import pytest
+
+    from kafka_clickhouse_example_spark.operators.sampling import with_log2fp_many
+
+    df = spark.createDataFrame([(5, 6)], "a long, b long")
+    with pytest.raises(ValueError):
+        with_log2fp_many(df, [("a", "out"), ("b", "out")])
