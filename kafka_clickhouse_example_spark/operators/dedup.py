@@ -95,9 +95,9 @@ def shingles_from_tokens(toks: Column, n: int = NGRAM_DEFAULT) -> Column:
 def md5_half(s: Column, which: int) -> Column:
     """56-bit integer from half of md5(s): hex chars 1-14 (which=0) or 15-28
     (which=1). Mirrors DuckDB ('0x' || substr(md5(s), start, 14))::BIGINT."""
-    return F.conv(F.substring(F.md5(s.cast("binary")), 1 + which * 14, 14), 16, 10).cast(
-        "long"
-    )
+    from kafka_clickhouse_example_spark.operators.sampling import md5_prefix_long
+
+    return md5_prefix_long(s, 14, start=1 + which * 14)
 
 
 def perm_hash_from_halves(h1: Column, h2: Column, perm: int) -> Column:

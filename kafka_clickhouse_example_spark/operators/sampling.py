@@ -22,13 +22,25 @@ from pyspark.sql import functions as F
 SPLIT_BUCKETS = 100
 
 
+def md5_prefix_long(key: Column, hex_chars: int, start: int = 1) -> Column:
+    """BIGINT from ``hex_chars`` hex digits of md5(key), starting at the
+    1-based ``start`` digit — THE cross-engine hash primitive (md5 is md5
+    on every engine, unlike xxhash64). Mirrors DuckDB
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), start, hex_chars))::BIGINT``.
+    Keep ``hex_chars`` <= 15 so the value stays under 2^60 (BIGINT-safe).
+    The string cast is a no-op for string inputs, so string-keyed callers
+    produce the same bytes they always did."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), start, hex_chars),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_bucket(key: Column, buckets: int = SPLIT_BUCKETS) -> Column:
     """Deterministic bucket in [0, buckets): 56-bit md5 prefix mod buckets.
     Mirrors DuckDB ('0x' || substr(md5(key), 1, 14))::BIGINT % buckets."""
-    h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 14), 16, 10).cast(
-        "long"
-    )
-    return (h % buckets).cast("int")
+    return (md5_prefix_long(key, 14) % buckets).cast("int")
 
 
 def deterministic_sample(
@@ -231,9 +243,11 @@ def with_log2fp_many(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     mantissa normalized to t in [2^30, 2^31) by shifts; then the classic
     square-and-extract loop — s = t*t lands in [2^60, 2^62), s >= 2^61
     means the squared mantissa crossed 2 (fraction bit 1, renormalize by
-    >>31), else bit 0 (>>30). 20 rounds give 20 fraction bits; max error
-    2^-20 relative on log2, and the map is weakly monotone in h (floor of
-    a monotone function), so rank uses downstream are order-safe.
+    >>31), else bit 0 (>>30). 20 rounds give 20 fraction bits; absolute
+    error on log2 stays under ~3·2^-20 (the truncating renormalization
+    accumulates a couple of ulps beyond the quantization floor — the spec
+    test pins 3e-6), and the map is weakly monotone in h (floor of a
+    monotone function), so rank uses downstream are order-safe.
 
     All pairs run INTERLEAVED through the same few projections: each
     DataFrame op re-analyzes the whole lineage, so driver-side build time
@@ -280,7 +294,7 @@ def with_log2fp_many(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
         init.append(f"shiftright(shiftleft({h_col}, 47 - _l2{i}e), 17) AS _l2{i}t")
         init.append(f"CAST(0 AS BIGINT) AS _l2{i}f")
     df = df.selectExpr(*init)
-    carried = [c for i in range(len(pairs)) for c in (f"_l2{i}e",)]
+    carried = [f"_l2{i}e" for i in range(len(pairs))]
     done = 0
     while done < LOG2FP_FRAC_BITS:
         k = min(10, LOG2FP_FRAC_BITS - done)
@@ -392,14 +406,7 @@ def weighted_sample_without_replacement(
             f"weighted_sample_without_replacement: input already has "
             f"reserved column(s) {reserved}; rename them first"
         )
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    )
+    h = md5_prefix_long(F.col(key_col), 12) + 1
     base = (
         df.filter((F.col(weight_col) > 0) & F.col(key_col).isNotNull())
         .withColumn("_espk_h", h)

@@ -67,11 +67,11 @@ def alpha_char_count(text: Column) -> Column:
 
 def token_hash(tok: Column) -> Column:
     """Deterministic 60-bit token hash: first 15 hex chars of md5.
-
-    conv(hex,16,10) -> decimal string -> long. Identical to DuckDB's
-    ('0x' || substr(md5(t),1,15))::BIGINT.
+    Identical to DuckDB's ('0x' || substr(md5(t),1,15))::BIGINT.
     """
-    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+    from kafka_clickhouse_example_spark.operators.sampling import md5_prefix_long
+
+    return md5_prefix_long(tok, 15)
 
 
 def doc_fingerprint(text: Column) -> Column:

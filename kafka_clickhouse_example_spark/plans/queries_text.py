@@ -1194,12 +1194,13 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log2 m_i - log2 M)) — four logs, all in the cross-engine integer
     fixed point of operators/sampling.with_log2fp. The summand can be
     NEGATIVE (tokens the source under-uses), so the division happens
-    ONCE on the summed numerator — and as a true floor division
-    ((a - pmod(a, b)) div b), because Spark's `div` truncates toward
-    zero while DuckDB's `//` floors; on a negative total those differ
-    by 1. Quantized KL of a near-identical distribution can land at -1
-    q20 (~-1e-6 bits) rather than 0 — the price of engine-exact
-    determinism, documented as part of the metric.
+    ONCE on the summed numerator, with TRUNCATING division on both
+    sides: Spark's `div` and DuckDB's integer `//` both round toward
+    zero (verified empirically: (-5)//100 = 0 in DuckDB — its integer
+    `//` is NOT Python floor division), so a near-identical
+    distribution's slightly-negative quantized numerator lands at 0 in
+    both engines. tests/test_skew.py pins this corner with a corpus
+    whose numerator is provably negative.
 
     Scale: one (source, term) partial-agg shuffle; totals, vocabulary
     marginals, and the grand total all derive from the checkpointed
@@ -1236,8 +1237,9 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * ((F.col("l2_n") - F.col("l2_tot")) - (F.col("l2_m") - F.col("l2_gm")))
     ).cast("long")
     agg = j.groupBy("source", "n_tokens").agg(num.alias("_num"))
-    # floor division (matches DuckDB //): pmod keeps the remainder >= 0
-    kl = F.expr("(_num - pmod(_num, n_tokens)) div n_tokens")
+    # truncating division on BOTH engines: Spark div and DuckDB integer //
+    # each round toward zero (DuckDB's // is not Python floor for ints)
+    kl = F.expr("_num div n_tokens")
     return (
         agg.withColumn("kl_q20", kl.cast("long"))
         .select(

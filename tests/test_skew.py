@@ -222,3 +222,53 @@ def test_log2fp_many_rejects_duplicate_outputs(spark):
     df = spark.createDataFrame([(5, 6)], "a long, b long")
     with pytest.raises(ValueError):
         with_log2fp_many(df, [("a", "out"), ("b", "out")])
+
+
+def test_kl_query_negative_numerator_matches_oracle(spark, tmp_path):
+    """The one input region where engine division conventions could
+    diverge: proportional source/corpus distributions (true KL = 0) drive
+    the quantized numerator NEGATIVE (log2fp floors), so the final
+    division must round the same way in Spark and DuckDB. Spark `div` and
+    DuckDB integer `//` both truncate toward zero; a floor on either side
+    would yield -1 vs 0 here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    # source A: 2x + 3y, source B: 4x + 6y -> identical distributions;
+    # quantized numerators are -3 (A) and -6 (B) under the Q20 spec.
+    df = spark.createDataFrame(
+        [(1, "A", "x x y y y"), (2, "B", "x x x x y y y y y y")],
+        "doc_id long, source string, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    num = {}
+    for counts, n in (((2, 3), 5), ((4, 6), 10)):
+        num[n] = sum(
+            c * ((_log2fp_reference(c) - _log2fp_reference(n))
+                 - (_log2fp_reference(m) - _log2fp_reference(15)))
+            for c, m in zip(counts, (6, 9))
+        )
+    assert num[5] < 0 and num[10] < 0  # the corner is actually exercised
+
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_q20"])
+        for r in entry.queries()["text_token_kl_by_source"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            entry.oracle_sql()["text_token_kl_by_source"]
+        ).fetchall()
+    }
+    assert got == oracle
+    # truncation toward zero: |numerator| < n_tokens -> exactly 0, not -1
+    assert got == {"A": (5, 0), "B": (10, 0)}
