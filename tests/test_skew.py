@@ -272,3 +272,31 @@ def test_kl_query_negative_numerator_matches_oracle(spark, tmp_path):
     assert got == oracle
     # truncation toward zero: |numerator| < n_tokens -> exactly 0, not -1
     assert got == {"A": (5, 0), "B": (10, 0)}
+
+
+def test_log2fp_properties_hypothesis():
+    """Property-pin the executable spec itself (no Spark needed): weak
+    monotonicity, the documented ~3-ulp accuracy bound, and exactness on
+    powers of two (mantissa stays exactly 2^30 through every squaring, so
+    the fraction is all zeros)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=1 << 48),
+        st.integers(min_value=1, max_value=1 << 48),
+    )
+    def check(a, b):
+        la, lb = _log2fp_reference(a), _log2fp_reference(b)
+        if a <= b:
+            assert la <= lb
+        else:
+            assert la >= lb
+        assert abs(la / (1 << 20) - math.log2(a)) < 3e-6
+
+    check()
+    for k in range(49):
+        assert _log2fp_reference(1 << k) == k << 20
