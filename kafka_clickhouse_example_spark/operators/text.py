@@ -365,3 +365,63 @@ def clean_text_expr(col: Column) -> Column:
     """The full cleaning ladder: strip markup -> decode entities ->
     collapse whitespace (all JVM) -> NFC normalize (one Arrow pass)."""
     return nfc_normalize_udf()(collapse_whitespace(strip_markup(col)))
+
+
+# --- mergeable token-count state + entropy serving ---------------------------
+
+
+def token_counts(df, source_col: str = "source", text_col: str = "text"):
+    """(source, term, n) whitespace-token counts — the mergeable state
+    every token-distribution diagnostic (entropy, KL, TTR) derives from.
+    Counts are ADDITIVE across any corpus split, so the same relation can
+    be built batch (one partial-agg shuffle) or maintained incrementally
+    from per-batch partials (sinks/backfill.start_token_count_matview)
+    with bit-identical downstream metrics. Empty tokens are dropped
+    (split of all-whitespace text yields '').
+
+    Scale: explode fan-out is absorbed by map-side combine; the shuffled
+    relation is sources x vocab, orders of magnitude below token count.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("source", "term").agg(F.count("*").alias("n"))
+
+
+def token_entropy_from_counts(cnt):
+    """Per-source Shannon entropy in Q20 fixed point from (source, term,
+    n) counts: H = (1/N)*sum n_i*(L(N)-L(n_i)) with L the cross-engine
+    integer log2 (operators/sampling.with_log2fp_many). Serving this from
+    an incrementally-maintained counts table produces the same bits as a
+    batch rebuild over the full corpus — counts are the sufficient
+    statistic, and everything after them is deterministic integer math
+    (pinned by tests against the registered batch query).
+
+    The per-term summand n_i*(L(N)-L(n_i)) is non-negative (L is weakly
+    monotone and n_i <= N), so truncating and floor division agree here;
+    int64 bound: any single token type beyond ~1.8e11 occurrences per
+    source needs DECIMAL promotion of the product.
+    """
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    tot = cnt.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    j = cnt.join(F.broadcast(tot), "source")
+    j = SP.with_log2fp_many(j, [("n", "l2_n"), ("n_tokens", "l2_tot")])
+    contrib = F.expr("(n * (l2_tot - l2_n)) div n_tokens")
+    ent = (
+        j.withColumn("_contrib", contrib)
+        .groupBy("source", "n_tokens", "n_types")
+        .agg(F.sum("_contrib").cast("long").alias("entropy_q20"))
+    )
+    return ent.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "entropy_q20",
+        (F.col("entropy_q20").cast("double") / F.lit(float(1 << 20))).alias(
+            "entropy_bits"
+        ),
+    ).orderBy("source")

@@ -1088,43 +1088,20 @@ def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64, i.e. any single token type below ~1.8e11 occurrences per
     source; past that, promote the product to DECIMAL(38,0) — the final
     entropy stays BIGINT-small either way.
-    """
-    from kafka_clickhouse_example_spark.operators import sampling as SP
 
+    The counts relation is the mergeable state: the SAME serving math
+    (T.token_entropy_from_counts) runs over the incrementally-maintained
+    counts matview (sinks/backfill.start_token_count_matview) with
+    bit-identical results — pinned in tests/test_streaming.py.
+    """
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "source", F.explode(T.tokens(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
     # Materialize the aggregated counts once: both join sides below derive
     # from cnt, and without the checkpoint Spark re-runs the token explode
     # for each (the corpus scanned twice for a vocab-sized relation). Same
     # device as the flows family; cnt is sources x vocab — orders of
     # magnitude smaller than the corpus at any scale.
-    cnt = (
-        toks.groupBy("source", "term")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    tot = cnt.groupBy("source").agg(
-        F.sum("n").alias("n_tokens"), F.count("*").alias("n_types")
-    )
-    j = cnt.join(F.broadcast(tot), "source")
-    j = SP.with_log2fp_many(j, [("n", "l2_n"), ("n_tokens", "l2_tot")])
-    contrib = F.expr("(n * (l2_tot - l2_n)) div n_tokens")
-    ent = (
-        j.withColumn("_contrib", contrib)
-        .groupBy("source", "n_tokens", "n_types")
-        .agg(F.sum("_contrib").cast("long").alias("entropy_q20"))
-    )
-    return ent.select(
-        "source",
-        "n_tokens",
-        "n_types",
-        "entropy_q20",
-        (F.col("entropy_q20").cast("double") / F.lit(float(1 << 20))).alias(
-            "entropy_bits"
-        ),
-    ).orderBy("source")
+    cnt = T.token_counts(docs).localCheckpoint(eager=True)
+    return T.token_entropy_from_counts(cnt)
 
 
 # --- per-source KL divergence vs the corpus token mix ------------------------
@@ -1213,14 +1190,7 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_example_spark.operators import sampling as SP
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "source", F.explode(T.tokens(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
-    cnt = (
-        toks.groupBy("source", "term")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    cnt = T.token_counts(docs).localCheckpoint(eager=True)
     tot = cnt.groupBy("source").agg(F.sum("n").alias("n_tokens"))
     vocab = cnt.groupBy("term").agg(F.sum("n").alias("m"))
     grand = cnt.agg(F.sum("n").alias("big_m"))

@@ -271,6 +271,75 @@ def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
     )
 
 
+def _land_token_counts(
+    batch_df: DataFrame,
+    batch_id: int,
+    partials_path: str,
+    source_col: str,
+    text_col: str,
+) -> None:
+    """One matview step, module-level so tests can replay a batch id
+    (the same pattern as _recompute_merge)."""
+    from kafka_clickhouse_example_spark.operators.text import token_counts
+
+    token_counts(batch_df, source_col, text_col).write.mode("overwrite").parquet(
+        f"{partials_path}/batch={batch_id}"
+    )
+
+
+def start_token_count_matview(
+    stream_df: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Incrementally-maintained (source, term, n) token counts over a
+    document stream — the mergeable sufficient statistic for the corpus
+    diagnostics (token entropy, per-source KL, TTR), so each arriving
+    corpus delta costs one vocab-sized partial instead of a full-corpus
+    re-tokenization.
+
+    Exactly-once by construction, the CMS-matview device: each
+    micro-batch's counts land under ``batch=<id>`` with mode("overwrite"),
+    so a crash-replayed batch overwrites ITS OWN partial instead of
+    double-counting. Counts are additive, so the merged view
+    (``read_token_counts``) is bit-identical to a batch build over the
+    full history, and every downstream metric — being deterministic
+    integer math over the counts — matches the batch query exactly
+    (tests/test_streaming.py pins entropy served from the matview against
+    the registered batch query).
+
+    Scale: each partial is (batch vocab x sources) rows — KBs-MBs
+    regardless of batch size; compact the partials directory with a
+    merged overwrite when the batch count grows (same maintenance shape
+    as the CMS partials).
+    """
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        _land_token_counts(batch_df, batch_id, partials_path, source_col, text_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_token_counts(spark: SparkSession, partials_path: str) -> DataFrame:
+    """The queryable counts: (source, term) sum over all landed partials
+    — feed to operators/text.token_entropy_from_counts (or any counts
+    consumer) for serving."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(partials_path)
+        .groupBy("source", "term")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def start_fanout_sink(
     stream_df: DataFrame, paths: list[str], checkpoint: str
 ):

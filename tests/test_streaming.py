@@ -932,3 +932,81 @@ def test_inactivity_alerts_end_to_end(spark, flow_dir, tmp_path):
     a_alerts = [k for k in alerts if k == "10.0.0.1"]
     if a_alerts:  # A may alert for its LATEST quiet period once wm passes
         assert alerts["10.0.0.1"][0] == t0 + 600_000
+
+
+def test_token_count_matview_matches_batch_and_serves_entropy(spark, sf_dir, tmp_path):
+    """The streamed (source, term, n) counts are row-identical to a batch
+    build over the full corpus; entropy SERVED from the matview equals
+    the registered batch query bit-for-bit; a replayed batch overwrites
+    its own partial (no double-counting)."""
+    from kafka_clickhouse_example_spark.operators import text as T
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        _land_token_counts,
+        read_token_counts,
+        start_token_count_matview,
+    )
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+
+    docs = load_compute_table(spark, sf_dir, "documents").select("source", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema("source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    partials = str(tmp_path / "partials")
+    q = start_token_count_matview(stream, partials, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    streamed = {
+        (r.source, r.term): r.n for r in read_token_counts(spark, partials).collect()
+    }
+    direct = {(r.source, r.term): r.n for r in T.token_counts(docs).collect()}
+    assert streamed == direct
+
+    # entropy served from the matview == the registered batch query
+    import __spark_entry__ as entry
+
+    served = [
+        tuple(r)
+        for r in T.token_entropy_from_counts(
+            read_token_counts(spark, partials)
+        ).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in entry.queries()["text_token_entropy_by_source"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert served == batch
+
+    # replay: re-land batch 0 FROM ITS SOURCE ROWS -> no drift. Which
+    # input file batch 0 processed is a scheduler detail, so find it by
+    # matching the landed partial's content instead of assuming an order.
+    import glob
+
+    batch_dirs = sorted(glob.glob(partials + "/batch=*"))
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+    partial0 = {
+        (r.source, r.term): r.n
+        for r in spark.read.parquet(batch_dirs[0]).collect()
+    }
+    batch0_file = next(
+        f
+        for f in glob.glob(src + "/part-*.parquet")
+        if {
+            (r.source, r.term): r.n
+            for r in T.token_counts(spark.read.parquet(f)).collect()
+        }
+        == partial0
+    )
+    _land_token_counts(
+        spark.read.parquet(batch0_file), 0, partials, "source", "text"
+    )
+    replayed = {
+        (r.source, r.term): r.n for r in read_token_counts(spark, partials).collect()
+    }
+    assert replayed == direct
