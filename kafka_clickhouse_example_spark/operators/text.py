@@ -425,3 +425,44 @@ def token_entropy_from_counts(cnt):
             "entropy_bits"
         ),
     ).orderBy("source")
+
+
+def token_kl_from_counts(cnt):
+    """Per-source KL divergence vs the corpus mix in Q20 fixed point from
+    (source, term, n) counts — see queries_text.text_token_kl_by_source
+    for the metric derivation and the engine-division convention (the
+    summed numerator can be negative; Spark `div` and DuckDB integer `//`
+    both truncate toward zero). Counts are the sufficient statistic, so
+    serving from the maintained matview matches the batch rebuild
+    bit-for-bit.
+    """
+    from kafka_clickhouse_example_spark.operators import sampling as SP
+
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    vocab = cnt.groupBy("term").agg(F.sum("n").alias("m"))
+    grand = cnt.agg(F.sum("n").alias("big_m"))
+    j = (
+        cnt.join(F.broadcast(tot), "source")
+        .join(vocab, "term")
+        .crossJoin(F.broadcast(grand))
+    )
+    j = SP.with_log2fp_many(
+        j,
+        [("n", "l2_n"), ("n_tokens", "l2_tot"), ("m", "l2_m"), ("big_m", "l2_gm")],
+    )
+    num = F.sum(
+        F.col("n")
+        * ((F.col("l2_n") - F.col("l2_tot")) - (F.col("l2_m") - F.col("l2_gm")))
+    ).cast("long")
+    agg = j.groupBy("source", "n_tokens").agg(num.alias("_num"))
+    kl = F.expr("_num div n_tokens")
+    return (
+        agg.withColumn("kl_q20", kl.cast("long"))
+        .select(
+            "source",
+            "n_tokens",
+            "kl_q20",
+            (F.col("kl_q20").cast("double") / F.lit(float(1 << 20))).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )

@@ -1186,37 +1186,11 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     is); the per-source and grand totals broadcast. Same int64 bound as
     entropy: a single token type beyond ~1.8e11 occurrences per source
     needs DECIMAL promotion of the product.
-    """
-    from kafka_clickhouse_example_spark.operators import sampling as SP
 
+    Like entropy, the counts relation is the mergeable state: the SAME
+    serving math (T.token_kl_from_counts) runs over the incrementally-
+    maintained counts matview with bit-identical results.
+    """
     docs = _docs(spark, sf_dir)
     cnt = T.token_counts(docs).localCheckpoint(eager=True)
-    tot = cnt.groupBy("source").agg(F.sum("n").alias("n_tokens"))
-    vocab = cnt.groupBy("term").agg(F.sum("n").alias("m"))
-    grand = cnt.agg(F.sum("n").alias("big_m"))
-    j = (
-        cnt.join(F.broadcast(tot), "source")
-        .join(vocab, "term")
-        .crossJoin(F.broadcast(grand))
-    )
-    j = SP.with_log2fp_many(
-        j,
-        [("n", "l2_n"), ("n_tokens", "l2_tot"), ("m", "l2_m"), ("big_m", "l2_gm")],
-    )
-    num = F.sum(
-        F.col("n") * ((F.col("l2_n") - F.col("l2_tot")) - (F.col("l2_m") - F.col("l2_gm")))
-    ).cast("long")
-    agg = j.groupBy("source", "n_tokens").agg(num.alias("_num"))
-    # truncating division on BOTH engines: Spark div and DuckDB integer //
-    # each round toward zero (DuckDB's // is not Python floor for ints)
-    kl = F.expr("_num div n_tokens")
-    return (
-        agg.withColumn("kl_q20", kl.cast("long"))
-        .select(
-            "source",
-            "n_tokens",
-            "kl_q20",
-            (F.col("kl_q20").cast("double") / F.lit(float(1 << 20))).alias("kl_bits"),
-        )
-        .orderBy("source")
-    )
+    return T.token_kl_from_counts(cnt)

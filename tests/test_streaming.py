@@ -966,22 +966,22 @@ def test_token_count_matview_matches_batch_and_serves_entropy(spark, sf_dir, tmp
     direct = {(r.source, r.term): r.n for r in T.token_counts(docs).collect()}
     assert streamed == direct
 
-    # entropy served from the matview == the registered batch query
+    # entropy AND KL served from the matview == the registered batch queries
     import __spark_entry__ as entry
 
-    served = [
-        tuple(r)
-        for r in T.token_entropy_from_counts(
-            read_token_counts(spark, partials)
-        ).collect()
-    ]
-    batch = [
-        tuple(r)
-        for r in entry.queries()["text_token_entropy_by_source"](
-            spark, sf_dir
-        ).collect()
-    ]
-    assert served == batch
+    for serve_fn, query_name in (
+        (T.token_entropy_from_counts, "text_token_entropy_by_source"),
+        (T.token_kl_from_counts, "text_token_kl_by_source"),
+    ):
+        served = [
+            tuple(r)
+            for r in serve_fn(read_token_counts(spark, partials)).collect()
+        ]
+        batch = [
+            tuple(r)
+            for r in entry.queries()[query_name](spark, sf_dir).collect()
+        ]
+        assert served == batch, query_name
 
     # replay: re-land batch 0 FROM ITS SOURCE ROWS -> no drift. Which
     # input file batch 0 processed is a scheduler detail, so find it by
