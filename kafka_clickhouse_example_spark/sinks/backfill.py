@@ -247,16 +247,8 @@ def start_cms_matview(
     """
     from kafka_clickhouse_example_spark.operators.sketches import cms_build
 
-    def land(batch_df: DataFrame, batch_id: int) -> None:
-        cms_build(batch_df, key_col).write.mode("overwrite").parquet(
-            f"{partials_path}/batch={batch_id}"
-        )
-
-    return (
-        stream_df.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _start_partial_matview(
+        stream_df, lambda b: cms_build(b, key_col), partials_path, checkpoint
     )
 
 
@@ -271,6 +263,33 @@ def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
     )
 
 
+def _land_partial(partial_df: DataFrame, batch_id: int, partials_path: str) -> None:
+    """THE exactly-once landing formula: a batch's partial goes under
+    batch=<id> with overwrite, so a crash-replayed batch overwrites its
+    own partial instead of double-counting. One definition — the CMS and
+    token-count matviews (and the replay tests) all write through it."""
+    partial_df.write.mode("overwrite").parquet(f"{partials_path}/batch={batch_id}")
+
+
+def _start_partial_matview(
+    stream_df: DataFrame, build, partials_path: str, checkpoint: str
+):
+    """Shared per-batch-partial matview device: ``build(batch_df)`` maps a
+    micro-batch to its mergeable partial relation; landing + replay
+    semantics come from ``_land_partial``; availableNow + checkpoint make
+    the run resumable."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        _land_partial(build(batch_df), batch_id, partials_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _land_token_counts(
     batch_df: DataFrame,
     batch_id: int,
@@ -278,12 +297,12 @@ def _land_token_counts(
     source_col: str,
     text_col: str,
 ) -> None:
-    """One matview step, module-level so tests can replay a batch id
+    """One token-matview step, module-level so tests can replay a batch id
     (the same pattern as _recompute_merge)."""
     from kafka_clickhouse_example_spark.operators.text import token_counts
 
-    token_counts(batch_df, source_col, text_col).write.mode("overwrite").parquet(
-        f"{partials_path}/batch={batch_id}"
+    _land_partial(
+        token_counts(batch_df, source_col, text_col), batch_id, partials_path
     )
 
 
@@ -316,27 +335,35 @@ def start_token_count_matview(
     as the CMS partials).
     """
 
-    def land(batch_df: DataFrame, batch_id: int) -> None:
-        _land_token_counts(batch_df, batch_id, partials_path, source_col, text_col)
+    from kafka_clickhouse_example_spark.operators.text import token_counts
 
-    return (
-        stream_df.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _start_partial_matview(
+        stream_df,
+        lambda b: token_counts(b, source_col, text_col),
+        partials_path,
+        checkpoint,
     )
 
 
 def read_token_counts(spark: SparkSession, partials_path: str) -> DataFrame:
     """The queryable counts: (source, term) sum over all landed partials
-    — feed to operators/text.token_entropy_from_counts (or any counts
-    consumer) for serving."""
+    — feed to operators/text.token_entropy_from_counts /
+    token_kl_from_counts (or any counts consumer) for serving.
+
+    Materialized eagerly (localCheckpoint): every serve function derives
+    several relations from the counts (totals, vocabulary marginal, join
+    probe — up to four for KL), and an unmaterialized return would
+    re-list and re-aggregate the whole partials tree once per derivation
+    — the same double-scan the batch queries avoid by checkpointing cnt.
+    The materialized relation is sources x vocab, far below the partials'
+    row count once history accumulates."""
     from pyspark.sql import functions as F
 
     return (
         spark.read.parquet(partials_path)
         .groupBy("source", "term")
         .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
     )
 
 
