@@ -242,8 +242,9 @@ def start_cms_matview(
     bit-identical to one built over the full history in batch.
 
     Scale: each partial is <= depth*width (8,192) rows regardless of batch
-    size; a year of 5-minute batches is ~10^5 partials x KBs — compact the
-    partials directory with cms_merge + overwrite when it grows.
+    size; a year of 5-minute batches is ~10^5 partials x KBs — compact with
+    ``compact_partials(spark, path, read_cms_matview)`` (manifest-pinned,
+    crash-safe) when it grows.
     """
     from kafka_clickhouse_example_spark.operators.sketches import cms_build
 
@@ -253,22 +254,140 @@ def start_cms_matview(
 
 
 def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
-    """The queryable sketch: cell-wise sum over all landed partials."""
+    """The queryable sketch: cell-wise sum over the LIVE partials (the
+    manifest-pinned set — orphans from an interrupted compaction are
+    invisible)."""
     from pyspark.sql import functions as F
 
     return (
-        spark.read.parquet(partials_path)
+        _read_live_partials(spark, partials_path)
         .groupBy("r", "idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
 
 
+# --- manifest-pinned partials ------------------------------------------------
+#
+# With per-batch landing alone, the partials directory grows without
+# bound (a year of 5-minute batches is ~10^5 dirs) and a naive
+# "merge + delete the old dirs" compaction has an unrecoverable crash
+# window: merged dir landed + some old dirs still present = double
+# counting, some old dirs deleted before the merge commits = data loss.
+# The standard fix is the table-format device in miniature: a MANIFEST
+# names the live directory set, readers read exactly that set, and
+# compaction commits by atomically swapping the manifest — directory
+# creation and deletion are then always either invisible (not yet in the
+# manifest) or garbage (no longer in it), never half-visible.
+#
+# Filesystem notes: the manifest swap uses os.rename (atomic on the
+# local FS and on HDFS; an object-store deployment swaps
+# _write_manifest/_delete_dir for conditional-put + lifecycle delete —
+# the protocol itself is FS-agnostic). Compaction runs in a maintenance
+# window while the landing stream is stopped, like compact_term_index.
+
+_MANIFEST = "_live.json"
+
+
+def _live_dirs(partials_path: str) -> list[str]:
+    """Live directory names (e.g. 'batch=7'). Manifest if present; else
+    every visible batch=* dir (legacy trees written before the manifest
+    existed — for those, everything on disk is live by definition)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    mpath = os.path.join(partials_path, _MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return sorted(_json.load(f)["dirs"])
+    return sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(partials_path, "batch=*"))
+        if os.path.isdir(p)
+    )
+
+
+def _write_manifest(partials_path: str, dirs: list[str]) -> None:
+    """Atomic manifest replace: write sibling tmp, os.rename over it."""
+    import json as _json
+    import os
+
+    mpath = os.path.join(partials_path, _MANIFEST)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"dirs": sorted(dirs)}, f)
+    os.rename(tmp, mpath)
+
+
+def _read_live_partials(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Read exactly the manifest-pinned directory set (basePath keeps the
+    partition column out of the data columns as before)."""
+    import os
+
+    dirs = _live_dirs(partials_path)
+    if not dirs:
+        raise ValueError(
+            f"no live partials under {partials_path!r} — the matview has "
+            "never landed a batch (or the manifest names an empty set)"
+        )
+    return spark.read.option("basePath", partials_path).parquet(
+        *[os.path.join(partials_path, d) for d in dirs]
+    )
+
+
+def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
+    """Compact the matview history: land the MERGED relation (whatever
+    ``read_fn(spark, partials_path)`` serves — it already reads only the
+    live set) as one new ``batch=c<epoch>`` directory, commit by swapping
+    the manifest to name exactly that directory, then garbage-collect
+    every unreferenced dir. Crash-safe at every point: before the swap,
+    the merged dir is an invisible orphan (a rerun just writes c<epoch+1>
+    and the GC sweeps both); after the swap, the stale dirs are invisible
+    garbage (a rerun's GC sweeps them). Mergeability of the partial state
+    (counts, sketch cells) is what makes the merged dir a valid partial.
+
+    Run while the landing stream is stopped (maintenance window); the
+    next stream batch appends its numeric dir to the manifest as usual.
+    """
+    import glob as _glob
+    import os
+    import re
+    import shutil
+
+    live = _live_dirs(partials_path)
+    epochs = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(partials_path, "batch=c*"))
+        if (m := re.fullmatch(r"batch=c(\d+)", os.path.basename(p)))
+    ]
+    if len(live) > 1:
+        new_dir = f"batch=c{max(epochs, default=0) + 1}"
+        # Materialize BEFORE the write executes against the dirs we will
+        # delete — read_fn's plan reads the live set lazily, but writing
+        # to a NEW dir never touches its inputs, so plain write is safe.
+        read_fn(spark, partials_path).write.mode("overwrite").parquet(
+            os.path.join(partials_path, new_dir)
+        )
+        _write_manifest(partials_path, [new_dir])  # the commit point
+    # GC (also heals interrupted runs): drop every unreferenced batch dir
+    keep = set(_live_dirs(partials_path))
+    for p in _glob.glob(os.path.join(partials_path, "batch=*")):
+        if os.path.basename(p) not in keep:
+            shutil.rmtree(p)
+
+
 def _land_partial(partial_df: DataFrame, batch_id: int, partials_path: str) -> None:
     """THE exactly-once landing formula: a batch's partial goes under
     batch=<id> with overwrite, so a crash-replayed batch overwrites its
-    own partial instead of double-counting. One definition — the CMS and
-    token-count matviews (and the replay tests) all write through it."""
-    partial_df.write.mode("overwrite").parquet(f"{partials_path}/batch={batch_id}")
+    own partial instead of double-counting, and the manifest gains the
+    dir (idempotent set-add; seeded from disk for legacy trees). A crash
+    between write and manifest-append replays the whole batch — the
+    rewrite is idempotent and the append then lands. One definition —
+    the CMS and token-count matviews (and the replay tests) all write
+    through it."""
+    d = f"batch={batch_id}"
+    partial_df.write.mode("overwrite").parquet(f"{partials_path}/{d}")
+    _write_manifest(partials_path, sorted(set(_live_dirs(partials_path)) | {d}))
 
 
 def _start_partial_matview(
@@ -330,9 +449,9 @@ def start_token_count_matview(
     the registered batch query).
 
     Scale: each partial is (batch vocab x sources) rows — KBs-MBs
-    regardless of batch size; compact the partials directory with a
-    merged overwrite when the batch count grows (same maintenance shape
-    as the CMS partials).
+    regardless of batch size; compact with ``compact_partials(spark,
+    path, read_token_counts)`` (manifest-pinned, crash-safe) when the
+    batch count grows.
     """
 
     from kafka_clickhouse_example_spark.operators.text import token_counts
@@ -360,7 +479,7 @@ def read_token_counts(spark: SparkSession, partials_path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        spark.read.parquet(partials_path)
+        _read_live_partials(spark, partials_path)
         .groupBy("source", "term")
         .agg(F.sum("n").alias("n"))
         .localCheckpoint(eager=True)

@@ -284,3 +284,33 @@ def test_builtin_percentile_approx_vs_exact(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.ap50 - r.ep50) <= 0.01 * max(abs(r.ep50), 1.0), r
+
+
+def test_cms_matview_compaction_preserves_sketch(spark, sf_dir, tmp_path):
+    """compact_partials is state-agnostic: the CMS matview compacts with
+    the same manifest protocol, and the merged sketch is cell-identical."""
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        compact_partials,
+        read_cms_matview,
+        start_cms_matview,
+    )
+
+    events = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    events.select("user_id").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    partials = str(tmp_path / "partials")
+    q = start_cms_matview(stream, "user_id", partials, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    before = {(r.r, r.idx): r.cnt for r in read_cms_matview(spark, partials).collect()}
+    compact_partials(spark, partials, read_cms_matview)
+    after = {(r.r, r.idx): r.cnt for r in read_cms_matview(spark, partials).collect()}
+    assert after == before
+    import glob
+
+    assert len(glob.glob(partials + "/batch=*")) == 1

@@ -1010,3 +1010,67 @@ def test_token_count_matview_matches_batch_and_serves_entropy(spark, sf_dir, tmp
         (r.source, r.term): r.n for r in read_token_counts(spark, partials).collect()
     }
     assert replayed == direct
+
+
+def test_token_matview_compaction_protocol(spark, tmp_path):
+    """Manifest-pinned compaction: merged dir + atomic manifest swap + GC.
+    Orphan dirs (an interrupted compaction's debris) are invisible to
+    readers and swept by the next run; landing continues normally after
+    a compaction."""
+    import glob
+    import json
+    import os
+
+    from kafka_clickhouse_example_spark.operators import text as T
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        _land_token_counts,
+        compact_partials,
+        read_token_counts,
+    )
+
+    partials = str(tmp_path / "p")
+    batches = [
+        [("A", "x x y"), ("B", "y z")],
+        [("A", "y y"), ("C", "z")],
+        [("B", "x"), ("C", "z z z")],
+    ]
+    all_rows = [r for b in batches for r in b]
+    for i, rows in enumerate(batches):
+        _land_token_counts(
+            spark.createDataFrame(rows, "source string, text string"),
+            i, partials, "source", "text",
+        )
+    docs = spark.createDataFrame(all_rows, "source string, text string")
+    direct = {(r.source, r.term): r.n for r in T.token_counts(docs).collect()}
+
+    def live():
+        return {(r.source, r.term): r.n for r in read_token_counts(spark, partials).collect()}
+
+    assert live() == direct
+
+    # an orphan dir (crashed compaction debris) is invisible to readers
+    spark.createDataFrame(
+        [("Z", "evil", 999)], "source string, term string, n long"
+    ).write.parquet(f"{partials}/batch=c9")
+    assert live() == direct
+
+    compact_partials(spark, partials, read_token_counts)
+    assert live() == direct
+    dirs = sorted(os.path.basename(p) for p in glob.glob(partials + "/batch=*"))
+    assert dirs == ["batch=c10"]  # epoch continues past the orphan; GC swept all
+    manifest = json.load(open(f"{partials}/_live.json"))
+    assert manifest["dirs"] == ["batch=c10"]
+
+    # landing continues after compaction: new batch merges with the epoch dir
+    extra = [("A", "w w w")]
+    _land_token_counts(
+        spark.createDataFrame(extra, "source string, text string"),
+        3, partials, "source", "text",
+    )
+    docs2 = spark.createDataFrame(all_rows + extra, "source string, text string")
+    assert live() == {(r.source, r.term): r.n for r in T.token_counts(docs2).collect()}
+
+    # idempotent rerun on a single live dir: GC-only, state unchanged
+    compact_partials(spark, partials, read_token_counts)
+    compact_partials(spark, partials, read_token_counts)
+    assert live() == {(r.source, r.term): r.n for r in T.token_counts(docs2).collect()}
