@@ -253,14 +253,16 @@ def start_cms_matview(
     )
 
 
-def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
+def read_cms_matview(
+    spark: SparkSession, partials_path: str, dirs: list[str] | None = None
+) -> DataFrame:
     """The queryable sketch: cell-wise sum over the LIVE partials (the
     manifest-pinned set — orphans from an interrupted compaction are
-    invisible)."""
+    invisible). ``dirs`` restricts to a subset (compaction)."""
     from pyspark.sql import functions as F
 
     return (
-        _read_live_partials(spark, partials_path)
+        _read_live_partials(spark, partials_path, dirs)
         .groupBy("r", "idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -279,115 +281,198 @@ def read_cms_matview(spark: SparkSession, partials_path: str) -> DataFrame:
 # creation and deletion are then always either invisible (not yet in the
 # manifest) or garbage (no longer in it), never half-visible.
 #
-# Filesystem notes: the manifest swap uses os.rename (atomic on the
-# local FS and on HDFS; an object-store deployment swaps
-# _write_manifest/_delete_dir for conditional-put + lifecycle delete —
-# the protocol itself is FS-agnostic). Compaction runs in a maintenance
+# Filesystem notes: everything goes through the Hadoop FileSystem API
+# (local glob/os is wrong for hdfs://, s3a://, or file: URI paths — the
+# compact_to_target lesson, packing.py), and the manifest swap is a
+# FileContext rename with Rename.OVERWRITE — atomic on the local FS and
+# HDFS, with a best-effort hsync on the tmp file first. Residual
+# durability note: a POWER failure (not process crash) between the swap
+# and the media flush can, on a non-journaled local FS, persist later
+# deletes but not the rename — HDFS's journal and any object-store
+# conditional-put close that window. Compaction runs in a maintenance
 # window while the landing stream is stopped, like compact_term_index.
 
 _MANIFEST = "_live.json"
 
 
-def _live_dirs(partials_path: str) -> list[str]:
-    """Live directory names (e.g. 'batch=7'). Manifest if present; else
-    every visible batch=* dir (legacy trees written before the manifest
-    existed — for those, everything on disk is live by definition)."""
-    import glob as _glob
-    import json as _json
-    import os
+def _hfs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any URI or local path."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
-    mpath = os.path.join(partials_path, _MANIFEST)
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            return sorted(_json.load(f)["dirs"])
+
+def _list_batch_dirs(spark: SparkSession, partials_path: str) -> list[str]:
+    """Every batch=* directory physically present (live or orphan)."""
+    fs, root = _hfs(spark, partials_path)
+    if not fs.exists(root):
+        return []
     return sorted(
-        os.path.basename(p)
-        for p in _glob.glob(os.path.join(partials_path, "batch=*"))
-        if os.path.isdir(p)
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
     )
 
 
-def _write_manifest(partials_path: str, dirs: list[str]) -> None:
-    """Atomic manifest replace: write sibling tmp, os.rename over it."""
+def _manifest_read(spark: SparkSession, partials_path: str) -> list[str] | None:
+    """Manifest dir list, or None if no manifest exists yet."""
     import json as _json
-    import os
 
-    mpath = os.path.join(partials_path, _MANIFEST)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"dirs": sorted(dirs)}, f)
-    os.rename(tmp, mpath)
+    fs, _ = _hfs(spark, partials_path)
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{_MANIFEST}")
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return sorted(_json.loads(text)["dirs"])
 
 
-def _read_live_partials(spark: SparkSession, partials_path: str) -> DataFrame:
+def _manifest_write(spark: SparkSession, partials_path: str, dirs: list[str]) -> None:
+    """Atomic manifest replace: tmp file + FileContext rename(OVERWRITE)."""
+    import json as _json
+
+    jvm = spark._jvm
+    fs, _ = _hfs(spark, partials_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{_MANIFEST}.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{_MANIFEST}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(_json.dumps({"dirs": sorted(dirs)}).encode()))
+        try:
+            out.hsync()
+        except Exception:
+            pass  # best-effort durability; not all FS streams support it
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    rename = getattr(jvm.org.apache.hadoop.fs.Options, "Rename")
+    opts = spark.sparkContext._gateway.new_array(rename, 1)
+    opts[0] = rename.OVERWRITE
+    fc.rename(tmp, dst, opts)
+
+
+def _live_dirs(spark: SparkSession, partials_path: str) -> list[str]:
+    """Live directory names (e.g. 'batch=7'). Manifest if present; else
+    every visible batch=* dir (a read-only legacy tree written before the
+    manifest existed — everything on disk is live by definition there;
+    any WRITER seeds a manifest first via _ensure_manifest, so the
+    fallback never coexists with compaction debris)."""
+    dirs = _manifest_read(spark, partials_path)
+    return dirs if dirs is not None else _list_batch_dirs(spark, partials_path)
+
+
+def _ensure_manifest(spark: SparkSession, partials_path: str) -> None:
+    """Seed the manifest from disk if absent — the FIRST act of any
+    writer on a legacy tree, so that from then on new directories are
+    invisible until committed (without this, a crash between a merged-dir
+    write and the manifest swap would make the orphan live through the
+    glob fallback — the exact half-visibility the protocol forbids)."""
+    if _manifest_read(spark, partials_path) is None:
+        fs, root = _hfs(spark, partials_path)
+        if not fs.exists(root):
+            fs.mkdirs(root)
+        _manifest_write(
+            spark, partials_path, _list_batch_dirs(spark, partials_path)
+        )
+
+
+def _read_live_partials(
+    spark: SparkSession, partials_path: str, dirs: list[str] | None = None
+) -> DataFrame:
     """Read exactly the manifest-pinned directory set (basePath keeps the
-    partition column out of the data columns as before)."""
-    import os
-
-    dirs = _live_dirs(partials_path)
+    partition column out of the data columns as before). ``dirs``
+    overrides the set — compaction uses it to merge a SUBSET of the live
+    dirs (everything but the replayable newest batch)."""
+    if dirs is None:
+        dirs = _live_dirs(spark, partials_path)
     if not dirs:
         raise ValueError(
             f"no live partials under {partials_path!r} — the matview has "
             "never landed a batch (or the manifest names an empty set)"
         )
     return spark.read.option("basePath", partials_path).parquet(
-        *[os.path.join(partials_path, d) for d in dirs]
+        *[f"{partials_path}/{d}" for d in sorted(dirs)]
     )
 
 
 def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
-    """Compact the matview history: land the MERGED relation (whatever
-    ``read_fn(spark, partials_path)`` serves — it already reads only the
-    live set) as one new ``batch=c<epoch>`` directory, commit by swapping
-    the manifest to name exactly that directory, then garbage-collect
-    every unreferenced dir. Crash-safe at every point: before the swap,
-    the merged dir is an invisible orphan (a rerun just writes c<epoch+1>
-    and the GC sweeps both); after the swap, the stale dirs are invisible
-    garbage (a rerun's GC sweeps them). Mergeability of the partial state
-    (counts, sketch cells) is what makes the merged dir a valid partial.
+    """Compact the matview history: land the merged relation (whatever
+    ``read_fn(spark, partials_path)`` serves) as one new
+    ``batch=c<epoch>`` directory, commit by swapping the manifest, then
+    garbage-collect every unreferenced dir.
+
+    The HIGHEST-numbered stream batch is deliberately left OUT of the
+    merge and kept live alongside the epoch dir: Structured Streaming
+    may replay the last batch after a crash (its landing committed but
+    the checkpoint offset didn't), and the replay overwrites that
+    batch's own directory — if compaction had absorbed it into the
+    epoch dir, the replay would re-add it and double-count. Older
+    batches are checkpoint-committed and can never replay.
+
+    Crash-safe at every point: the manifest is seeded first on legacy
+    trees (_ensure_manifest); before the swap, the merged dir is an
+    invisible orphan (a rerun writes c<epoch+1> and the GC sweeps both);
+    after the swap, the stale dirs are invisible garbage (a rerun's GC
+    sweeps them). Mergeability of the partial state (counts, sketch
+    cells) is what makes the merged dir a valid partial.
 
     Run while the landing stream is stopped (maintenance window); the
     next stream batch appends its numeric dir to the manifest as usual.
     """
-    import glob as _glob
-    import os
     import re
-    import shutil
 
-    live = _live_dirs(partials_path)
-    epochs = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(partials_path, "batch=c*"))
-        if (m := re.fullmatch(r"batch=c(\d+)", os.path.basename(p)))
+    _ensure_manifest(spark, partials_path)
+    live = _live_dirs(spark, partials_path)
+    numeric = [
+        (int(m.group(1)), d)
+        for d in live
+        if (m := re.fullmatch(r"batch=(\d+)", d))
     ]
-    if len(live) > 1:
+    keep_latest = [max(numeric)[1]] if numeric else []
+    merge_set = [d for d in live if d not in keep_latest]
+    if len(merge_set) > 1:
+        epochs = [
+            int(m.group(1))
+            for d in _list_batch_dirs(spark, partials_path)
+            if (m := re.fullmatch(r"batch=c(\d+)", d))
+        ]
         new_dir = f"batch=c{max(epochs, default=0) + 1}"
-        # Materialize BEFORE the write executes against the dirs we will
-        # delete — read_fn's plan reads the live set lazily, but writing
-        # to a NEW dir never touches its inputs, so plain write is safe.
-        read_fn(spark, partials_path).write.mode("overwrite").parquet(
-            os.path.join(partials_path, new_dir)
-        )
-        _write_manifest(partials_path, [new_dir])  # the commit point
+        # Writing to a NEW dir never touches its lazily-read inputs; the
+        # write action runs the merge plan before any state changes.
+        read_fn(spark, partials_path, dirs=merge_set).write.mode(
+            "overwrite"
+        ).parquet(f"{partials_path}/{new_dir}")
+        _manifest_write(
+            spark, partials_path, [new_dir] + keep_latest
+        )  # the commit point
     # GC (also heals interrupted runs): drop every unreferenced batch dir
-    keep = set(_live_dirs(partials_path))
-    for p in _glob.glob(os.path.join(partials_path, "batch=*")):
-        if os.path.basename(p) not in keep:
-            shutil.rmtree(p)
+    keep = set(_live_dirs(spark, partials_path))
+    fs, _ = _hfs(spark, partials_path)
+    for d in _list_batch_dirs(spark, partials_path):
+        if d not in keep:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{d}"), True
+            )
 
 
 def _land_partial(partial_df: DataFrame, batch_id: int, partials_path: str) -> None:
     """THE exactly-once landing formula: a batch's partial goes under
     batch=<id> with overwrite, so a crash-replayed batch overwrites its
     own partial instead of double-counting, and the manifest gains the
-    dir (idempotent set-add; seeded from disk for legacy trees). A crash
-    between write and manifest-append replays the whole batch — the
-    rewrite is idempotent and the append then lands. One definition —
+    dir (idempotent set-add; _ensure_manifest seeds legacy trees first).
+    A crash between write and manifest-append replays the whole batch —
+    the rewrite is idempotent and the append then lands. One definition —
     the CMS and token-count matviews (and the replay tests) all write
     through it."""
+    spark = partial_df.sparkSession
     d = f"batch={batch_id}"
+    _ensure_manifest(spark, partials_path)
     partial_df.write.mode("overwrite").parquet(f"{partials_path}/{d}")
-    _write_manifest(partials_path, sorted(set(_live_dirs(partials_path)) | {d}))
+    _manifest_write(spark, partials_path, set(_live_dirs(spark, partials_path)) | {d})
 
 
 def _start_partial_matview(
@@ -464,10 +549,13 @@ def start_token_count_matview(
     )
 
 
-def read_token_counts(spark: SparkSession, partials_path: str) -> DataFrame:
-    """The queryable counts: (source, term) sum over all landed partials
-    — feed to operators/text.token_entropy_from_counts /
-    token_kl_from_counts (or any counts consumer) for serving.
+def read_token_counts(
+    spark: SparkSession, partials_path: str, dirs: list[str] | None = None
+) -> DataFrame:
+    """The queryable counts: (source, term) sum over the live partials
+    (``dirs`` restricts to a subset — compaction) — feed to
+    operators/text.token_entropy_from_counts / token_kl_from_counts (or
+    any counts consumer) for serving.
 
     Materialized eagerly (localCheckpoint): every serve function derives
     several relations from the counts (totals, vocabulary marginal, join
@@ -479,7 +567,7 @@ def read_token_counts(spark: SparkSession, partials_path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        _read_live_partials(spark, partials_path)
+        _read_live_partials(spark, partials_path, dirs)
         .groupBy("source", "term")
         .agg(F.sum("n").alias("n"))
         .localCheckpoint(eager=True)

@@ -313,4 +313,5 @@ def test_cms_matview_compaction_preserves_sketch(spark, sf_dir, tmp_path):
     assert after == before
     import glob
 
-    assert len(glob.glob(partials + "/batch=*")) == 1
+    # epoch dir + the retained newest batch (the only replayable one)
+    assert len(glob.glob(partials + "/batch=*")) == 2

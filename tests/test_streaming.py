@@ -1057,9 +1057,19 @@ def test_token_matview_compaction_protocol(spark, tmp_path):
     compact_partials(spark, partials, read_token_counts)
     assert live() == direct
     dirs = sorted(os.path.basename(p) for p in glob.glob(partials + "/batch=*"))
-    assert dirs == ["batch=c10"]  # epoch continues past the orphan; GC swept all
+    # epoch continues past the orphan; the NEWEST stream batch stays out of
+    # the merge (it is the only one Structured Streaming can ever replay)
+    assert dirs == ["batch=2", "batch=c10"]
     manifest = json.load(open(f"{partials}/_live.json"))
-    assert manifest["dirs"] == ["batch=c10"]
+    assert manifest["dirs"] == ["batch=2", "batch=c10"]
+
+    # crash-replay of the newest batch AFTER compaction: overwrites its own
+    # retained dir -> no double count (the reason it was kept out)
+    _land_token_counts(
+        spark.createDataFrame(batches[2], "source string, text string"),
+        2, partials, "source", "text",
+    )
+    assert live() == direct
 
     # landing continues after compaction: new batch merges with the epoch dir
     extra = [("A", "w w w")]
@@ -1070,7 +1080,61 @@ def test_token_matview_compaction_protocol(spark, tmp_path):
     docs2 = spark.createDataFrame(all_rows + extra, "source string, text string")
     assert live() == {(r.source, r.term): r.n for r in T.token_counts(docs2).collect()}
 
-    # idempotent rerun on a single live dir: GC-only, state unchanged
+    # rerun merges (c10 + batch=2) keeping batch=3 live; state unchanged
     compact_partials(spark, partials, read_token_counts)
     compact_partials(spark, partials, read_token_counts)
     assert live() == {(r.source, r.term): r.n for r in T.token_counts(docs2).collect()}
+
+
+def test_token_matview_legacy_tree_and_uri_paths(spark, tmp_path):
+    """A manifest-less (legacy) tree is seeded BEFORE any state change —
+    the glob fallback can never coexist with compaction debris — and the
+    whole machinery works on 'file:' URI paths (Hadoop FS, not local
+    os/glob)."""
+    import json
+    import os
+
+    from kafka_clickhouse_example_spark.operators import text as T
+    from kafka_clickhouse_example_spark.sinks.backfill import (
+        _land_token_counts,
+        compact_partials,
+        read_token_counts,
+    )
+
+    # legacy tree: partial dirs written directly, no manifest
+    legacy = str(tmp_path / "legacy")
+    rows = [[("A", "x x"), ("B", "y")], [("A", "y y y")], [("B", "x z")]]
+    for i, r in enumerate(rows):
+        T.token_counts(
+            spark.createDataFrame(r, "source string, text string")
+        ).write.parquet(f"{legacy}/batch={i}")
+    docs = spark.createDataFrame(
+        [t for b in rows for t in b], "source string, text string"
+    )
+    direct = {(r.source, r.term): r.n for r in T.token_counts(docs).collect()}
+    assert {
+        (r.source, r.term): r.n for r in read_token_counts(spark, legacy).collect()
+    } == direct  # read-only fallback: everything on disk is live
+
+    compact_partials(spark, legacy, read_token_counts)
+    assert os.path.exists(f"{legacy}/_live.json")  # seeded, then swapped
+    assert {
+        (r.source, r.term): r.n for r in read_token_counts(spark, legacy).collect()
+    } == direct
+    manifest = json.load(open(f"{legacy}/_live.json"))
+    assert manifest["dirs"] == ["batch=2", "batch=c1"]
+
+    # file: URI path end-to-end (landing + compaction + read)
+    uri = "file:" + str(tmp_path / "uri")
+    for i, r in enumerate(rows):
+        _land_token_counts(
+            spark.createDataFrame(r, "source string, text string"),
+            i, uri, "source", "text",
+        )
+    assert {
+        (r.source, r.term): r.n for r in read_token_counts(spark, uri).collect()
+    } == direct
+    compact_partials(spark, uri, read_token_counts)
+    assert {
+        (r.source, r.term): r.n for r in read_token_counts(spark, uri).collect()
+    } == direct
