@@ -281,16 +281,18 @@ def read_cms_matview(
 # creation and deletion are then always either invisible (not yet in the
 # manifest) or garbage (no longer in it), never half-visible.
 #
-# Filesystem notes: everything goes through the Hadoop FileSystem API
-# (local glob/os is wrong for hdfs://, s3a://, or file: URI paths — the
-# compact_to_target lesson, packing.py), and the manifest swap is a
-# FileContext rename with Rename.OVERWRITE — atomic on the local FS and
-# HDFS, with a best-effort hsync on the tmp file first. Residual
-# durability note: a POWER failure (not process crash) between the swap
-# and the media flush can, on a non-journaled local FS, persist later
-# deletes but not the rename — HDFS's journal and any object-store
-# conditional-put close that window. Compaction runs in a maintenance
-# window while the landing stream is stopped, like compact_term_index.
+# Filesystem notes: listing/reading/deleting go through the Hadoop
+# FileSystem API (local glob/os is wrong for hdfs://, s3a://, or file:
+# URI paths — the compact_to_target lesson, packing.py). The manifest
+# SWAP dispatches on scheme, because the rename that is atomic differs
+# per filesystem: for local/file: paths it is POSIX os.rename (fsync'd
+# file + dir), while Hadoop's FileContext rename(OVERWRITE) default is
+# delete-then-rename — NOT atomic on the local FS (only Hdfs overrides
+# the 3-arg renameInternal atomically; review finding, verified against
+# Hadoop 3.4.2 bytecode). For hdfs:// the FileContext path IS atomic;
+# an object-store deployment should swap _manifest_write for a
+# conditional-put. Compaction runs in a maintenance window while the
+# landing stream is stopped, like compact_term_index.
 
 _MANIFEST = "_live.json"
 
@@ -329,17 +331,50 @@ def _manifest_read(spark: SparkSession, partials_path: str) -> list[str] | None:
     return sorted(_json.loads(text)["dirs"])
 
 
-def _manifest_write(spark: SparkSession, partials_path: str, dirs: list[str]) -> None:
-    """Atomic manifest replace: tmp file + FileContext rename(OVERWRITE)."""
+def _local_path(spark: SparkSession, path: str) -> str | None:
+    """The plain filesystem path when ``path`` is local (no scheme or
+    file:), else None — the manifest swap's atomicity dispatch."""
+    uri = spark._jvm.org.apache.hadoop.fs.Path(path).toUri()
+    if uri.getScheme() in (None, "file"):
+        return uri.getPath()
+    return None
+
+
+def _manifest_write(spark: SparkSession, partials_path: str, dirs) -> None:
+    """Atomic manifest replace. Local paths: Python write + fsync(file)
+    + POSIX os.rename + fsync(dir) — genuinely atomic AND durable (and
+    no Hadoop checksum sidecar files). Remote paths: Hadoop create +
+    hsync + FileContext rename(OVERWRITE), atomic on HDFS (an
+    object-store deployment swaps this for a conditional-put)."""
     import json as _json
 
+    payload = _json.dumps({"dirs": sorted(dirs)}).encode()
+    local = _local_path(spark, partials_path)
+    if local is not None:
+        import os
+
+        tmp = os.path.join(local, _MANIFEST + ".tmp")
+        dst = os.path.join(local, _MANIFEST)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.rename(tmp, dst)
+        dfd = os.open(local, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return
     jvm = spark._jvm
     fs, _ = _hfs(spark, partials_path)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{_MANIFEST}.tmp")
     dst = jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{_MANIFEST}")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(_json.dumps({"dirs": sorted(dirs)}).encode()))
+        out.write(bytearray(payload))
         try:
             out.hsync()
         except Exception:
@@ -365,19 +400,22 @@ def _live_dirs(spark: SparkSession, partials_path: str) -> list[str]:
     return dirs if dirs is not None else _list_batch_dirs(spark, partials_path)
 
 
-def _ensure_manifest(spark: SparkSession, partials_path: str) -> None:
+def _ensure_manifest(spark: SparkSession, partials_path: str) -> list[str]:
     """Seed the manifest from disk if absent — the FIRST act of any
     writer on a legacy tree, so that from then on new directories are
     invisible until committed (without this, a crash between a merged-dir
     write and the manifest swap would make the orphan live through the
-    glob fallback — the exact half-visibility the protocol forbids)."""
-    if _manifest_read(spark, partials_path) is None:
+    glob fallback — the exact half-visibility the protocol forbids).
+    Returns the live list so the caller needs no second manifest read
+    (the landing hot path runs once per micro-batch)."""
+    dirs = _manifest_read(spark, partials_path)
+    if dirs is None:
         fs, root = _hfs(spark, partials_path)
         if not fs.exists(root):
             fs.mkdirs(root)
-        _manifest_write(
-            spark, partials_path, _list_batch_dirs(spark, partials_path)
-        )
+        dirs = _list_batch_dirs(spark, partials_path)
+        _manifest_write(spark, partials_path, dirs)
+    return sorted(dirs)
 
 
 def _read_live_partials(
@@ -400,10 +438,13 @@ def _read_live_partials(
 
 
 def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
-    """Compact the matview history: land the merged relation (whatever
-    ``read_fn(spark, partials_path)`` serves) as one new
+    """Compact the matview history: land the merged relation as one new
     ``batch=c<epoch>`` directory, commit by swapping the manifest, then
-    garbage-collect every unreferenced dir.
+    garbage-collect every unreferenced dir. ``read_fn`` must accept
+    ``(spark, partials_path, dirs=None)`` — dirs names the subset to
+    merge (read_cms_matview / read_token_counts are the in-repo shapes).
+    A nonexistent ``partials_path`` is a no-op (never created as a side
+    effect — a mistyped path must keep failing loudly on reads).
 
     The HIGHEST-numbered stream batch is deliberately left OUT of the
     merge and kept live alongside the epoch dir: Structured Streaming
@@ -425,8 +466,11 @@ def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
     """
     import re
 
-    _ensure_manifest(spark, partials_path)
-    live = _live_dirs(spark, partials_path)
+    fs, root = _hfs(spark, partials_path)
+    if not fs.exists(root):
+        return
+    live = _ensure_manifest(spark, partials_path)
+    on_disk = _list_batch_dirs(spark, partials_path)  # one listing, reused
     numeric = [
         (int(m.group(1)), d)
         for d in live
@@ -437,7 +481,7 @@ def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
     if len(merge_set) > 1:
         epochs = [
             int(m.group(1))
-            for d in _list_batch_dirs(spark, partials_path)
+            for d in on_disk
             if (m := re.fullmatch(r"batch=c(\d+)", d))
         ]
         new_dir = f"batch=c{max(epochs, default=0) + 1}"
@@ -446,17 +490,16 @@ def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
         read_fn(spark, partials_path, dirs=merge_set).write.mode(
             "overwrite"
         ).parquet(f"{partials_path}/{new_dir}")
-        _manifest_write(
-            spark, partials_path, [new_dir] + keep_latest
-        )  # the commit point
+        keep = {new_dir, *keep_latest}
+        _manifest_write(spark, partials_path, keep)  # the commit point
+        on_disk = sorted({*on_disk, new_dir})
+    else:
+        keep = set(live)
     # GC (also heals interrupted runs): drop every unreferenced batch dir
-    keep = set(_live_dirs(spark, partials_path))
-    fs, _ = _hfs(spark, partials_path)
-    for d in _list_batch_dirs(spark, partials_path):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for d in on_disk:
         if d not in keep:
-            fs.delete(
-                spark._jvm.org.apache.hadoop.fs.Path(f"{partials_path}/{d}"), True
-            )
+            fs.delete(jpath(f"{partials_path}/{d}"), True)
 
 
 def _land_partial(partial_df: DataFrame, batch_id: int, partials_path: str) -> None:
@@ -470,9 +513,9 @@ def _land_partial(partial_df: DataFrame, batch_id: int, partials_path: str) -> N
     through it."""
     spark = partial_df.sparkSession
     d = f"batch={batch_id}"
-    _ensure_manifest(spark, partials_path)
+    live = _ensure_manifest(spark, partials_path)  # one read per batch
     partial_df.write.mode("overwrite").parquet(f"{partials_path}/{d}")
-    _manifest_write(spark, partials_path, set(_live_dirs(spark, partials_path)) | {d})
+    _manifest_write(spark, partials_path, {*live, d})
 
 
 def _start_partial_matview(

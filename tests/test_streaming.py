@@ -1138,3 +1138,14 @@ def test_token_matview_legacy_tree_and_uri_paths(spark, tmp_path):
     assert {
         (r.source, r.term): r.n for r in read_token_counts(spark, uri).collect()
     } == direct
+
+
+def test_compact_partials_missing_path_is_noop(spark, tmp_path):
+    """A mistyped partials path must not be created as a side effect."""
+    import os
+
+    from kafka_clickhouse_example_spark.sinks.backfill import compact_partials, read_token_counts
+
+    missing = str(tmp_path / "nope")
+    compact_partials(spark, missing, read_token_counts)
+    assert not os.path.exists(missing)
