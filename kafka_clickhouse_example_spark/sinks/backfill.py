@@ -284,11 +284,13 @@ def read_cms_matview(
 # Filesystem notes: listing/reading/deleting go through the Hadoop
 # FileSystem API (local glob/os is wrong for hdfs://, s3a://, or file:
 # URI paths — the compact_to_target lesson, packing.py). The manifest
-# SWAP dispatches on scheme, because the rename that is atomic differs
-# per filesystem: for local/file: paths it is POSIX os.rename (fsync'd
-# file + dir), while Hadoop's FileContext rename(OVERWRITE) default is
-# delete-then-rename — NOT atomic on the local FS (only Hdfs overrides
-# the 3-arg renameInternal atomically; review finding, verified against
+# SWAP dispatches on the RESOLVED FileSystem (never the raw URI scheme —
+# a scheme-less path resolves against fs.defaultFS), because the rename
+# that is atomic differs per filesystem: for the local FS it is POSIX
+# os.rename (fsync'd file + dir), while Hadoop's FileContext
+# rename(OVERWRITE) default is delete-then-rename — NOT atomic on the
+# local FS (only Hdfs overrides the 3-arg renameInternal atomically;
+# review finding, verified against
 # Hadoop 3.4.2 bytecode). For hdfs:// the FileContext path IS atomic;
 # an object-store deployment should swap _manifest_write for a
 # conditional-put. Compaction runs in a maintenance window while the
@@ -332,11 +334,19 @@ def _manifest_read(spark: SparkSession, partials_path: str) -> list[str] | None:
 
 
 def _local_path(spark: SparkSession, path: str) -> str | None:
-    """The plain filesystem path when ``path`` is local (no scheme or
-    file:), else None — the manifest swap's atomicity dispatch."""
-    uri = spark._jvm.org.apache.hadoop.fs.Path(path).toUri()
-    if uri.getScheme() in (None, "file"):
-        return uri.getPath()
+    """The plain filesystem path when ``path`` RESOLVES to the local
+    filesystem, else None — the manifest swap's atomicity dispatch.
+    Dispatch must use the resolved FileSystem, not the raw URI scheme: a
+    scheme-less path resolves against fs.defaultFS (hdfs:// on a real
+    cluster), and raw-scheme dispatch would then write the manifest to
+    the driver's local disk while every reader resolves HDFS — a
+    permanently invisible manifest (review finding). makeQualified also
+    absolutizes relative paths against the same working directory the
+    JVM-side reads use."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() == "file":
+        return fs.makeQualified(jpath).toUri().getPath()
     return None
 
 
@@ -357,14 +367,21 @@ def _manifest_write(spark: SparkSession, partials_path: str, dirs) -> None:
         dst = os.path.join(local, _MANIFEST)
         fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
         try:
-            os.write(fd, payload)
+            view = memoryview(payload)
+            while view:  # short writes (ENOSPC-adjacent) must not reach
+                view = view[os.write(fd, view) :]  # the rename truncated
             os.fsync(fd)
         finally:
             os.close(fd)
         os.rename(tmp, dst)
-        dfd = os.open(local, os.O_RDONLY)
+        try:  # dir fsync is best-effort durability (not allowed on some
+            dfd = os.open(local, os.O_RDONLY)  # platforms/filesystems);
+        except OSError:  # atomicity came from the rename above
+            return
         try:
             os.fsync(dfd)
+        except OSError:
+            pass
         finally:
             os.close(dfd)
         return
@@ -400,22 +417,26 @@ def _live_dirs(spark: SparkSession, partials_path: str) -> list[str]:
     return dirs if dirs is not None else _list_batch_dirs(spark, partials_path)
 
 
-def _ensure_manifest(spark: SparkSession, partials_path: str) -> list[str]:
+def _ensure_manifest(
+    spark: SparkSession, partials_path: str, fsroot=None
+) -> list[str]:
     """Seed the manifest from disk if absent — the FIRST act of any
     writer on a legacy tree, so that from then on new directories are
     invisible until committed (without this, a crash between a merged-dir
     write and the manifest swap would make the orphan live through the
     glob fallback — the exact half-visibility the protocol forbids).
-    Returns the live list so the caller needs no second manifest read
-    (the landing hot path runs once per micro-batch)."""
+    Returns the live list (always sorted — both sources sort) so the
+    caller needs no second manifest read (the landing hot path runs once
+    per micro-batch). ``fsroot`` passes an already-resolved (fs, root)
+    to skip re-resolving the FileSystem."""
     dirs = _manifest_read(spark, partials_path)
     if dirs is None:
-        fs, root = _hfs(spark, partials_path)
+        fs, root = fsroot if fsroot is not None else _hfs(spark, partials_path)
         if not fs.exists(root):
             fs.mkdirs(root)
         dirs = _list_batch_dirs(spark, partials_path)
         _manifest_write(spark, partials_path, dirs)
-    return sorted(dirs)
+    return dirs
 
 
 def _read_live_partials(
@@ -469,7 +490,7 @@ def compact_partials(spark: SparkSession, partials_path: str, read_fn) -> None:
     fs, root = _hfs(spark, partials_path)
     if not fs.exists(root):
         return
-    live = _ensure_manifest(spark, partials_path)
+    live = _ensure_manifest(spark, partials_path, fsroot=(fs, root))
     on_disk = _list_batch_dirs(spark, partials_path)  # one listing, reused
     numeric = [
         (int(m.group(1)), d)
