@@ -1149,3 +1149,202 @@ def test_compact_partials_missing_path_is_noop(spark, tmp_path):
     missing = str(tmp_path / "nope")
     compact_partials(spark, missing, read_token_counts)
     assert not os.path.exists(missing)
+
+
+def test_matview_manifest_protocol_random_crashes(spark, tmp_path_factory):
+    """Property test over the manifest protocol's whole state space: under
+    ANY interleaving of landings and compactions, with a crash injected
+    immediately BEFORE or AFTER any manifest commit, the reader-visible
+    counts always equal the counts over exactly the committed batches,
+    the on-disk tree matches the model (commits are atomic: debris is
+    only ever invisible-or-garbage, never half-visible), and a clean
+    compaction heals every crash state. Landings replay after a crash
+    (Structured Streaming re-runs an uncheckpointed batch), which the
+    model enforces; the hand-written protocol tests above pin specific
+    windows, this pins the composition of all of them."""
+    import json
+    import os
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import kafka_clickhouse_example_spark.sinks.backfill as B
+
+    real_write = B._manifest_write
+
+    class _Crash(RuntimeError):
+        pass
+
+    def crashing(mode):
+        def w(spark_, path_, dirs_):
+            if mode == "before":
+                raise _Crash()
+            real_write(spark_, path_, dirs_)
+            raise _Crash()  # mode == "after"
+
+        return w
+
+    WORDS = ["x", "y", "z", "w"]
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.lists(st.sampled_from(WORDS), max_size=3).map(" ".join),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        counter["n"] += 1
+        partials = str(
+            tmp_path_factory.mktemp("mvprop") / f"p{counter['n']}"
+        )
+        B._ensure_manifest(spark, partials)  # writer startup on empty tree
+        manifest: set[str] = set()
+        disk: set[str] = set()
+        committed: dict[int, list] = {}
+        pending: tuple[int, list] | None = None
+        next_id = 0
+
+        def expected() -> Counter:
+            c: Counter = Counter()
+            for rows in committed.values():
+                for s, t in rows:
+                    for tok in t.split():
+                        c[(s, tok)] += 1
+            return c
+
+        def check():
+            assert (
+                json.load(open(os.path.join(partials, "_live.json")))["dirs"]
+                == sorted(manifest)
+            )
+            on_disk = {
+                d for d in os.listdir(partials) if d.startswith("batch=")
+            }
+            assert on_disk == disk
+            if manifest:
+                got = Counter(
+                    {
+                        (r.source, r.term): r.n
+                        for r in B.read_token_counts(spark, partials).collect()
+                    }
+                )
+                assert got == expected()
+            else:
+                try:
+                    B.read_token_counts(spark, partials)
+                    raise AssertionError("empty manifest must fail loudly")
+                except ValueError:
+                    pass
+
+        def run_op(fn, crash):
+            if crash is not None:
+                B._manifest_write = crashing(crash)
+            try:
+                fn()
+                return False
+            except _Crash:
+                return True
+            finally:
+                B._manifest_write = real_write
+
+        for _ in range(data.draw(st.integers(2, 5), label="n_ops")):
+            kind = data.draw(st.sampled_from(["land", "compact"]), label="op")
+            crash = data.draw(
+                st.sampled_from([None, "before", "after"]), label="crash"
+            )
+            if kind == "land":
+                bid, rows = pending if pending is not None else (
+                    next_id,
+                    data.draw(rows_strategy, label="rows"),
+                )
+                crashed = run_op(
+                    lambda: B._land_token_counts(
+                        spark.createDataFrame(
+                            rows, "source string, text string"
+                        ),
+                        bid,
+                        partials,
+                        "source",
+                        "text",
+                    ),
+                    crash,
+                )
+                assert crashed == (crash is not None)
+                disk.add(f"batch={bid}")
+                if crash != "before":  # commit happened (clean or "after")
+                    committed[bid] = rows
+                    manifest.add(f"batch={bid}")
+                    next_id = bid + 1
+                # a crashed landing (either side of the commit) replays
+                pending = (bid, rows) if crashed else None
+            else:
+                numeric = [
+                    int(m.group(1))
+                    for d in manifest
+                    if (m := re.fullmatch(r"batch=(\d+)", d))
+                ]
+                keep = {f"batch={max(numeric)}"} if numeric else set()
+                will_merge = len(manifest - keep) > 1
+                c_new = None
+                if will_merge:
+                    c_max = max(
+                        (
+                            int(m.group(1))
+                            for d in disk
+                            if (m := re.fullmatch(r"batch=c(\d+)", d))
+                        ),
+                        default=0,
+                    )
+                    c_new = f"batch=c{c_max + 1}"
+                crashed = run_op(
+                    lambda: B.compact_partials(
+                        spark, partials, B.read_token_counts
+                    ),
+                    crash,
+                )
+                assert crashed == (crash is not None and will_merge)
+                if will_merge:
+                    disk.add(c_new)
+                    if crash != "before":
+                        manifest = {c_new} | keep
+                if not crashed:  # GC ran: also sweeps an uncommitted
+                    disk = set(manifest)  # landing's dir (replay rewrites)
+                    if pending is not None and f"batch={pending[0]}" not in manifest:
+                        pass  # swept; the model's next land recreates it
+            check()
+
+        # a clean compaction (run twice) heals every crash state
+        for _ in range(2):
+            numeric = [
+                int(m.group(1))
+                for d in manifest
+                if (m := re.fullmatch(r"batch=(\d+)", d))
+            ]
+            keep = {f"batch={max(numeric)}"} if numeric else set()
+            if len(manifest - keep) > 1:
+                c_max = max(
+                    (
+                        int(m.group(1))
+                        for d in disk
+                        if (m := re.fullmatch(r"batch=c(\d+)", d))
+                    ),
+                    default=0,
+                )
+                manifest = {f"batch=c{c_max + 1}"} | keep
+            B.compact_partials(spark, partials, B.read_token_counts)
+            disk = set(manifest)
+            check()
+
+    run()
