@@ -419,3 +419,186 @@ def test_pq_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
         assert snap("ipq_ann") == snap("fpq_ann")
     finally:
         _drop(spark, "ipq_ann", "fpq_ann")
+
+
+def test_ann_index_random_lifecycle_matches_rebuild(spark, tmp_path_factory):
+    """Property test over the ANN index lifecycle: under ANY interleaving
+    of curated adds, labeled (replay-idempotent) merges, tombstone
+    deletes (live, unknown, and everything-at-once), refused duplicate /
+    pending re-adds, and compactions, the masked id relation always
+    equals the model's live set, serving never returns a deleted id, and
+    every compaction leaves (vec_id, cell) row-identical to a fresh
+    build over the surviving vectors under the same frozen centroids.
+    The hand-written tests above pin single sequences; this pins their
+    composition (including compacting down to an EMPTY index)."""
+    import tempfile
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_clickhouse_example_spark.operators.ann_index import (
+        compact_ann_index,
+        delete_vectors_from_ann_index,
+    )
+
+    CENT = [[0.0, 0.0, 0.0, 0.0], [4.0, 4.0, 4.0, 4.0]]
+    counter = {"n": 0}
+
+    def vec_df(items):  # [(id, vec)]
+        return spark.createDataFrame(
+            items, "vec_id long, embedding array<double>"
+        )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        counter["n"] += 1
+        t = f"ann_prop_{counter['n']}"
+        ref = t + "_ref"
+        next_id = {"v": 0}
+
+        def fresh_vecs(n):
+            out = []
+            for _ in range(n):
+                i = next_id["v"]
+                next_id["v"] += 1
+                out.append(
+                    (
+                        i,
+                        data.draw(
+                            st.lists(
+                                st.sampled_from([0.0, 1.0, 3.0, 5.0]),
+                                min_size=4,
+                                max_size=4,
+                            ),
+                            label="vec",
+                        ),
+                    )
+                )
+            return out
+
+        def masked_ids():
+            return {
+                r.vec_id
+                for r in spark.table(t + "_ids")
+                .join(
+                    F.broadcast(spark.table(t + "_deletes")),
+                    "vec_id",
+                    "left_anti",
+                )
+                .collect()
+            }
+
+        with tempfile.TemporaryDirectory() as d:
+            try:
+                live = dict(fresh_vecs(data.draw(st.integers(2, 4), label="n0")))
+                build_ann_index(
+                    vec_df(list(live.items())), t, centroids=CENT, path=d + "/i"
+                )
+                pending: set[int] = set()
+                for step in range(data.draw(st.integers(3, 6), label="n_ops")):
+                    op = data.draw(
+                        st.sampled_from(
+                            [
+                                "add",
+                                "add_labeled",
+                                "delete",
+                                "dup_add",
+                                "readd_pending",
+                                "compact",
+                            ]
+                        ),
+                        label="op",
+                    )
+                    if op == "add":
+                        delta = fresh_vecs(data.draw(st.integers(1, 2), label="k"))
+                        add_vectors_to_ann_index(vec_df(delta), t)
+                        live.update(delta)
+                    elif op == "add_labeled":
+                        delta = fresh_vecs(data.draw(st.integers(1, 2), label="k"))
+                        for _ in range(
+                            2 if data.draw(st.booleans(), label="replay") else 1
+                        ):
+                            add_vectors_to_ann_index(
+                                vec_df(delta),
+                                t,
+                                batch_label=f"b{counter['n']}_{step}",
+                            )
+                        live.update(delta)
+                    elif op == "delete" and live:
+                        ids = data.draw(
+                            st.lists(
+                                st.sampled_from(sorted(live)),
+                                min_size=1,
+                                max_size=len(live),  # may empty the index
+                                unique=True,
+                            ),
+                            label="del_ids",
+                        )
+                        rows = [(i, [0.0] * 4) for i in ids]
+                        if data.draw(st.booleans(), label="unknown"):
+                            rows.append((10**6, [0.0] * 4))  # never indexed
+                        delete_vectors_from_ann_index(
+                            vec_df(rows).select("vec_id"), t
+                        )
+                        for i in ids:
+                            del live[i]
+                        pending |= set(ids)  # unknown id is NOT tombstoned
+                    elif op == "dup_add" and live:
+                        victim = sorted(live)[0]
+                        with pytest.raises(ValueError, match="append-only"):
+                            add_vectors_to_ann_index(
+                                vec_df([(victim, [0.0] * 4)]), t
+                            )
+                    elif op == "readd_pending" and pending:
+                        victim = sorted(pending)[0]
+                        with pytest.raises(ValueError, match="tombstone"):
+                            add_vectors_to_ann_index(
+                                vec_df([(victim, [0.0] * 4)]), t
+                            )
+                    elif op == "compact":
+                        compact_ann_index(spark, t)
+                        pending.clear()
+                        assert spark.table(t + "_deletes").isEmpty()
+                        got = sorted(
+                            (r.vec_id, r.cell)
+                            for r in spark.table(t).select("vec_id", "cell").collect()
+                        )
+                        if live:
+                            build_ann_index(
+                                vec_df(list(live.items())),
+                                ref,
+                                centroids=CENT,
+                                path=d + f"/r{step}",
+                            )
+                            want = sorted(
+                                (r.vec_id, r.cell)
+                                for r in spark.table(ref)
+                                .select("vec_id", "cell")
+                                .collect()
+                            )
+                            assert got == want
+                        else:
+                            assert got == []
+                    assert masked_ids() == set(live)
+                    if live:
+                        topk = topk_from_ann_index(
+                            spark,
+                            t,
+                            pd.DataFrame({"qid": [0], "qvec": [[1.0] * 4]}),
+                            k=3,
+                            nprobe=2,
+                        ).collect()
+                        assert {r.vec_id for r in topk} <= set(live)
+            finally:
+                for tbl in (t, ref):
+                    for s in ("", "_centroids", "_ids", "_deletes"):
+                        spark.sql(f"DROP TABLE IF EXISTS {tbl}{s}")
+
+    run()

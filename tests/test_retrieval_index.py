@@ -363,3 +363,143 @@ def test_delete_masks_serving_and_compact_matches_rebuild(spark, sf_dir):
             for t in ("delt_idx", "delt_ref"):
                 for suffix in ("", "_terms", "_stats", "_docs", "_deletes"):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_term_index_random_lifecycle_matches_rebuild(spark, tmp_path_factory):
+    """Property test over the index's whole delete + re-add lifecycle:
+    under ANY interleaving of delta merges, tombstone deletes (including
+    NULL-text docs and unknown ids), refused pending re-adds, and
+    compactions, the served doc set always equals the model's live set,
+    and every compaction leaves the index ROW-IDENTICAL to a fresh
+    build over the surviving corpus. The hand-written test above pins
+    one sequence; this pins their composition."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators.retrieval import (
+        compact_term_index,
+        delete_docs_from_term_index,
+        update_term_index,
+    )
+
+    WORDS = ["spark", "merge", "scan", "join", "plan"]
+    counter = {"n": 0}
+
+    def docs_df(items):  # [(id, text|None)]
+        return spark.createDataFrame(items, "doc_id long, text string")
+
+    def snap(t):
+        return {
+            s: sorted(tuple(r) for r in spark.table(t + s).collect())
+            for s in ("", "_terms", "_stats", "_docs")
+        }
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        counter["n"] += 1
+        t = f"ti_prop_{counter['n']}"
+        ref = t + "_ref"
+        next_id = {"v": 0}
+
+        def fresh_docs(n):
+            out = []
+            for _ in range(n):
+                i = next_id["v"]
+                next_id["v"] += 1
+                text = data.draw(
+                    st.one_of(
+                        st.none(),  # NULL-text docs count in n_docs
+                        st.lists(
+                            st.sampled_from(WORDS), min_size=1, max_size=4
+                        ).map(" ".join),
+                    ),
+                    label="text",
+                )
+                out.append((i, text))
+            return out
+
+        with tempfile.TemporaryDirectory() as d:
+            try:
+                live = dict(fresh_docs(data.draw(st.integers(3, 6), label="n0")))
+                build_term_index(
+                    docs_df(list(live.items())), t, buckets=2, path=d + "/i"
+                )
+                pending: set[int] = set()
+                for _ in range(data.draw(st.integers(3, 6), label="n_ops")):
+                    op = data.draw(
+                        st.sampled_from(
+                            ["add", "delete", "readd_pending", "compact"]
+                        ),
+                        label="op",
+                    )
+                    if op == "add":
+                        delta = fresh_docs(data.draw(st.integers(1, 3), label="k"))
+                        update_term_index(docs_df(delta), t, buckets=2)
+                        live.update(delta)
+                    elif op == "delete" and live:
+                        ids = data.draw(
+                            st.lists(
+                                st.sampled_from(sorted(live)),
+                                min_size=1,
+                                max_size=2,
+                                unique=True,
+                            ),
+                            label="del_ids",
+                        )
+                        unknown = data.draw(st.booleans(), label="unknown")
+                        rows = [(i,) for i in ids] + (
+                            [(10**6,)] if unknown else []  # never indexed
+                        )
+                        delete_docs_from_term_index(
+                            spark.createDataFrame(rows, "doc_id long"), t
+                        )
+                        for i in ids:
+                            del live[i]
+                        pending |= set(ids)  # unknown id is NOT tombstoned
+                    elif op == "readd_pending" and pending:
+                        victim = sorted(pending)[0]
+                        with pytest.raises(ValueError, match="tombstone"):
+                            update_term_index(
+                                docs_df([(victim, "spark")]), t, buckets=2
+                            )
+                    elif op == "compact":
+                        compact_term_index(spark, t)
+                        pending.clear()
+                        build_term_index(
+                            docs_df(list(live.items())),
+                            ref,
+                            buckets=2,
+                            path=d + f"/r{counter['n']}_{next_id['v']}",
+                        )
+                        assert snap(t) == snap(ref)
+                        assert spark.table(t + "_deletes").isEmpty()
+                    # served postings and docs relation == the live set
+                    served_ids = {
+                        r.doc_id
+                        for r in spark.table(t + "_docs")
+                        .join(
+                            F.broadcast(spark.table(t + "_deletes")),
+                            "doc_id",
+                            "left_anti",
+                        )
+                        .collect()
+                    }
+                    assert served_ids == set(live)
+                    topk = bm25_topk_from_index(spark, t, [WORDS[0]]).collect()
+                    assert {r.doc_id for r in topk} <= set(live)
+            finally:
+                for tbl in (t, ref):
+                    for s in ("", "_terms", "_stats", "_docs", "_deletes"):
+                        spark.sql(f"DROP TABLE IF EXISTS {tbl}{s}")
+
+    run()
