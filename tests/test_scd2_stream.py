@@ -122,3 +122,54 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
         spark, [(r["k"], r["attr"], r["ts"]) for r in b1 + b2]
     )
     assert _table(spark, path) == want
+
+
+def test_incremental_equals_batch_on_random_change_streams(spark, tmp_path_factory):
+    """Property test: for ANY sequence of change batches — out-of-order
+    timestamps, exact replays of already-delivered changes, equal-value
+    runs that absorb boundaries, interleaved keys — the incrementally
+    maintained history equals the one-shot batch build over everything
+    delivered so far, after every single merge. The hand-written tests
+    above pin the known-hard edges; this pins their composition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        counter["n"] += 1
+        path = str(tmp_path_factory.mktemp("scd2prop") / f"h{counter['n']}")
+        seen: dict[tuple, str] = {}  # (k, ts) -> attr, so replays agree
+        delivered: list[tuple] = []
+        for _ in range(data.draw(st.integers(2, 4), label="n_batches")):
+            batch = []
+            for _ in range(data.draw(st.integers(1, 4), label="batch_size")):
+                k = data.draw(st.integers(1, 3), label="k")
+                ts = data.draw(st.integers(0, 30), label="ts")
+                if (k, ts) in seen:  # replay delivers the SAME change
+                    attr = seen[(k, ts)]
+                else:
+                    attr = data.draw(
+                        st.sampled_from(["a", "b", "c", "d"]), label="attr"
+                    )
+                    seen[(k, ts)] = attr
+                batch.append((k, attr, ts))
+            delivered += batch
+            merge_scd2_into(
+                spark,
+                path,
+                spark.createDataFrame(batch, SCHEMA),
+                "k",
+                "attr",
+                "ts",
+            )
+            assert _table(spark, path) == _batch_build(spark, delivered)
+
+    run()
