@@ -278,3 +278,86 @@ def test_write_training_shards_caps_rows_per_file(spark, tmp_path):
     ranges.sort()
     for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
         assert b1 < a2
+
+
+def test_incremental_minhash_equals_batch_on_random_ingest(spark):
+    """Property test for the incremental-vs-batch dedup contract: over a
+    randomly grown corpus (mutation families planted so near-dups
+    actually occur, plus sub-shingle-length docs), each ingested batch's
+    incremental pairs must equal the batch-mode minhash_lsh_pairs over
+    the union, restricted to pairs spanning (new x corpus) — same
+    signatures, same banding, same exact-verify, per the operator's
+    documented agreement contract."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_clickhouse_example_spark.operators import dedup as D
+
+    BASES = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet ultra infra deep",
+    ]
+
+    def mutate(data, base, label):
+        words = base.split()
+        mode = data.draw(
+            st.sampled_from(["same", "append", "swap", "drop", "tiny"]),
+            label=label,
+        )
+        if mode == "append":
+            words = words + ["extra"]
+        elif mode == "swap":
+            words = words[:]
+            words[data.draw(st.integers(0, len(words) - 1), label="wi")] = "sub"
+        elif mode == "drop":
+            words = words[1:]
+        elif mode == "tiny":
+            words = words[:2]  # below shingle length: no shingles at all
+        return " ".join(words)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        next_id = {"v": 0}
+
+        def draw_docs(n, label):
+            out = []
+            for _ in range(n):
+                base = data.draw(st.sampled_from(BASES), label=f"{label}_base")
+                out.append(
+                    (next_id["v"], mutate(data, base, f"{label}_mut"), "s")
+                )
+                next_id["v"] += 1
+            return out
+
+        corpus_rows = draw_docs(data.draw(st.integers(2, 4), label="n0"), "c")
+        for _ in range(data.draw(st.integers(1, 3), label="n_ingests")):
+            new_rows = draw_docs(data.draw(st.integers(1, 3), label="k"), "n")
+            corpus_ids = {r[0] for r in corpus_rows}
+            new_ids = {r[0] for r in new_rows}
+            inc = {
+                (r.new_id, r.corpus_id, r.n_common, r.jaccard)
+                for r in D.incremental_minhash_pairs(
+                    _docs_df(spark, new_rows), _docs_df(spark, corpus_rows), 0.3
+                ).collect()
+            }
+            batch = {
+                # orient batch pairs as (new, corpus); ids are disjoint
+                (r.id2, r.id1, r.n_common, r.jaccard)
+                if r.id2 in new_ids
+                else (r.id1, r.id2, r.n_common, r.jaccard)
+                for r in D.minhash_lsh_pairs(
+                    _docs_df(spark, corpus_rows + new_rows), 0.3
+                ).collect()
+                if (r.id1 in new_ids) != (r.id2 in new_ids)
+            }
+            assert inc == batch
+            corpus_rows += new_rows  # the batch is absorbed
+
+    run()
