@@ -306,3 +306,145 @@ def test_cli_forget_coerces_to_key_column_type(spark, tmp_path):
     assert left == {"007", "nonnum"}
     # unknown key column is a clean usage error, not a stack trace
     assert run(["--forget", table, "nope", "7", "day"]) == 2
+
+
+def test_partitioned_lake_random_upserts_and_forgets(spark, tmp_path_factory):
+    """Property test over the partitioned-lake lifecycle: ANY interleaving
+    of upsert merges (inserts, updates, exact replays, intra-batch
+    version races, NULL subject keys) and forget_keys erasures (live,
+    absent, and partition-emptying subjects, with and without purge)
+    must leave the table equal to the model, keep NULL-key rows through
+    erasure, report exactly the model's deletions, and never touch a
+    file in a partition the op did not logically touch."""
+    import glob
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_clickhouse_example_spark.sinks.merge import (
+        forget_keys,
+        merge_into_partitioned,
+    )
+
+    SCHEMA = "event_id long, user_id long, day string, v long"
+    # non-inferable partition values: a date-looking string would be
+    # type-inferred to DATE by the hive reader (the documented caveat)
+    DAYS = ["d10", "d11", "d12"]
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        counter["n"] += 1
+        path = str(tmp_path_factory.mktemp("lake") / f"t{counter['n']}")
+        model: dict[int, tuple] = {}  # event_id -> (user_id, day, v)
+        day_of: dict[int, str] = {}  # key -> partition value is STABLE
+        next_id = {"v": 0}
+
+        def table_rows():
+            return {
+                (r.event_id, r.user_id, r.day, r.v)
+                for r in spark.read.parquet(path).collect()
+            }
+
+        def model_rows():
+            return {(k, u, d, v) for k, (u, d, v) in model.items()}
+
+        def file_stats():
+            return {
+                f: os.path.getmtime(f)
+                for f in glob.glob(path + "/day=*/**", recursive=True)
+                if f.endswith(".parquet")
+            }
+
+        # seed so the table always exists
+        seed_day = DAYS[0]
+        seed = [(next_id["v"], None, seed_day, 0)]  # NULL user_id survivor
+        day_of[next_id["v"]] = seed_day
+        model[next_id["v"]] = (None, seed_day, 0)
+        next_id["v"] += 1
+        spark.createDataFrame(seed, SCHEMA).write.partitionBy("day").parquet(path)
+
+        for _ in range(data.draw(st.integers(3, 5), label="n_ops")):
+            before = file_stats()
+            op = data.draw(st.sampled_from(["upsert", "forget"]), label="op")
+            if op == "upsert":
+                batch = []
+                for _ in range(data.draw(st.integers(1, 3), label="bs")):
+                    kind = data.draw(
+                        st.sampled_from(["insert", "update", "replay", "race"]),
+                        label="kind",
+                    )
+                    if kind == "insert" or not model:
+                        k = next_id["v"]
+                        next_id["v"] += 1
+                        day_of[k] = data.draw(st.sampled_from(DAYS), label="day")
+                        u = data.draw(
+                            st.one_of(st.none(), st.integers(1, 3)), label="u"
+                        )
+                        batch.append((k, u, day_of[k], 0))
+                    elif kind == "replay":
+                        k = data.draw(st.sampled_from(sorted(model)), label="rk")
+                        u, d, v = model[k]
+                        batch.append((k, u, d, v))
+                    else:
+                        k = data.draw(st.sampled_from(sorted(model)), label="uk")
+                        _, d, v = model[k]
+                        # strictly increasing versions per key, including
+                        # across rows of THIS batch: equal-version rows
+                        # with different values are tie-ambiguous by
+                        # contract (version is the total order)
+                        v = max(
+                            [v] + [bv for bk, _, _, bv in batch if bk == k]
+                        )
+                        nu = data.draw(
+                            st.one_of(st.none(), st.integers(1, 3)), label="nu"
+                        )
+                        batch.append((k, nu, d, v + 1))
+                        if kind == "race":  # older version in the same batch
+                            batch.append((k, 99, d, v))
+                for k, u, d, v in batch:  # newest version per key wins
+                    if k not in model or v >= model[k][2]:
+                        model[k] = (u, d, v)
+                touched = {d for _, _, d, _ in batch}
+                merge_into_partitioned(
+                    spark,
+                    path,
+                    spark.createDataFrame(batch, SCHEMA),
+                    ["event_id"],
+                    "day",
+                    version_col="v",
+                )
+            else:
+                subjects = data.draw(
+                    st.lists(st.integers(1, 4), min_size=1, max_size=2, unique=True),
+                    label="subjects",
+                )  # 4 is never a live user_id -> absent-key no-op path
+                purge = data.draw(st.booleans(), label="purge")
+                victims = {
+                    k for k, (u, _, _) in model.items() if u in subjects
+                }
+                touched = {model[k][1] for k in victims}
+                rep = forget_keys(
+                    spark, path, "user_id", subjects, "day", purge=purge
+                )
+                assert rep["rows_deleted"] == len(victims)
+                for k in victims:
+                    del model[k]
+                if purge:
+                    assert rep["parked_path"] is None
+                    assert not os.path.exists(path + "__forgotten")
+            assert table_rows() == model_rows()
+            after = file_stats()
+            for f, mtime in before.items():
+                d = f[len(path) + 1 :].split("/")[0].removeprefix("day=")
+                if d not in touched and f in after:
+                    assert after[f] == mtime, f"untouched {f} was rewritten"
+
+    run()
