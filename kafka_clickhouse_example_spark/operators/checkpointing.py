@@ -41,3 +41,33 @@ def materialize(df: DataFrame, reliable_dir: str | None = None, *, eager: bool =
     # would silently keep the full lineage until some later action, so
     # force eager here regardless.
     return df.checkpoint(eager=True)
+
+
+def materialize_all(
+    dfs: list[DataFrame],
+    reliable_dir: str | None = None,
+    max_workers: int | None = None,
+) -> list[DataFrame]:
+    """Eagerly materialize several INDEPENDENT frames CONCURRENTLY.
+
+    Sequential eager checkpoints serialize their jobs — while histogram A
+    shuffles, the executors assigned to histogram B sit idle. Spark's
+    scheduler accepts jobs from multiple driver threads (FIFO across
+    them), so submitting the independent materializations from a small
+    thread pool lets the cluster fill: multi-input diagnostics
+    (diag_join_cardinality's four key histograms) spend max() of their
+    stage walls instead of sum(). Only for frames with NO dependency on
+    one another — a dependent frame would just block on its parent's job
+    anyway. Results are in input order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if reliable_dir is not None:
+        # configure the checkpoint dir once, single-threaded: the
+        # per-call guard in materialize is not thread-safe
+        sc = dfs[0].sparkSession.sparkContext
+        if _CONFIGURED_CHECKPOINT_DIR.get(id(sc)) != reliable_dir:
+            sc.setCheckpointDir(reliable_dir)
+            _CONFIGURED_CHECKPOINT_DIR[id(sc)] = reliable_dir
+    with ThreadPoolExecutor(max_workers=max_workers or len(dfs)) as ex:
+        return list(ex.map(lambda d: materialize(d, reliable_dir), dfs))

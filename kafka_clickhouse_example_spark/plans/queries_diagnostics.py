@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import sketches as SK
-from kafka_clickhouse_example_spark.operators.checkpointing import materialize
+from kafka_clickhouse_example_spark.operators.checkpointing import materialize_all
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
@@ -65,11 +65,11 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     configure_runtime(spark)
 
-    def profile(df: DataFrame, key: str, domain: str) -> DataFrame:
-        # materialize the per-key frequencies once: both the stats and the
-        # hot-key branches read them, and without the cut each branch would
+    def profile(freq: DataFrame, domain: str) -> DataFrame:
+        # the per-key frequencies arrive materialized (once per domain,
+        # concurrently across domains): both the stats and the hot-key
+        # branches read them, and without the cut each branch would
         # re-scan (and re-shuffle) the full profiled table
-        freq = materialize(df.groupBy(key).agg(F.count("*").alias("freq")))
         stats = freq.agg(
             F.sum("freq").cast("bigint").alias("n_rows"),
             F.count("*").cast("bigint").alias("n_keys"),
@@ -93,9 +93,15 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_compute_table(spark, sf_dir, "lineitem")
     events = load_compute_table(spark, sf_dir, "events")
+    li_freq, ev_freq = materialize_all(
+        [
+            lineitem.groupBy("l_orderkey").agg(F.count("*").alias("freq")),
+            events.groupBy("user_id").agg(F.count("*").alias("freq")),
+        ]
+    )
     return (
-        profile(lineitem, "l_orderkey", "lineitem.l_orderkey")
-        .unionByName(profile(events, "user_id", "events.user_id"))
+        profile(li_freq, "lineitem.l_orderkey")
+        .unionByName(profile(ev_freq, "events.user_id"))
         .orderBy("domain")
     )
 
@@ -198,15 +204,32 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two per-key frequency aggregates (compact histograms) joined on
     the key — the histograms are #distinct-keys rows, so the prediction
     costs two rollups plus a histogram join, not the join's own output.
+    The four histograms are independent single-column rollups, so they
+    materialize CONCURRENTLY (materialize_all): sequential eager
+    checkpoints would leave the cluster idle between the four shuffles —
+    wall is max() of the scans, not sum().
     """
     configure_runtime(spark)
 
-    def predict(left: DataFrame, lk: str, right: DataFrame, rk: str, name: str) -> DataFrame:
-        # one scan per table: the freq histograms are the only pass, and
-        # row counts derive from them (sum of freqs) instead of a second
-        # count() scan — the histograms materialize once for both uses
-        fa = materialize(left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("na")))
-        fb = materialize(right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("nb")))
+    orders = load_compute_table(spark, sf_dir, "orders")
+    lineitem = load_compute_table(spark, sf_dir, "lineitem")
+    customer = load_compute_table(spark, sf_dir, "customer")
+
+    def hist(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias(out))
+
+    o_hist, l_hist, c_hist, oc_hist = materialize_all(
+        [
+            hist(orders, "o_orderkey", "na"),
+            hist(lineitem, "l_orderkey", "nb"),
+            hist(customer, "c_custkey", "na"),
+            hist(orders, "o_custkey", "nb"),
+        ]
+    )
+
+    def predict(fa: DataFrame, fb: DataFrame, name: str) -> DataFrame:
+        # row counts derive from the histograms (sum of freqs) instead of
+        # a second count() scan — each histogram materialized once above
         pred = fa.join(fb, "k").agg(
             F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("predicted_rows")
         )
@@ -223,14 +246,9 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    orders = load_compute_table(spark, sf_dir, "orders")
-    lineitem = load_compute_table(spark, sf_dir, "lineitem")
-    customer = load_compute_table(spark, sf_dir, "customer")
     return (
-        predict(orders, "o_orderkey", lineitem, "l_orderkey", "orders x lineitem ON orderkey")
-        .unionByName(
-            predict(customer, "c_custkey", orders, "o_custkey", "customer x orders ON custkey")
-        )
+        predict(o_hist, l_hist, "orders x lineitem ON orderkey")
+        .unionByName(predict(c_hist, oc_hist, "customer x orders ON custkey"))
         .orderBy("join_name")
     )
 

@@ -63,3 +63,28 @@ def test_reliable_checkpoint_truncates_lineage(spark, tmp_path):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
     assert "Aggregate" not in plan
+
+
+def test_materialize_all_concurrent_independent_frames(spark, tmp_path):
+    from kafka_clickhouse_example_spark.operators.checkpointing import (
+        materialize_all,
+    )
+
+    frames = [
+        spark.range(50).groupBy((F.col("id") % k).alias("g")).count()
+        for k in (3, 5, 7)
+    ]
+    outs = materialize_all(frames)
+    # input order preserved, lineage cut on every frame
+    for k, out in zip((3, 5, 7), outs):
+        assert out.count() == k
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+        assert "Aggregate" not in plan
+    # reliable variant configures the dir once and still lands blocks
+    ck = str(tmp_path / "ma_ck")
+    outs = materialize_all(
+        [spark.range(10).withColumn("v", F.col("id") + 1)], reliable_dir=ck
+    )
+    assert outs[0].count() == 10
+    assert any(Path(ck).rglob("*"))
