@@ -78,29 +78,33 @@ def _canary_medians(spark, queries) -> dict:
 
 
 def _canary_summary(pre: dict, post: dict) -> dict:
-    """host_factor = median of the pre- AND post-sweep now/ref ratios
-    (median of 6): a pre-only calibration misses load arriving DURING the
-    sweep, and the pre/post spread itself is reported so a drifting host
-    is visible rather than silently averaged away. References are frozen
-    at sf0.1; at any other SF the ratio would conflate data-size with
-    host speed — factor 1.0 (unnormalized)."""
+    """host_factor = median of the PRE-sweep now/ref ratios only. The
+    frozen references were measured in the same thermal state (session up,
+    canary warm-run done, 190-query sweep NOT yet run); post-sweep canaries
+    run with the JVM/page cache warmed by the whole sweep and measure
+    systematically faster — blending them biased host_factor low and
+    INFLATED normalized_value by ~5% on an idle host (caught by review of
+    the first committed artifact). Post medians are still measured and
+    reported as `post_drift` so load arriving DURING the sweep is visible
+    as a diagnostic, it just no longer contaminates the calibration.
+    References are frozen at sf0.1; at any other SF the ratio would
+    conflate data-size with host speed — factor 1.0 (unnormalized)."""
     out = {"medians": pre, "post_medians": post, "ref": CANARY_REF_SEC}
     if abs(_sf_label(SF_DIR) - 0.1) > 1e-9:
         out["host_factor"] = 1.0
         out["note"] = "canary refs frozen at sf0.1; no normalization at this sf"
         return out
-    ratios = sorted(
-        m[n] / CANARY_REF_SEC[n]
-        for m in (pre, post)
-        for n in m
-        if CANARY_REF_SEC.get(n)
-    )
-    factor = (
-        (ratios[(len(ratios) - 1) // 2] + ratios[len(ratios) // 2]) / 2
-        if ratios
-        else 1.0
-    )
-    out["host_factor"] = round(factor, 4)
+
+    def _median_ratio(medians: dict) -> float:
+        ratios = sorted(
+            medians[n] / CANARY_REF_SEC[n] for n in medians if CANARY_REF_SEC.get(n)
+        )
+        if not ratios:
+            return 1.0
+        return (ratios[(len(ratios) - 1) // 2] + ratios[len(ratios) // 2]) / 2
+
+    out["host_factor"] = round(_median_ratio(pre), 4)
+    out["post_drift"] = round(_median_ratio(post), 4)
     return out
 
 

@@ -36,7 +36,12 @@ def _unwrap(data: dict) -> dict:
         "max", "queries_run", "queries_failed",
     }
     queries: dict[str, float] = dict(parsed.get("slowest") or {})
-    for name, val in re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)', data.get("tail", "")):
+    # Only the portion of the tail BEFORE the canary block holds per-query
+    # timings; past it the same query names reappear as canary medians /
+    # frozen refs, which would otherwise be recorded as phantom timings
+    # for the three canary queries.
+    tail = data.get("tail", "").split('"canary"')[0]
+    for name, val in re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)', tail):
         if name not in not_queries and float(val) < 1e4:
             queries.setdefault(name, float(val))
     out = {

@@ -20,6 +20,20 @@ from pyspark.sql import DataFrame
 _CONFIGURED_CHECKPOINT_DIR: dict[int, str] = {}
 
 
+def _ensure_checkpoint_dir(sc, reliable_dir: str) -> None:
+    """Configure the reliable checkpoint dir at most once per context.
+
+    Dedupe via our own record: Spark fully qualifies the configured dir
+    AND appends a random UUID subdirectory, so comparing
+    getCheckpointDir() against the caller's path never matches — the
+    naive guard re-ran setCheckpointDir (one FS mkdirs + abandoned UUID
+    dir) on every propagation round of an iterative operator.
+    NOT thread-safe: call before fanning out to a thread pool."""
+    if _CONFIGURED_CHECKPOINT_DIR.get(id(sc)) != reliable_dir:
+        sc.setCheckpointDir(reliable_dir)
+        _CONFIGURED_CHECKPOINT_DIR[id(sc)] = reliable_dir
+
+
 def materialize(df: DataFrame, reliable_dir: str | None = None, *, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage: executor-local by default, reliable when
     ``reliable_dir`` is given. Both paths return a DataFrame whose plan is
@@ -28,15 +42,7 @@ def materialize(df: DataFrame, reliable_dir: str | None = None, *, eager: bool =
     """
     if reliable_dir is None:
         return df.localCheckpoint(eager=eager)
-    sc = df.sparkSession.sparkContext
-    # Dedupe via our own record: Spark fully qualifies the configured dir
-    # AND appends a random UUID subdirectory, so comparing
-    # getCheckpointDir() against the caller's path never matches — the
-    # naive guard re-ran setCheckpointDir (one FS mkdirs + abandoned UUID
-    # dir) on every propagation round of an iterative operator.
-    if _CONFIGURED_CHECKPOINT_DIR.get(id(sc)) != reliable_dir:
-        sc.setCheckpointDir(reliable_dir)
-        _CONFIGURED_CHECKPOINT_DIR[id(sc)] = reliable_dir
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext, reliable_dir)
     # Reliable checkpoint is only written on materialization; eager=False
     # would silently keep the full lineage until some later action, so
     # force eager here regardless.
@@ -62,12 +68,11 @@ def materialize_all(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if not dfs:
+        return []
     if reliable_dir is not None:
         # configure the checkpoint dir once, single-threaded: the
-        # per-call guard in materialize is not thread-safe
-        sc = dfs[0].sparkSession.sparkContext
-        if _CONFIGURED_CHECKPOINT_DIR.get(id(sc)) != reliable_dir:
-            sc.setCheckpointDir(reliable_dir)
-            _CONFIGURED_CHECKPOINT_DIR[id(sc)] = reliable_dir
+        # per-call guard is not thread-safe
+        _ensure_checkpoint_dir(dfs[0].sparkSession.sparkContext, reliable_dir)
     with ThreadPoolExecutor(max_workers=max_workers or len(dfs)) as ex:
         return list(ex.map(lambda d: materialize(d, reliable_dir), dfs))

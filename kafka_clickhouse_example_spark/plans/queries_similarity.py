@@ -710,11 +710,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, fn in sorted(methods.items())
         }
         exact = exact_fut.result()
+        total = sum(len(exact[q]) for q in exact)
         rows = []
         for name, fut in sorted(approx_futs.items()):
             approx = fut.result()
             hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
-            total = sum(len(exact[q]) for q in exact)
             rows.append((name, round(hit / total, 4)))
     return spark.createDataFrame(rows, "method string, recall_at_10 double").orderBy(
         "method"

@@ -1321,8 +1321,9 @@ def test_matview_manifest_protocol_random_crashes(spark, tmp_path_factory):
                         manifest = {c_new} | keep
                 if not crashed:  # GC ran: also sweeps an uncommitted
                     disk = set(manifest)  # landing's dir (replay rewrites)
-                    if pending is not None and f"batch={pending[0]}" not in manifest:
-                        pass  # swept; the model's next land recreates it
+                    # (an uncommitted pending landing is swept with the rest
+                    # — disk = manifest already models that; the model's
+                    # next land recreates it, as checkpoint replay would)
             check()
 
         # a clean compaction (run twice) heals every crash state
