@@ -119,6 +119,17 @@ RANK_LIMIT_QUERIES = [
 ]
 
 
+def test_no_row_at_a_time_python_udfs(plans):
+    """Python in a plan must be Arrow-batched (ArrowEvalPython,
+    MapInPandas, FlatMapGroupsInPandas, ...) — never BatchEvalPython,
+    the row-at-a-time pickled path that costs 10-100x on the hot path.
+    The repo-wide claim ('zero row-at-a-time UDFs') has been re-audited
+    by hand every round; this pins it for the sweep families so a
+    convenience F.udf() can never slip in unnoticed."""
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF crept into: {bad}"
+
+
 def test_rank_limit_windows_push_group_limits(spark, sf_dir):
     import re
 
