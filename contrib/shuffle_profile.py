@@ -19,13 +19,26 @@ is thread-proof where jobGroup tagging is not: materialize_all and the
 recall-report ladder submit jobs from pool threads, which do NOT inherit
 the driver thread's thread-local job group and would otherwise go
 unattributed. A stage reused by a later job (exchange reuse) is charged to
-the job that executed it, never double-counted. The UI store's retention
-is raised far above the run's job/stage count — the defaults (1000) evict
-the earliest ~40 queries' metrics silently.
+the job that executed it, never double-counted; for a retried stage only
+the highest COMPLETE attempt counts (a FAILED attempt's partial movement
+is wasted work, and counting it would make per-query numbers
+non-deterministic under task retries). The UI store's retention is raised
+far above the run's job/stage count — the defaults (1000) evict the
+earliest ~40 queries' metrics silently.
+
+Attribution caveat for memo-building families (dedup/flows/similarity):
+per-session localCheckpoint memos charge the build cost to the
+alphabetically-first consumer (e.g. dedup_candidates_editdist carries the
+shingle/pair-graph build; later dedup queries read the memo for ~free),
+and a single-query argv run therefore measures MORE movement for that
+query than the full-registry run does. The JSON carries this note.
 
 Usage: python contrib/shuffle_profile.py [query ...]   # default: all
-Writes SHUFFLE_LOCAL.json and prints a top-movers table to stderr, one
-JSON line (totals + top movers) to stdout.
+Full-registry runs at the default sf0.1 write the committed artifact
+SHUFFLE_LOCAL.json; any other SF or an argv subset writes
+SHUFFLE_<sf>[_partial].json instead so a diagnostic run can never
+silently clobber the published 190-query profile. Prints a top-movers
+table to stderr, one JSON line (totals + top movers) to stdout.
 """
 
 from __future__ import annotations
@@ -82,10 +95,12 @@ def main() -> None:
 
     queries = all_queries()
     names = sys.argv[1:] or sorted(queries)
+    failed: dict[str, str] = {}
     for name in names:
         try:
             queries[name](spark, SF_DIR).count()
         except Exception as exc:
+            failed[name] = str(exc)[:200]
             print(f"shuffle_profile: {name} failed: {exc}", file=sys.stderr)
         # window-closing marker: everything up to this job belongs to `name`
         sc.setJobGroup(f"{MARKER}{name}", "profile window marker")
@@ -94,11 +109,15 @@ def main() -> None:
 
     base = sc.uiWebUrl
     appid = _api(base, "applications")[0]["id"]
-    stages = {
-        s["stageId"]: s
-        for s in _api(base, f"applications/{appid}/stages")
-        if s.get("status") in ("COMPLETE", "FAILED")
-    }
+    # keep only the newest COMPLETE attempt per stage: FAILED attempts are
+    # wasted movement and counting them is retry-nondeterministic
+    stages: dict[int, dict] = {}
+    for s in _api(base, f"applications/{appid}/stages"):
+        if s.get("status") != "COMPLETE":
+            continue
+        cur = stages.get(s["stageId"])
+        if cur is None or s.get("attemptId", 0) > cur.get("attemptId", 0):
+            stages[s["stageId"]] = s
     jobs = sorted(_api(base, f"applications/{appid}/jobs"), key=lambda j: j["jobId"])
 
     per_query: dict[str, dict[str, int]] = {}
@@ -121,14 +140,32 @@ def main() -> None:
                     acc[m] += stages[sid].get(m, 0)
         window = []
 
+    for name, err in failed.items():
+        # a failed query's window still holds the jobs that ran before the
+        # crash — mark it so the partial metrics are never read as a clean
+        # low-shuffle run
+        per_query.setdefault(name, {m: 0 for m in STAGE_METRICS})["failed"] = err
+
     totals = {m: sum(q[m] for q in per_query.values()) for m in STAGE_METRICS}
     payload = {
         "sf_dir": SF_DIR,
         "queries_profiled": len(per_query),
+        "queries_failed": sorted(failed),
+        "note": (
+            "memo-building families charge the shared build to their "
+            "alphabetically-first consumer; see module docstring"
+        ),
         "totals": totals,
         "per_query": per_query,
     }
-    Path(__file__).resolve().parent.parent.joinpath("SHUFFLE_LOCAL.json").write_text(
+    sf_label = os.path.basename(SF_DIR.rstrip("/"))
+    is_canonical = not sys.argv[1:] and sf_label == "sf0.1"
+    out_name = (
+        "SHUFFLE_LOCAL.json"
+        if is_canonical
+        else f"SHUFFLE_{sf_label}{'_partial' if sys.argv[1:] else ''}.json"
+    )
+    Path(__file__).resolve().parent.parent.joinpath(out_name).write_text(
         json.dumps(payload, indent=1) + "\n"
     )
 
@@ -153,10 +190,11 @@ def main() -> None:
                 "sf_dir": SF_DIR,
                 "queries_profiled": len(per_query),
                 "totals": totals,
+                "queries_failed": sorted(failed),
                 "top_shuffle_writers": {
                     n: q["shuffleWriteBytes"] for n, q in movers
                 },
-                "full": "SHUFFLE_LOCAL.json",
+                "full": out_name,
             }
         ),
         flush=True,

@@ -37,9 +37,11 @@ import pytest
 
 from tests.conftest import SF_CORRECTNESS
 
-# (maxPartitionBytes, shuffle.partitions): the defaults the suite runs at,
-# then a hostile layout — 64 KiB input splits (dozens of scan partitions
-# over sf0.01's small parquet) and a prime shuffle width.
+# (maxPartitionBytes, shuffle.partitions): a wide reference layout (128 MB
+# splits, 32-way shuffles — NOT the suite session's own 8-way default,
+# which doesn't matter: any two differing layouts certify the invariant),
+# then a hostile one — 64 KiB input splits (dozens of scan partitions over
+# sf0.01's small parquet) and a prime shuffle width.
 LAYOUTS = [
     ("134217728", "32"),
     ("65536", "7"),
@@ -140,6 +142,13 @@ def test_rows_only_values_survive_relayout(layout_results):
 def test_kll_stream_length_survives_relayout(layout_results):
     # quantiles may move within the rank-error bound; n (the exact part of
     # the sketch) must not. n_values is the 4th output column.
+    if KLL_EXCEPTION not in layout_results[0]:
+        pytest.skip(
+            f"{KLL_EXCEPTION} is no longer rows-only (graduated to an "
+            "oracle, or the tail emptied) — the exact relayout test above "
+            "covers it now"
+        )
+
     def n_values(rows: list[str]) -> str:
         assert len(rows) == 1
         return rows[0].split("|")[3]
