@@ -121,6 +121,16 @@ def _shingles_pandas_udf(n: int = NGRAM_DEFAULT):
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in text:
+            # NULL text -> EMPTY array, matching the column path exactly
+            # (its shingle builder collapses the NULL token array to []):
+            # drop_empty's size>0 filter then drops it, and a
+            # drop_empty=False consumer's explode([]) emits no rows.
+            # Without this guard one NULL document ABORTS the whole job
+            # (the BPE NULL-text crash class from round 5, here in the
+            # dedup kernel; pinned by tests/test_dedup_paths.py).
+            if t is None:
+                out.append([])
+                continue
             toks = ws.split(t.strip(" "))
             if len(toks) < n:
                 out.append([])
@@ -181,9 +191,16 @@ def _md5half_array_udf(which: int = 0):
         import hashlib
 
         lo, hi = which * 14, which * 14 + 14
+        # NULL array -> NULL (column path: transform(NULL) is NULL); a
+        # consumer's explode(NULL) then emits no rows either way
         return pd.Series(
             [
-                [int(hashlib.md5(s.encode("utf-8")).hexdigest()[lo:hi], 16) for s in lst]
+                None
+                if lst is None
+                else [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[lo:hi], 16)
+                    for s in lst
+                ]
                 for lst in sh
             ]
         )
@@ -198,6 +215,9 @@ def _minhash_pandas_udf(num_perms: int = MINHASH_PERMS):
 
         out = []
         for shingle_list in sh:
+            if shingle_list is None:  # NULL array -> NULL signature
+                out.append(None)
+                continue
             mins = [None] * num_perms
             for s in shingle_list:
                 hx = hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -779,6 +799,7 @@ def incremental_minhash_pairs(
     id_col: str = "doc_id",
     new_shingles: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: near-dup pairs between a NEW batch and the
     EXISTING corpus, without re-deduping the corpus against itself.
@@ -805,7 +826,12 @@ def incremental_minhash_pairs(
     ``new_shingles``/``corpus_shingles`` accept precomputed (doc_id, sh)
     relations — the production shape, where the accumulated corpus's
     shingles were materialized at ingest and each batch reads them instead
-    of re-tokenizing the whole corpus per run.
+    of re-tokenizing the whole corpus per run. ``corpus_bands`` goes one
+    step further with a precomputed (doc_id, bk) band-key relation
+    (operators/dedup_store.py): the per-batch cost then drops to a
+    column-pruned scan of the stored keys — no md5/minhash kernel runs
+    over the corpus at all, which is the dominant per-batch CPU when only
+    shingles are precomputed.
     """
     # The new batch is small by contract; materialize its shingles once —
     # three consumers (banding, candidate broadcast, verify broadcast)
@@ -826,7 +852,9 @@ def incremental_minhash_pairs(
         .select(F.col("doc_id").alias("new_id"), "bk")
     )
     corp_banded = (
-        with_minhash_signature(corp_sh)
+        corpus_bands.select(F.col("doc_id").alias("corpus_id"), "bk")
+        if corpus_bands is not None
+        else with_minhash_signature(corp_sh)
         .withColumn("bk", F.explode(band_keys(F.col("mh"))))
         .select(F.col("doc_id").alias("corpus_id"), "bk")
     )

@@ -20,14 +20,64 @@ REPLAYED batch's documents are all near-dup (jaccard 1.0) against their
 own previously-landed copies, so the gate itself makes the replay a
 content no-op — the same self-healing idempotency argument as the CDC
 upsert sink, here emerging from the dedup semantics.
+
+SERVED MODE (gate_batch_served / start_dedup_gate_served): the same gate
+consulting the materialized relations of operators/dedup_store.py instead
+of recomputing hashes and band keys over the whole corpus per batch — the
+O(corpus)->O(delta + stored-key scan) upgrade the term/ANN indexes already
+have. Served mode also upgrades delivery: survivors land in the corpus by
+LABELED dynamic partition overwrite (kb=b<batch_id>), so a replayed batch
+rewrites its own partition with identical content — exactly-once corpus
+content without relying on the self-reject argument above.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import dedup as D
+
+
+def _dedup_within_batch(batch: DataFrame, threshold: float) -> DataFrame:
+    """Batch-internal dedup: exact first (content hash), then near-dup
+    pairs — keep the min doc_id of every connected pair (cheap transitive
+    approximation for a batch-sized set: reject anything that appears as
+    the larger id of a pair, which keeps exactly one representative of
+    every within-batch duplicate chain)."""
+    canon = D.exact_duplicate_groups(batch).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    batch1 = batch.join(canon, "doc_id", "left_semi")
+    inner = D.jaccard_pairs(batch1, threshold).select("id1", "id2")
+    inner_losers = inner.select(F.col("id2").alias("doc_id")).distinct()
+    return batch1.join(F.broadcast(inner_losers), "doc_id", "left_anti")
+
+
+def _resolve(
+    batch2: DataFrame, exact_hits: DataFrame, near_hits: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Combine the two hit legs into (survivors, rejects): one report row
+    per rejected doc — best match wins (ties by corpus id)."""
+    rejects = exact_hits.unionByName(near_hits)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("matched_doc_id")
+    )
+    rejects = (
+        rejects.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = batch2.join(
+        F.broadcast(rejects.select("doc_id")), "doc_id", "left_anti"
+    )
+    return survivors, rejects
+
+
+def _empty_rejects(batch: DataFrame) -> DataFrame:
+    return batch.sparkSession.createDataFrame(
+        [], "doc_id long, matched_doc_id long, jaccard double"
+    )
 
 
 def gate_batch(
@@ -37,18 +87,7 @@ def gate_batch(
 ) -> tuple[DataFrame, DataFrame]:
     """Pure (testable) core: returns (survivors, rejects_report) for one
     batch against the corpus (None = empty store)."""
-    # 1. batch-internal: exact first (content hash), then near-dup pairs —
-    # keep the min doc_id of every connected pair (cheap transitive
-    # approximation for a batch-sized set: reject anything that appears as
-    # the larger id of a pair, which keeps exactly one representative of
-    # every within-batch duplicate chain).
-    canon = D.exact_duplicate_groups(batch).select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    batch1 = batch.join(canon, "doc_id", "left_semi")
-    inner = D.jaccard_pairs(batch1, threshold).select("id1", "id2")
-    inner_losers = inner.select(F.col("id2").alias("doc_id")).distinct()
-    batch2 = batch1.join(F.broadcast(inner_losers), "doc_id", "left_anti")
+    batch2 = _dedup_within_batch(batch, threshold)
 
     # 2. batch-vs-corpus
     if corpus is not None:
@@ -74,25 +113,62 @@ def gate_batch(
             F.col("corpus_id").alias("matched_doc_id"),
             "jaccard",
         )
-        rejects = exact_hits.unionByName(near_hits)
-        # one report row per doc: best match wins (ties by corpus id)
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("jaccard").desc(), F.col("matched_doc_id")
-        )
-        rejects = (
-            rejects.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        survivors = batch2.join(
-            F.broadcast(rejects.select("doc_id")), "doc_id", "left_anti"
-        )
+        survivors, rejects = _resolve(batch2, exact_hits, near_hits)
     else:
-        rejects = batch2.sparkSession.createDataFrame(
-            [], "doc_id long, matched_doc_id long, jaccard double"
-        )
+        rejects = _empty_rejects(batch2)
         survivors = batch2
     return survivors, rejects
+
+
+def gate_batch_served(
+    batch: DataFrame,
+    spark: SparkSession,
+    store_path: str,
+    threshold: float,
+    *,
+    exclude_label: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """gate_batch against the MATERIALIZED relations of
+    operators/dedup_store.py — identical semantics (row-for-row parity
+    pinned by tests), O(delta + stored-key scan) per batch instead of
+    O(corpus) recompute. ``exclude_label`` must be the current batch's
+    landing label in streaming use: a replayed batch must never gate
+    against its own half-landed debris (see dedup_store docstring)."""
+    from kafka_clickhouse_example_spark.operators import dedup_store as DS
+
+    batch2 = _dedup_within_batch(batch, threshold)
+    hashes = DS.read_relation(spark, store_path, "hashes", exclude_label=exclude_label)
+    if hashes is None:  # empty store = empty corpus
+        return batch2, _empty_rejects(batch2)
+
+    bh = batch2.select("doc_id", F.md5(F.col("text").cast("binary")).alias("_h"))
+    exact_hits = (
+        hashes.select(F.col("doc_id").alias("matched_doc_id"), F.col("h").alias("_h"))
+        .join(F.broadcast(bh), "_h")
+        .select("doc_id", "matched_doc_id", F.lit(1.0).alias("jaccard"))
+    )
+    shingles = DS.read_relation(
+        spark, store_path, "shingles", exclude_label=exclude_label
+    )
+    bands = DS.read_relation(spark, store_path, "bands", exclude_label=exclude_label)
+    if shingles is None or bands is None:
+        # first-batch crash window: _land writes hashes before bands/
+        # shingles, so a relation dir can be missing entirely — with the
+        # crashed label excluded the store is semantically empty
+        near_hits = _empty_rejects(batch2)
+    else:
+        near_hits = D.incremental_minhash_pairs(
+            batch2,
+            corpus_df=None,  # unused: both stored relations supplied
+            threshold=threshold,
+            corpus_shingles=shingles,
+            corpus_bands=bands,
+        ).select(
+            F.col("new_id").alias("doc_id"),
+            F.col("corpus_id").alias("matched_doc_id"),
+            "jaccard",
+        )
+    return _resolve(batch2, exact_hits, near_hits)
 
 
 def start_dedup_gate(
@@ -121,6 +197,58 @@ def start_dedup_gate(
         # 1.0 vs their own copies), so the corpus never double-lands a doc.
         rejects.write.mode("append").parquet(report_path)
         survivors.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_dedup_gate_served(
+    stream: DataFrame,
+    corpus_path: str,
+    store_path: str,
+    report_path: str,
+    checkpoint: str,
+    threshold: float = 0.3,
+):
+    """The served gate as a foreachBatch sink: gates each micro-batch
+    against the materialized store (never rescanning or re-hashing the
+    corpus), then lands survivors + their store relations under the
+    batch's own label.
+
+    Delivery: corpus and store landings are LABELED dynamic partition
+    overwrites (kb=b<batch_id>) — a replayed batch rewrites its own
+    partitions with identical content, so corpus CONTENT is exactly-once
+    (stronger than start_dedup_gate's self-reject argument). Gating
+    excludes the batch's own label, so replay after any mid-landing crash
+    gates exactly as the first attempt did. The quarantine report stays a
+    plain append: at-least-once, duplicate report rows across a failure
+    boundary are possible and benign (audit data, deduped by doc_id on
+    read).
+    """
+    from kafka_clickhouse_example_spark.operators import dedup_store as DS
+    from kafka_clickhouse_example_spark.sinks.backfill import overwrite_partitions
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        label = f"b{batch_id}"
+        survivors, rejects = gate_batch_served(
+            batch_df, spark, store_path, threshold, exclude_label=label
+        )
+        # the gate is consumed by three writers below; cut once (the
+        # self-referential-overwrite rule: corpus/store reads must not
+        # lazily re-evaluate after their partitions are replaced)
+        survivors = survivors.localCheckpoint(eager=True)
+        rejects.write.mode("append").parquet(report_path)
+        overwrite_partitions(
+            survivors.withColumn("kb", F.lit(label)), corpus_path, ["kb"]
+        )
+        DS.update_dedup_store(survivors, store_path, label)
 
     return (
         stream.writeStream.foreachBatch(apply)

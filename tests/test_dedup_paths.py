@@ -282,3 +282,37 @@ def test_reach3_star_edges_linear_in_group_size(spark):
         ).collect()
     }
     assert out2 == {0: g - 1}
+
+
+def test_null_text_agrees_across_paths_and_never_aborts(spark):
+    """One NULL document must not abort the job (the round-5 BPE NULL-text
+    crash class, found again in the dedup kernels while building the
+    served gate), and the Arrow kernels must propagate NULL exactly like
+    the column expressions: NULL text -> NULL shingle array -> NULL
+    signature, dropped by drop_empty / emitting no rows under explode."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, None), (3, "x y")],
+        "doc_id long, text string",
+    )
+    # drop_empty=True: NULL-text and too-short docs vanish on both paths
+    for arrow in (True, False):
+        rows = D.with_shingles(docs, use_arrow=arrow).collect()
+        assert sorted(r.doc_id for r in rows) == [1], arrow
+    # drop_empty=False: the NULL-text row survives with an EMPTY shingle
+    # array on both paths (the column path's shingle builder collapses the
+    # NULL token array to []), and the downstream minhash kernel agrees
+    # across paths instead of crashing
+    shs, mhs = [], []
+    for arrow in (True, False):
+        sh = D.with_shingles(docs, use_arrow=arrow, drop_empty=False)
+        got = {r.doc_id: r.sh for r in sh.collect()}
+        assert got[2] == [], arrow
+        shs.append(got)
+        mhs.append(
+            {
+                r.doc_id: r.mh
+                for r in D.with_minhash_signature(sh, use_arrow=arrow).collect()
+            }
+        )
+    assert shs[0] == shs[1]
+    assert mhs[0] == mhs[1]

@@ -87,3 +87,156 @@ def test_gate_lands_novel_and_quarantines_dups(spark, paths):
     self_hits = rr.filter(F.col("doc_id") == F.col("matched_doc_id")).collect()
     assert {r.doc_id for r in self_hits} == {1, 3, 4, 11}
     assert all(r.jaccard == 1.0 for r in self_hits)
+
+
+# --- served mode: the materialized dedup store ------------------------------
+
+from kafka_clickhouse_example_spark.operators import dedup_store as DS
+from kafka_clickhouse_example_spark.pipelines.ingest_dedup import (
+    gate_batch,
+    gate_batch_served,
+    start_dedup_gate_served,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _gate_result_key(survivors, rejects):
+    return (
+        sorted((r.doc_id, r.text) for r in survivors.collect()),
+        sorted(
+            (r.doc_id, r.matched_doc_id, round(r.jaccard, 9))
+            for r in rejects.collect()
+        ),
+    )
+
+
+def test_served_gate_matches_live_gate(spark, tmp_path):
+    """Row-for-row parity: gating against the materialized store must equal
+    gating against the corpus text — exact leg, near leg, short docs, NULL
+    text, ties."""
+    corpus = _df(
+        spark,
+        [(1, BASE), (2, OTHER), (3, "tiny doc"), (4, None)],
+    )
+    store = str(tmp_path / "store")
+    DS.build_dedup_store(corpus, store)
+    batch = _df(
+        spark,
+        [
+            (10, BASE),                       # exact dup of 1
+            (11, BASE.replace("kappa", "q")), # near dup of 1
+            (12, "tiny doc"),                 # exact dup of short 3 (hash leg)
+            (13, NOVEL),                      # novel
+            (14, None),                       # NULL text: always lands
+            (15, NOVEL),                      # in-batch exact dup of 13
+        ],
+    )
+    live = gate_batch(batch, corpus, 0.3)
+    served = gate_batch_served(batch, spark, store, 0.3)
+    assert _gate_result_key(*served) == _gate_result_key(*live)
+
+
+def test_served_gate_empty_store(spark, tmp_path):
+    batch = _df(spark, [(1, BASE), (2, BASE), (3, NOVEL)])
+    survivors, rejects = gate_batch_served(
+        batch, spark, str(tmp_path / "nostore"), 0.3
+    )
+    assert sorted(r.doc_id for r in survivors.collect()) == [1, 3]
+    assert rejects.count() == 0
+
+
+def test_store_update_is_replay_idempotent(spark, tmp_path):
+    """Landing the same labeled delta twice leaves every relation
+    row-identical to landing it once."""
+    store = str(tmp_path / "store")
+    DS.build_dedup_store(_df(spark, [(1, BASE)]), store)
+    delta = _df(spark, [(2, OTHER), (3, NOVEL)])
+
+    def snapshot():
+        out = {}
+        for rel in DS.RELATIONS:
+            rows = spark.read.parquet(f"{store}/{rel}").collect()
+            out[rel] = sorted(str(sorted(r.asDict().items())) for r in rows)
+        return out
+
+    DS.update_dedup_store(delta, store, "b7")
+    once = snapshot()
+    DS.update_dedup_store(delta, store, "b7")
+    assert snapshot() == once
+
+
+def test_served_gate_excludes_own_crash_debris(spark, tmp_path):
+    """A replayed batch must gate as if its own half-landed store rows do
+    not exist: with exclude_label they are invisible; without it the
+    batch's docs would self-reject and vanish (hash present, text absent)."""
+    store = str(tmp_path / "store")
+    DS.build_dedup_store(_df(spark, [(1, BASE)]), store)
+    batch = _df(spark, [(20, NOVEL)])
+    # simulate the crash: the batch's store rows landed, its corpus row did not
+    DS.update_dedup_store(batch, store, "b3")
+
+    survivors, rejects = gate_batch_served(
+        batch, spark, store, 0.3, exclude_label="b3"
+    )
+    assert [r.doc_id for r in survivors.collect()] == [20]
+    assert rejects.count() == 0
+
+    # and the hazard is real: without the exclusion the doc self-rejects
+    s2, r2 = gate_batch_served(batch, spark, store, 0.3)
+    assert s2.count() == 0 and r2.count() == 1
+
+
+def test_served_stream_matches_live_stream_and_fresh_build(spark, paths, tmp_path):
+    """End-to-end: the served streaming gate lands the same corpus content
+    as the live gate on the same input; afterwards the incrementally
+    maintained store equals a fresh build from the final corpus; and a full
+    replay with a fresh checkpoint leaves corpus CONTENT unchanged
+    (exactly-once via labeled overwrite, not self-rejection)."""
+    near = BASE.replace("kappa", "kappa2")
+    short = "tiny doc"
+    (paths["src"] / "b1.json").write_text(
+        "\n".join([_doc(1, BASE), _doc(2, BASE), _doc(3, OTHER), _doc(4, short)])
+    )
+    (paths["src"] / "b2.json").write_text(
+        "\n".join([_doc(10, near), _doc(11, NOVEL), _doc(12, short)])
+    )
+    store = str(tmp_path / "store2")
+    corpus_path = str(tmp_path / "corpus_served")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(paths["src"]))
+        )
+        q = start_dedup_gate_served(
+            stream, corpus_path, store, paths["report"], ckpt
+        )
+        q.awaitTermination(180)
+
+    run(paths["ckpt"] + "_served")
+    corpus = spark.read.parquet(corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {1, 3, 4, 11}
+
+    # store == fresh rebuild from the final corpus (content, ignoring kb)
+    fresh = str(tmp_path / "fresh")
+    DS.build_dedup_store(corpus.select("doc_id", "text"), fresh)
+    for rel in DS.RELATIONS:
+        got = sorted(
+            str(sorted(r.asDict().items()))
+            for r in spark.read.parquet(f"{store}/{rel}").drop("kb").collect()
+        )
+        want = sorted(
+            str(sorted(r.asDict().items()))
+            for r in spark.read.parquet(f"{fresh}/{rel}").drop("kb").collect()
+        )
+        assert got == want, f"incrementally maintained {rel} != fresh rebuild"
+
+    # full replay, fresh checkpoint: labeled overwrite keeps content
+    # exactly-once — same doc set, no duplicate rows
+    run(paths["ckpt"] + "_served2")
+    rows = spark.read.parquet(corpus_path).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3, 4, 11]
