@@ -290,10 +290,27 @@ def band_keys(
     return F.array(*keys)
 
 
+def content_hash(text_col: str = "text") -> Column:
+    """THE exact-dedup content hash: md5 over the utf-8 bytes, NULL text ->
+    NULL (which equi-joins never match — NULL-text docs are invisible to
+    the exact leg everywhere). One definition shared by exact groups, the
+    ingest gate's exact leg (live and served), and the materialized store
+    (dedup_store.py) — stored and recomputed hashes must never drift."""
+    return F.md5(F.col(text_col).cast("binary"))
+
+
+def shingle_array(text: Column, n: int = NGRAM_DEFAULT) -> Column:
+    """The Arrow shingle kernel as a plain Column — for callers that need
+    the shingle array alongside OTHER projections in one scan (the
+    materialized store). with_shingles wraps this with the standard
+    (doc_id, sh) shape."""
+    return _shingles_pandas_udf(n)(text)
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by content hash, keep canonical (min id) + count."""
     return (
-        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_md5"))
+        df.groupBy(content_hash(text_col).alias("content_md5"))
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count("*").alias("n_copies"),

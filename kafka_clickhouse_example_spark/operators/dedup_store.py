@@ -1,17 +1,24 @@
 """Materialized dedup-gate index: the third serving layout.
 
 The streaming ingest gate (pipelines/ingest_dedup.py:gate_batch) recomputes
-md5 content hashes and 64-perm minhash band keys over the ENTIRE
-accumulated corpus on every micro-batch — two full corpus scans plus the
-minhash Arrow kernel per batch, the dominant per-batch cost once the corpus
-dwarfs the batch. The term index (operators/retrieval.py) and the ANN index
-(operators/ann_index.py) already solved the same problem for their
-families; this module gives the dedup gate its store. It materializes
-exactly the three relations the gate consults:
+md5 content hashes and minhash band keys (MINHASH_PERMS wide — 8 in the
+test profile, 64 in the documented production profile, dedup.py:53-65)
+over the ENTIRE accumulated corpus on every micro-batch — two full corpus
+scans plus the minhash Arrow kernel per batch, the dominant per-batch cost
+once the corpus dwarfs the batch. The term index (operators/retrieval.py)
+and the ANN index (operators/ann_index.py) already solved the same problem
+for their families; this module gives the dedup gate its store. It
+materializes exactly the relations the gate consults:
 
     <path>/hashes/    kb=<label>/  (doc_id, h)    every doc (exact leg)
     <path>/bands/     kb=<label>/  (doc_id, bk)   docs with >=n-token text
     <path>/shingles/  kb=<label>/  (doc_id, sh)   same docs (verify leg)
+    <path>/meta/                   (n_gram, num_perms, band_rows) 1 row
+
+``meta`` records the key-construction profile the store was built with;
+serving validates it against the module constants and REFUSES a store
+whose stored band keys could not collide with freshly-computed batch keys
+(a silent near-leg blackout otherwise — no error, every near-dup lands).
 
 ``kb`` is the landing label (one per ingest batch). Every landing is a
 DYNAMIC partition overwrite of its own kb partition (sinks/backfill.
@@ -25,10 +32,9 @@ the doc self-reject and vanish: hash present, data absent).
 Per-batch serving cost: column-pruned scans of the stored hash and band
 relations joined against BROADCAST batch-side keys, plus a
 candidate-bounded fetch of stored shingle arrays — nothing corpus-sized is
-recomputed. At 100 TB the stored relations are also far smaller than the
-corpus text they index (16-byte hashes; 16 band keys/doc; shingle arrays
-only for the verify candidates' partitions... the shingles relation is
-corpus-sized but only candidate rows survive its broadcast semi-join).
+recomputed. Build cost is ONE corpus scan: (doc_id, hash, shingles)
+project in a single pass, lineage cut once, all three relations derived
+from the cut.
 
 The reference pipeline has no dedup at all (SURVEY §0) — extension
 surface, certified by row-for-row parity with the live gate
@@ -51,25 +57,25 @@ from kafka_clickhouse_example_spark.sinks.backfill import (
 RELATIONS = ("hashes", "bands", "shingles")
 
 
-def _content_hash(text_col: str) -> F.Column:
-    # identical expression to gate_batch's exact leg: NULL text -> NULL
-    # hash, which equi-joins match never — NULL-text docs always pass the
-    # exact leg (and shingle to nothing, so they pass the near leg too)
-    return F.md5(F.col(text_col).cast("binary"))
+def _current_meta() -> tuple[int, int, int]:
+    return (D.NGRAM_DEFAULT, D.MINHASH_PERMS, D.LSH_BAND_ROWS)
 
 
 def store_relations(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> dict[str, DataFrame]:
-    """The three gate relations for ``df``'s docs (no kb column yet).
-
-    Shingle/minhash math is the live gate's own (operators/dedup), so
-    stored keys and recomputed keys can never drift apart.
-    """
-    hashes = df.select(
-        F.col(id_col).alias("doc_id"), _content_hash(text_col).alias("h")
-    )
-    sh = D.with_shingles(df, text_col, id_col).localCheckpoint(eager=True)
+    """The three gate relations for ``df``'s docs (no kb column yet), from
+    ONE scan: hash + shingle array project together, the lineage is cut
+    once, and every relation derives from the cut. Shingle/minhash math is
+    the live gate's own (operators/dedup), so stored keys and recomputed
+    keys can never drift apart."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        D.content_hash(text_col).alias("h"),
+        D.shingle_array(F.col(text_col)).alias("sh"),
+    ).localCheckpoint(eager=True)
+    hashes = base.select("doc_id", "h")
+    sh = base.filter(F.size("sh") > 0).select("doc_id", "sh")
     bands = (
         D.with_minhash_signature(sh)
         .withColumn("bk", F.explode(D.band_keys(F.col("mh"))))
@@ -87,6 +93,35 @@ def _land(rels: dict[str, DataFrame], path: str, label: str) -> None:
         )
 
 
+def _write_meta(spark: SparkSession, path: str) -> None:
+    n, p, r = _current_meta()
+    spark.createDataFrame(
+        [(n, p, r)], "n_gram int, num_perms int, band_rows int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def check_store_meta(spark: SparkSession, path: str) -> None:
+    """Refuse to serve a store whose key-construction profile differs from
+    the module's current constants: stored band keys would silently stop
+    colliding with freshly-computed batch keys (near leg returns nothing,
+    no error — every near-dup would land)."""
+    meta_path = os.path.join(path, "meta")
+    if not _table_exists(spark, meta_path):
+        raise ValueError(
+            f"dedup store at {path} has no meta relation — built by an "
+            "incompatible version or the build crashed before meta landed; "
+            "rebuild with build_dedup_store"
+        )
+    row = spark.read.parquet(meta_path).first()
+    got = (row.n_gram, row.num_perms, row.band_rows)
+    if got != _current_meta():
+        raise ValueError(
+            f"dedup store at {path} was built with (n_gram, num_perms, "
+            f"band_rows)={got} but this build uses {_current_meta()} — "
+            "stored band keys cannot collide with batch keys; rebuild"
+        )
+
+
 def build_dedup_store(
     corpus: DataFrame,
     path: str,
@@ -95,14 +130,25 @@ def build_dedup_store(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Materialize the gate relations for an existing corpus (one full
-    scan — the LAST corpus-sized dedup cost the pipeline ever pays)."""
+    """Materialize the gate relations for an existing corpus (one corpus
+    scan — the LAST corpus-sized dedup cost the pipeline ever pays).
+
+    meta lands FIRST — it is pure key-profile config, valid regardless of
+    how far the data landing got (the half-built-store hazard is guarded
+    separately: serving refuses a store whose hashes relation has live
+    rows while a sibling relation is missing). Overwrite mode is pinned
+    STATIC so a rebuild replaces the WHOLE relation including old
+    streaming labels — a session configured with dynamic
+    partitionOverwriteMode would otherwise keep stale kb partitions for
+    documents no longer in the corpus."""
+    _write_meta(corpus.sparkSession, path)
     rels = store_relations(corpus, text_col, id_col)
     for name in RELATIONS:
         (
             rels[name]
             .withColumn("kb", F.lit(label))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("kb")
             .parquet(os.path.join(path, name))
         )
@@ -118,7 +164,15 @@ def update_dedup_store(
 ) -> None:
     """Merge a delta's relations in O(delta): dynamic overwrite of the
     delta's own kb partition in each relation. Re-running the same labeled
-    delta (micro-batch replay) rewrites identical content — idempotent."""
+    delta (micro-batch replay) rewrites identical content — idempotent.
+    Ensures the meta record exists first (the streaming gate's first batch
+    creates the store with no prior build; meta is config, so writing it
+    is label-independent and replay-safe)."""
+    spark = delta.sparkSession
+    if not _table_exists(spark, os.path.join(path, "meta")):
+        _write_meta(spark, path)
+    else:
+        check_store_meta(spark, path)  # never append keys a reader can't match
     _land(store_relations(delta, text_col, id_col), path, label)
 
 

@@ -33,7 +33,7 @@ content without relying on the self-reject argument above.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import dedup as D
@@ -96,13 +96,11 @@ def gate_batch(
         # otherwise bypass the gate entirely and break replay idempotency).
         # Batch hashes broadcast; corpus scanned map-side, same asymmetric
         # shape as the LSH leg.
-        bh = batch2.select(
-            "doc_id", F.md5(F.col("text").cast("binary")).alias("_h")
-        )
+        bh = batch2.select("doc_id", D.content_hash("text").alias("_h"))
         exact_hits = (
             corpus.select(
                 F.col("doc_id").alias("matched_doc_id"),
-                F.md5(F.col("text").cast("binary")).alias("_h"),
+                D.content_hash("text").alias("_h"),
             )
             .join(F.broadcast(bh), "_h")
             .select("doc_id", "matched_doc_id", F.lit(1.0).alias("jaccard"))
@@ -122,7 +120,6 @@ def gate_batch(
 
 def gate_batch_served(
     batch: DataFrame,
-    spark: SparkSession,
     store_path: str,
     threshold: float,
     *,
@@ -133,15 +130,27 @@ def gate_batch_served(
     pinned by tests), O(delta + stored-key scan) per batch instead of
     O(corpus) recompute. ``exclude_label`` must be the current batch's
     landing label in streaming use: a replayed batch must never gate
-    against its own half-landed debris (see dedup_store docstring)."""
+    against its own half-landed debris (see dedup_store docstring).
+
+    The within-batch relation and the rejects report are lineage-cut
+    internally (batch-sized), so consuming BOTH returned frames evaluates
+    the gate once, not once per consumer — the streaming sink writes
+    rejects, the corpus, and the store update from one evaluation.
+
+    Fail-loud contracts: refuses a store whose key profile differs from
+    the current build (dedup_store.check_store_meta) and a half-built
+    store (live hash rows but a missing sibling relation — serving it
+    would silently disable the near leg and land every near-duplicate)."""
     from kafka_clickhouse_example_spark.operators import dedup_store as DS
 
-    batch2 = _dedup_within_batch(batch, threshold)
+    spark = batch.sparkSession
+    batch2 = _dedup_within_batch(batch, threshold).localCheckpoint(eager=True)
     hashes = DS.read_relation(spark, store_path, "hashes", exclude_label=exclude_label)
     if hashes is None:  # empty store = empty corpus
         return batch2, _empty_rejects(batch2)
+    DS.check_store_meta(spark, store_path)
 
-    bh = batch2.select("doc_id", F.md5(F.col("text").cast("binary")).alias("_h"))
+    bh = batch2.select("doc_id", D.content_hash("text").alias("_h"))
     exact_hits = (
         hashes.select(F.col("doc_id").alias("matched_doc_id"), F.col("h").alias("_h"))
         .join(F.broadcast(bh), "_h")
@@ -152,10 +161,25 @@ def gate_batch_served(
     )
     bands = DS.read_relation(spark, store_path, "bands", exclude_label=exclude_label)
     if shingles is None or bands is None:
-        # first-batch crash window: _land writes hashes before bands/
-        # shingles, so a relation dir can be missing entirely — with the
-        # crashed label excluded the store is semantically empty
-        near_hits = _empty_rejects(batch2)
+        # A relation dir may be missing only in the first-batch crash
+        # window, where the store holds nothing but the crashed label's
+        # own rows — excluded, hence semantically empty. Live rows from
+        # OTHER labels with a missing sibling = a half-built store
+        # (crashed build_dedup_store): refuse rather than serve a gate
+        # whose near leg is silently dark.
+        if hashes.limit(1).isEmpty():
+            near_hits = _empty_rejects(batch2)
+        else:
+            missing = [
+                r
+                for r, rel in (("shingles", shingles), ("bands", bands))
+                if rel is None
+            ]
+            raise ValueError(
+                f"dedup store at {store_path} has live hash rows but no "
+                f"{'/'.join(missing)} relation — half-built store (crashed "
+                "build?); rebuild with build_dedup_store"
+            )
     else:
         near_hits = D.incremental_minhash_pairs(
             batch2,
@@ -168,7 +192,15 @@ def gate_batch_served(
             F.col("corpus_id").alias("matched_doc_id"),
             "jaccard",
         )
-    return _resolve(batch2, exact_hits, near_hits)
+    survivors, rejects = _resolve(batch2, exact_hits, near_hits)
+    # cut the rejects (tiny): survivors = batch2 anti-join rejects, so with
+    # both inputs materialized every downstream consumer pays only the
+    # anti-join, never a gate re-evaluation
+    rejects = rejects.localCheckpoint(eager=True)
+    survivors = batch2.join(
+        F.broadcast(rejects.select("doc_id")), "doc_id", "left_anti"
+    )
+    return survivors, rejects
 
 
 def start_dedup_gate(
@@ -228,6 +260,15 @@ def start_dedup_gate_served(
     plain append: at-least-once, duplicate report rows across a failure
     boundary are possible and benign (audit data, deduped by doc_id on
     read).
+
+    Label contract: exactly-once holds within ONE checkpoint lineage,
+    where a given batch_id always denotes the same source slice. Starting
+    over with a FRESH checkpoint against an EXISTING corpus/store reuses
+    labels for different content and overwrites history — treat a
+    checkpoint reset as a rebuild (new corpus_path/store_path, or
+    build_dedup_store from the surviving corpus first). This is the same
+    contract as the ANN index's labeled streaming merges
+    (operators/ann_index.py:start_ann_index_sink).
     """
     from kafka_clickhouse_example_spark.operators import dedup_store as DS
     from kafka_clickhouse_example_spark.sinks.backfill import overwrite_partitions
@@ -235,15 +276,13 @@ def start_dedup_gate_served(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         label = f"b{batch_id}"
+        # both returned frames are lineage-cut inside the served gate: the
+        # three writers below each pay one batch-sized anti-join, never a
+        # gate re-evaluation
         survivors, rejects = gate_batch_served(
-            batch_df, spark, store_path, threshold, exclude_label=label
+            batch_df, store_path, threshold, exclude_label=label
         )
-        # the gate is consumed by three writers below; cut once (the
-        # self-referential-overwrite rule: corpus/store reads must not
-        # lazily re-evaluate after their partitions are replaced)
-        survivors = survivors.localCheckpoint(eager=True)
         rejects.write.mode("append").parquet(report_path)
         overwrite_partitions(
             survivors.withColumn("kb", F.lit(label)), corpus_path, ["kb"]

@@ -91,6 +91,7 @@ def test_gate_lands_novel_and_quarantines_dups(spark, paths):
 
 # --- served mode: the materialized dedup store ------------------------------
 
+from kafka_clickhouse_example_spark.operators import dedup as D
 from kafka_clickhouse_example_spark.operators import dedup_store as DS
 from kafka_clickhouse_example_spark.pipelines.ingest_dedup import (
     gate_batch,
@@ -135,15 +136,13 @@ def test_served_gate_matches_live_gate(spark, tmp_path):
         ],
     )
     live = gate_batch(batch, corpus, 0.3)
-    served = gate_batch_served(batch, spark, store, 0.3)
+    served = gate_batch_served(batch, store, 0.3)
     assert _gate_result_key(*served) == _gate_result_key(*live)
 
 
 def test_served_gate_empty_store(spark, tmp_path):
     batch = _df(spark, [(1, BASE), (2, BASE), (3, NOVEL)])
-    survivors, rejects = gate_batch_served(
-        batch, spark, str(tmp_path / "nostore"), 0.3
-    )
+    survivors, rejects = gate_batch_served(batch, str(tmp_path / "nostore"), 0.3)
     assert sorted(r.doc_id for r in survivors.collect()) == [1, 3]
     assert rejects.count() == 0
 
@@ -178,14 +177,12 @@ def test_served_gate_excludes_own_crash_debris(spark, tmp_path):
     # simulate the crash: the batch's store rows landed, its corpus row did not
     DS.update_dedup_store(batch, store, "b3")
 
-    survivors, rejects = gate_batch_served(
-        batch, spark, store, 0.3, exclude_label="b3"
-    )
+    survivors, rejects = gate_batch_served(batch, store, 0.3, exclude_label="b3")
     assert [r.doc_id for r in survivors.collect()] == [20]
     assert rejects.count() == 0
 
     # and the hazard is real: without the exclusion the doc self-rejects
-    s2, r2 = gate_batch_served(batch, spark, store, 0.3)
+    s2, r2 = gate_batch_served(batch, store, 0.3)
     assert s2.count() == 0 and r2.count() == 1
 
 
@@ -240,3 +237,29 @@ def test_served_stream_matches_live_stream_and_fresh_build(spark, paths, tmp_pat
     run(paths["ckpt"] + "_served2")
     rows = spark.read.parquet(corpus_path).collect()
     assert sorted(r.doc_id for r in rows) == [1, 3, 4, 11]
+
+
+def test_served_gate_refuses_half_built_store(spark, tmp_path):
+    """A crashed build (live hash rows, missing sibling relation) must be
+    refused loudly — serving it would silently disable the near leg."""
+    import shutil
+
+    store = str(tmp_path / "halfstore")
+    DS.build_dedup_store(_df(spark, [(1, BASE)]), store)
+    shutil.rmtree(f"{store}/bands")
+    with pytest.raises(ValueError, match="half-built"):
+        gate_batch_served(_df(spark, [(9, NOVEL)]), store, 0.3)
+
+
+def test_served_gate_refuses_key_profile_mismatch(spark, tmp_path, monkeypatch):
+    """A store built under a different (ngram, perms, band_rows) profile
+    must be refused: its stored band keys can never collide with batch
+    keys — the near leg would return nothing, silently."""
+    store = str(tmp_path / "oldstore")
+    DS.build_dedup_store(_df(spark, [(1, BASE)]), store)
+    monkeypatch.setattr(D, "MINHASH_PERMS", 16)
+    with pytest.raises(ValueError, match="rebuild"):
+        gate_batch_served(_df(spark, [(9, NOVEL)]), store, 0.3)
+    # update must refuse too: appending un-matchable keys corrupts the store
+    with pytest.raises(ValueError, match="rebuild"):
+        DS.update_dedup_store(_df(spark, [(9, NOVEL)]), store, "b9")
