@@ -105,6 +105,26 @@ def _canary_summary(pre: dict, post: dict) -> dict:
 
     out["host_factor"] = round(_median_ratio(pre), 4)
     out["post_drift"] = round(_median_ratio(post), 4)
+    # Honesty flag: when the pre-sweep and post-sweep trios disagree
+    # badly, the "host speed" was not constant across the run and no
+    # single factor can normalize the total — measured this session:
+    # four same-code runs spanned raw 103.3-114.9s while pre-factors
+    # spanned 1.05-1.25, so a sub-second trio cannot track within-sweep
+    # transients. A stable canary (spread ~1) makes normalized_value
+    # trustworthy; an unstable one means compare RAW totals across the
+    # run distribution instead.
+    spread = (
+        round(out["host_factor"] / out["post_drift"], 4)
+        if out["post_drift"] > 0
+        else None
+    )
+    out["pre_post_spread"] = spread
+    if spread is not None and not (0.83 <= spread <= 1.2):
+        out["note"] = (
+            "canary unstable across the sweep (pre/post spread "
+            f"{spread}); normalized_value unreliable for this run — "
+            "compare raw totals across runs"
+        )
     return out
 
 
