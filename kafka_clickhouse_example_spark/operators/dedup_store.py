@@ -56,9 +56,35 @@ from kafka_clickhouse_example_spark.sinks.backfill import (
 
 RELATIONS = ("hashes", "bands", "shingles")
 
+# Build-lifecycle marker. build_dedup_store brackets its landing with
+# state=building ... state=complete, so a crashed BULK build is
+# distinguishable from the streaming first-batch crash window (meta present,
+# hashes absent, NO state relation — update_dedup_store never writes state).
+# Without the marker those two windows are byte-identical on disk, and the
+# crashed-build one is the dangerous half: a real corpus exists but its
+# store relations don't, so serving "empty store = empty corpus" silently
+# lands every duplicate of the existing corpus.
+STATE_BUILDING = "building"
+STATE_COMPLETE = "complete"
+
 
 def _current_meta() -> tuple[int, int, int]:
     return (D.NGRAM_DEFAULT, D.MINHASH_PERMS, D.LSH_BAND_ROWS)
+
+
+def _write_state(spark: SparkSession, path: str, state: str) -> None:
+    spark.createDataFrame([(state,)], "state string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "state"))
+
+
+def read_store_state(spark: SparkSession, path: str) -> str | None:
+    """The build-lifecycle state, or None for a store no bulk build ever
+    touched (streaming-created stores carry no state relation)."""
+    state_path = os.path.join(path, "state")
+    if not _table_exists(spark, state_path):
+        return None
+    return spark.read.parquet(state_path).first().state
 
 
 def store_relations(
@@ -122,6 +148,42 @@ def check_store_meta(spark: SparkSession, path: str) -> None:
         )
 
 
+def check_store_servable(spark: SparkSession, path: str) -> None:
+    """Every fail-loud precondition for serving the store, checked BEFORE
+    any relation is consulted (so a caller cannot be silently served an
+    empty gate by a store that is actually broken):
+
+    - state=building ⇒ a bulk build crashed mid-landing (or is in flight):
+      a real corpus exists whose relations aren't committed — refuse.
+    - state=complete but no committed hashes ⇒ data was lost after a
+      successful build — refuse.
+    - meta present ⇒ validate the key profile even if no hash rows exist
+      yet: a profile mismatch must be loud on the FIRST call, not only
+      once data lands (the silent near-leg blackout hazard).
+
+    The one meta-present/hashes-absent window that IS served as empty:
+    no state relation at all — only update_dedup_store creates stores
+    without state, and its meta-first write means this is the genuine
+    streaming first-batch crash window where the corpus really is empty."""
+    state = read_store_state(spark, path)
+    if state == STATE_BUILDING:
+        raise ValueError(
+            f"dedup store at {path} has an unfinished bulk build "
+            "(state=building) — the corpus it was indexing exists but its "
+            "relations are not committed; serving it as empty would land "
+            "every duplicate silently. Re-run build_dedup_store."
+        )
+    hashes_exist = _table_exists(spark, os.path.join(path, "hashes"))
+    if state == STATE_COMPLETE and not hashes_exist:
+        raise ValueError(
+            f"dedup store at {path} is marked complete but its hashes "
+            "relation is gone — store data was removed out-of-band; rebuild "
+            "with build_dedup_store"
+        )
+    if hashes_exist or _table_exists(spark, os.path.join(path, "meta")):
+        check_store_meta(spark, path)
+
+
 def build_dedup_store(
     corpus: DataFrame,
     path: str,
@@ -133,15 +195,18 @@ def build_dedup_store(
     """Materialize the gate relations for an existing corpus (one corpus
     scan — the LAST corpus-sized dedup cost the pipeline ever pays).
 
-    meta lands FIRST — it is pure key-profile config, valid regardless of
-    how far the data landing got (the half-built-store hazard is guarded
-    separately: serving refuses a store whose hashes relation has live
-    rows while a sibling relation is missing). Overwrite mode is pinned
-    STATIC so a rebuild replaces the WHOLE relation including old
-    streaming labels — a session configured with dynamic
-    partitionOverwriteMode would otherwise keep stale kb partitions for
-    documents no longer in the corpus."""
-    _write_meta(corpus.sparkSession, path)
+    Crash safety: the landing is bracketed by ``state=building`` ...
+    ``state=complete``, with meta written LAST among the data relations. A
+    build that dies anywhere in between leaves state=building on disk, and
+    both serving (check_store_servable) and update_dedup_store refuse it —
+    serving a crashed bulk build as "empty store = empty corpus" would
+    silently land every duplicate of the corpus that build was indexing.
+    Overwrite mode is pinned STATIC so a rebuild replaces the WHOLE
+    relation including old streaming labels — a session configured with
+    dynamic partitionOverwriteMode would otherwise keep stale kb
+    partitions for documents no longer in the corpus."""
+    spark = corpus.sparkSession
+    _write_state(spark, path, STATE_BUILDING)
     rels = store_relations(corpus, text_col, id_col)
     for name in RELATIONS:
         (
@@ -152,6 +217,8 @@ def build_dedup_store(
             .partitionBy("kb")
             .parquet(os.path.join(path, name))
         )
+    _write_meta(spark, path)
+    _write_state(spark, path, STATE_COMPLETE)
 
 
 def update_dedup_store(
@@ -167,8 +234,16 @@ def update_dedup_store(
     delta (micro-batch replay) rewrites identical content — idempotent.
     Ensures the meta record exists first (the streaming gate's first batch
     creates the store with no prior build; meta is config, so writing it
-    is label-independent and replay-safe)."""
+    is label-independent and replay-safe). Refuses a store mid-bulk-build:
+    merging a delta into a half-landed build would be clobbered by the
+    build's own static-overwrite landing."""
     spark = delta.sparkSession
+    if read_store_state(spark, path) == STATE_BUILDING:
+        raise ValueError(
+            f"dedup store at {path} has an unfinished bulk build "
+            "(state=building) — finish or re-run build_dedup_store before "
+            "merging deltas"
+        )
     if not _table_exists(spark, os.path.join(path, "meta")):
         _write_meta(spark, path)
     else:

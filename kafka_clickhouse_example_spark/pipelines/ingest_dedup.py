@@ -44,11 +44,21 @@ def _dedup_within_batch(batch: DataFrame, threshold: float) -> DataFrame:
     pairs — keep the min doc_id of every connected pair (cheap transitive
     approximation for a batch-sized set: reject anything that appears as
     the larger id of a pair, which keeps exactly one representative of
-    every within-batch duplicate chain)."""
-    canon = D.exact_duplicate_groups(batch).select(
+    every within-batch duplicate chain).
+
+    NULL-text docs are invisible to the exact leg here, exactly as they
+    are on every corpus leg (content_hash yields NULL, which equi-joins
+    never match — dedup.content_hash docstring): two NULL-text docs in one
+    micro-batch both survive, matching their always-lands behavior against
+    the corpus. Without the filter, groupBy would treat the NULL hashes as
+    equal and silently collapse them with no reject-report row."""
+    h = D.content_hash("text")
+    canon = D.exact_duplicate_groups(batch.filter(h.isNotNull())).select(
         F.col("canonical_id").alias("doc_id")
     )
-    batch1 = batch.join(canon, "doc_id", "left_semi")
+    batch1 = batch.filter(h.isNull()).unionByName(
+        batch.join(canon, "doc_id", "left_semi")
+    )
     inner = D.jaccard_pairs(batch1, threshold).select("id1", "id2")
     inner_losers = inner.select(F.col("id2").alias("doc_id")).distinct()
     return batch1.join(F.broadcast(inner_losers), "doc_id", "left_anti")
@@ -137,18 +147,22 @@ def gate_batch_served(
     the gate once, not once per consumer — the streaming sink writes
     rejects, the corpus, and the store update from one evaluation.
 
-    Fail-loud contracts: refuses a store whose key profile differs from
-    the current build (dedup_store.check_store_meta) and a half-built
-    store (live hash rows but a missing sibling relation — serving it
-    would silently disable the near leg and land every near-duplicate)."""
+    Fail-loud contracts (all checked BEFORE any relation is served, so a
+    broken store can never masquerade as an empty corpus —
+    dedup_store.check_store_servable): a crashed/in-flight bulk build
+    (state=building), a complete build whose data vanished, a key profile
+    differing from the current constants (even on a store with no hash
+    rows yet), and a half-built store (live hash rows but a missing
+    sibling relation — serving it would silently disable the near leg and
+    land every near-duplicate)."""
     from kafka_clickhouse_example_spark.operators import dedup_store as DS
 
     spark = batch.sparkSession
     batch2 = _dedup_within_batch(batch, threshold).localCheckpoint(eager=True)
+    DS.check_store_servable(spark, store_path)
     hashes = DS.read_relation(spark, store_path, "hashes", exclude_label=exclude_label)
-    if hashes is None:  # empty store = empty corpus
+    if hashes is None:  # empty store = empty corpus (genuinely-new window)
         return batch2, _empty_rejects(batch2)
-    DS.check_store_meta(spark, store_path)
 
     bh = batch2.select("doc_id", D.content_hash("text").alias("_h"))
     exact_hits = (
@@ -209,9 +223,27 @@ def start_dedup_gate(
     report_path: str,
     checkpoint: str,
     threshold: float = 0.3,
+    store_path: str | None = None,
 ):
-    """Wire :func:`gate_batch` into a foreachBatch sink: survivors append
-    to the corpus store, rejects append to the quarantine report."""
+    """Wire the gate into a foreachBatch sink: survivors land in the
+    corpus, rejects append to the quarantine report.
+
+    ``store_path`` given ⇒ SERVED MODE (the production default): every
+    batch gates against the materialized relations of
+    operators/dedup_store.py and maintains them incrementally — the corpus
+    text is never re-read or re-hashed, so per-batch cost is O(batch +
+    stored-key scan) regardless of corpus size, and corpus landings are
+    labeled overwrites (exactly-once content). ``store_path=None`` falls
+    back to live compute: the corpus parquet is re-read and re-keyed on
+    every micro-batch (two full corpus scans per batch) — acceptable only
+    while the corpus is small. Choose the mode at pipeline creation: the
+    two modes write different corpus layouts (labeled kb partitions vs
+    plain appends), so switching mid-lineage requires a corpus rewrite
+    plus build_dedup_store."""
+    if store_path is not None:
+        return start_dedup_gate_served(
+            stream, corpus_path, store_path, report_path, checkpoint, threshold
+        )
     from kafka_clickhouse_example_spark.sinks.backfill import _table_exists
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:

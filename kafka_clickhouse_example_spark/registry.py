@@ -133,8 +133,76 @@ def _gate_priority() -> dict[str, int]:
     return ranks
 
 
-def _certification_order(names: list[str]) -> list[str]:
-    """Three tiers, each internally in stable registration order:
+# Re-verification rotation (round-6 verdict ask #4): without it the done
+# cohort is never re-sampled — the driver's gate re-queues only pending/
+# upgraded queries, so a regression in an already-certified query would be
+# invisible to the hard signal forever (caught only by the local parity
+# test). Each round, RECHECK_SLOTS hash-certified queries move to the
+# front of the done tier, chosen deterministically from the artifacts on
+# disk: the pool is ordered oldest-certification-first, and the window
+# advances RECHECK_SLOTS per round starting from the oldest in
+# _RECHECK_EPOCH (the round the rotation shipped), so the whole cohort
+# recycles in ~ceil(len(pool)/RECHECK_SLOTS) rounds.
+RECHECK_SLOTS = 5
+_RECHECK_EPOCH = 7
+
+
+def _artifact_rounds(root: Path | None = None) -> dict[int, dict]:
+    """{round_number: parsed CORRECTNESS rows} for every readable driver
+    artifact — the on-disk state both the tier split and the recheck
+    rotation derive from."""
+    import re
+
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    out: dict[int, dict] = {}
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", artifact.name)
+        if not m:
+            continue
+        try:
+            rows = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            out[int(m.group(1))] = rows
+    return out
+
+
+def _recheck_window(
+    done: list[str], hash_green: set[str], root: Path | None = None
+) -> list[str]:
+    """The current round's re-verification picks: RECHECK_SLOTS queries
+    from the hash-certified done cohort, oldest first certification first,
+    window rotated by (current_round - epoch) * RECHECK_SLOTS. Current
+    round = newest artifact round + 1 (the artifacts the driver wrote are
+    exactly the rounds already graded). Only oracle-backed hash-green
+    queries re-enter — re-sampling a rows-only query would just repeat the
+    weak check."""
+    rounds = _artifact_rounds(root)
+    if not rounds:
+        return []
+    first_round: dict[str, int] = {}
+    for rnd in sorted(rounds):
+        for name, row in rounds[rnd].items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                first_round.setdefault(name, rnd)
+    pool = [n for n in done if n in hash_green and n in ORACLES]
+    pool.sort(key=lambda n: (first_round.get(n, 1 << 30), done.index(n)))
+    if not pool:
+        return []
+    current_round = max(rounds) + 1
+    offset = ((current_round - _RECHECK_EPOCH) * RECHECK_SLOTS) % len(pool)
+    window = pool[offset : offset + RECHECK_SLOTS]
+    if len(window) < RECHECK_SLOTS:
+        # wrap around the cohort end; pool[:offset] can't overlap the
+        # window, and capping at offset keeps a small pool duplicate-free
+        window += pool[: min(RECHECK_SLOTS - len(window), offset)]
+    return window
+
+
+def _certification_order(names: list[str], root: Path | None = None) -> list[str]:
+    """Four tiers, each internally in stable registration order:
 
     1. pending — no green driver row at all (frozen gate_priority ranks
        keep the long-waiting cohort ahead of later additions);
@@ -142,8 +210,10 @@ def _certification_order(names: list[str]) -> list[str]:
        registered: the green row predates the oracle and certifies only
        row counts, so the query must re-enter the sample window to earn
        a real hash row;
-    3. done — hash-certified (or rows-only with still no oracle: nothing
-       new for the gate to check).
+    3. recheck — this round's deterministic rotation through the
+       hash-certified cohort (see _recheck_window), so regressions in
+       long-done queries re-enter the driver's hard signal;
+    4. done — the rest of the certified cohort.
     """
     hash_green, rows_only_green = _green_tiers()
     certified = hash_green | rows_only_green
@@ -157,7 +227,9 @@ def _certification_order(names: list[str]) -> list[str]:
         if n in rows_only_green and n not in hash_green and n in ORACLES
     ]
     done = [n for n in names if n in certified and n not in upgraded]
-    return pending + upgraded + done
+    recheck = _recheck_window(done, hash_green, root)
+    rest = [n for n in done if n not in recheck]
+    return pending + upgraded + recheck + rest
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -263,3 +263,159 @@ def test_served_gate_refuses_key_profile_mismatch(spark, tmp_path, monkeypatch):
     # update must refuse too: appending un-matchable keys corrupts the store
     with pytest.raises(ValueError, match="rebuild"):
         DS.update_dedup_store(_df(spark, [(9, NOVEL)]), store, "b9")
+
+
+def test_served_gate_refuses_crashed_bulk_build(spark, tmp_path):
+    """A bulk build that crashed after writing ANY state (even before meta
+    or hashes landed) must be refused: the corpus it was indexing exists,
+    and serving 'empty store = empty corpus' would silently land every
+    duplicate of it. Before the state marker this window was byte-identical
+    to the legitimate streaming first-batch crash."""
+    store = str(tmp_path / "crashedbuild")
+    DS._write_state(spark, store, DS.STATE_BUILDING)
+    DS._write_meta(spark, store)  # crash after meta, before relations
+    with pytest.raises(ValueError, match="unfinished bulk build"):
+        gate_batch_served(_df(spark, [(9, NOVEL)]), store, 0.3)
+    # merging a delta into a mid-build store must refuse too: the build's
+    # static-overwrite landing would clobber it
+    with pytest.raises(ValueError, match="unfinished bulk build"):
+        DS.update_dedup_store(_df(spark, [(9, NOVEL)]), store, "b1")
+
+
+def test_streaming_first_batch_crash_window_served_empty(spark, tmp_path):
+    """The ONE meta-present/hashes-absent window that is genuinely an empty
+    corpus: update_dedup_store wrote meta, crashed before landing the first
+    batch's relations, and no bulk build ever touched the store (no state
+    relation). Replay must gate against an empty corpus, not error."""
+    store = str(tmp_path / "firstbatchcrash")
+    DS._write_meta(spark, store)
+    survivors, rejects = gate_batch_served(_df(spark, [(1, BASE)]), store, 0.3)
+    assert [r.doc_id for r in survivors.collect()] == [1]
+    assert rejects.count() == 0
+
+
+def test_profile_mismatch_loud_even_before_data_lands(spark, tmp_path, monkeypatch):
+    """check_store_meta must fire whenever meta exists — BEFORE the
+    hashes-is-None early return — so a direct caller pointing at an empty
+    store with a mismatched key profile gets the documented loud refusal,
+    not silent empty-store gating."""
+    store = str(tmp_path / "emptymismatch")
+    DS._write_meta(spark, store)  # meta only: no hashes yet
+    monkeypatch.setattr(D, "MINHASH_PERMS", 16)
+    with pytest.raises(ValueError, match="rebuild"):
+        gate_batch_served(_df(spark, [(9, NOVEL)]), store, 0.3)
+
+
+def test_complete_store_with_lost_data_refused(spark, tmp_path):
+    """state=complete but the hashes relation is gone: data was removed
+    out-of-band after a successful build — refuse, don't serve empty."""
+    import shutil
+
+    store = str(tmp_path / "lostdata")
+    DS.build_dedup_store(_df(spark, [(1, BASE)]), store)
+    shutil.rmtree(f"{store}/hashes")
+    with pytest.raises(ValueError, match="marked complete"):
+        gate_batch_served(_df(spark, [(9, NOVEL)]), store, 0.3)
+
+
+def test_null_text_docs_never_dedup_against_each_other(spark, tmp_path):
+    """NULL-text docs are invisible to the exact leg EVERYWHERE: two in one
+    micro-batch both survive within-batch dedup (previously groupBy treated
+    their NULL hashes as equal and silently collapsed them), mirroring
+    their always-lands behavior against the corpus."""
+    batch = _df(spark, [(1, None), (2, None), (3, BASE), (4, BASE)])
+    survivors, rejects = gate_batch(batch, None, 0.3)
+    assert sorted(r.doc_id for r in survivors.collect()) == [1, 2, 3]
+    assert rejects.count() == 0
+    # and identically through the served path against an empty store
+    s2, _ = gate_batch_served(batch, str(tmp_path / "ns"), 0.3)
+    assert sorted(r.doc_id for r in s2.collect()) == [1, 2, 3]
+
+
+def test_unified_gate_serves_from_store_without_corpus_rescan(
+    spark, paths, tmp_path, monkeypatch
+):
+    """start_dedup_gate with store_path (the production default): against a
+    corpus ≫ batch, every micro-batch gates purely from the materialized
+    store — the corpus parquet is never opened for READ during the run
+    (asserted by spying every DataFrameReader.parquet call), so per-batch
+    cost is independent of corpus size. Results still match the live gate's
+    semantics: near-dups and exact dups of corpus docs are quarantined,
+    novel docs land."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from kafka_clickhouse_example_spark.pipelines.ingest_dedup import (
+        start_dedup_gate,
+    )
+
+    # corpus of 400 distinct long docs — two orders of magnitude over the
+    # 2-doc batches below
+    corpus_rows = [
+        (i, f"{BASE} filler{i} pad{i} row{i} tail{i}") for i in range(400)
+    ]
+    corpus = _df(spark, corpus_rows)
+    corpus_path = str(tmp_path / "bigcorpus")
+    store = str(tmp_path / "bigstore")
+    corpus.withColumn("kb", F.lit("seed")).write.partitionBy("kb").parquet(
+        corpus_path
+    )
+    DS.build_dedup_store(corpus, store)
+
+    (paths["src"] / "b1.json").write_text(
+        "\n".join(
+            [
+                _doc(1000, corpus_rows[7][1]),  # exact dup of corpus doc 7
+                _doc(1001, NOVEL),              # novel
+            ]
+        )
+    )
+    (paths["src"] / "b2.json").write_text(
+        "\n".join(
+            [
+                # near dup of corpus doc 3 (one token changed)
+                _doc(1002, corpus_rows[3][1].replace("kappa", "q")),
+                _doc(1003, OTHER),              # novel
+            ]
+        )
+    )
+
+    reads: list[str] = []
+    real_parquet = DataFrameReader.parquet
+
+    def spy(self, *paths_):
+        reads.extend(paths_)
+        return real_parquet(self, *paths_)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(paths["src"]))
+    )
+    q = start_dedup_gate(
+        stream,
+        corpus_path,
+        paths["report"],
+        paths["ckpt"] + "_unified",
+        store_path=store,
+    )
+    q.awaitTermination(180)
+    monkeypatch.undo()
+
+    assert not any(
+        corpus_path in r for r in reads
+    ), f"gate re-read the corpus despite the store: {reads}"
+    assert any(store in r for r in reads), "gate never consulted the store"
+
+    landed = {
+        r.doc_id
+        for r in spark.read.parquet(corpus_path)
+        .filter(F.col("doc_id") >= 1000)
+        .collect()
+    }
+    assert landed == {1001, 1003}
+    report = {
+        (r.doc_id, r.matched_doc_id)
+        for r in spark.read.parquet(paths["report"]).collect()
+    }
+    assert report == {(1000, 7), (1002, 3)}

@@ -165,3 +165,91 @@ def test_gate_priority_cohorts_sort_numerically():
         assert ranks["zzz_future_query"] > old_max
     finally:
         path.write_text(orig)
+
+
+def _write_artifact(root, rnd, names):
+    import json
+
+    rows = {
+        n: {"hash_match": True, "rows_match": True, "spark_rows": 1} for n in names
+    }
+    (root / f"CORRECTNESS_r{rnd}.json").write_text(json.dumps(rows))
+
+
+def test_recheck_rotation_deterministic_and_advances(tmp_path):
+    """Round-6 verdict ask #4: each round, RECHECK_SLOTS hash-certified
+    queries re-enter the sample window, oldest certification first, and
+    the window advances deterministically with the round number (derived
+    purely from the CORRECTNESS artifacts on disk)."""
+    done = [f"q{i:02d}" for i in range(12)]
+    added = [n for n in done if registry.ORACLES.setdefault(n, "SELECT 1") == "SELECT 1"]
+    try:
+        # r_epoch-1 artifacts: q00..q05 certified in the earliest round,
+        # q06..q11 one round later
+        epoch = registry._RECHECK_EPOCH
+        _write_artifact(tmp_path, epoch - 2, done[:6])
+        _write_artifact(tmp_path, epoch - 1, done[6:])
+        w_now = registry._recheck_window(done, set(done), tmp_path)
+        assert w_now == done[:5], "round at epoch must start from the oldest"
+        # next round: the driver wrote one more artifact -> window advances
+        _write_artifact(tmp_path, epoch, [])
+        w_next = registry._recheck_window(done, set(done), tmp_path)
+        assert w_next == done[5:10]
+        # and wraps around the cohort end
+        _write_artifact(tmp_path, epoch + 1, [])
+        w_wrap = registry._recheck_window(done, set(done), tmp_path)
+        assert w_wrap == done[10:] + done[:3]
+        # rows-only names (no hash row) never enter the window: pool
+        # shrinks to q00..q05, and at round epoch+2 the offset is
+        # (2*5) % 6 = 4 with wrap
+        assert registry._recheck_window(done, set(done[:6]), tmp_path) == [
+            "q04",
+            "q05",
+            "q00",
+            "q01",
+            "q02",
+        ]
+    finally:
+        for n in added:
+            registry.ORACLES.pop(n, None)
+
+
+def test_recheck_tier_sits_between_upgraded_and_done(tmp_path):
+    names = ["new", "upg", "d1", "d2", "d3"]
+    added = [
+        n
+        for n in ("upg", "d1", "d2", "d3")
+        if registry.ORACLES.setdefault(n, "SELECT 1") == "SELECT 1"
+    ]
+    _write_artifact(tmp_path, registry._RECHECK_EPOCH - 1, ["d1", "d2", "d3"])
+    orig_tiers = registry._green_tiers
+    registry._green_tiers = lambda: ({"d1", "d2", "d3"}, {"upg"})
+    try:
+        ordered = registry._certification_order(names, tmp_path)
+    finally:
+        registry._green_tiers = orig_tiers
+        for n in added:
+            registry.ORACLES.pop(n, None)
+    assert ordered == ["new", "upg", "d1", "d2", "d3"]
+
+
+def test_live_registry_recheck_window_present():
+    """Against the real repo artifacts: the enumeration must contain
+    RECHECK_SLOTS hash-certified queries immediately after the
+    pending+upgraded prefix (the driver's ~50-slot sample will re-verify
+    them this round)."""
+    qs = list(registry.all_queries())
+    hash_green, rows_only_green = registry._green_tiers()
+    if not hash_green:
+        return  # fresh clone
+    certified = hash_green | rows_only_green
+    pending = [q for q in qs if q not in certified]
+    upgraded = [
+        q
+        for q in qs
+        if q in rows_only_green and q not in hash_green and q in registry.ORACLES
+    ]
+    head = len(pending) + len(upgraded)
+    window = qs[head : head + registry.RECHECK_SLOTS]
+    assert len(window) == registry.RECHECK_SLOTS
+    assert all(q in hash_green and q in registry.ORACLES for q in window)
