@@ -215,3 +215,125 @@ def cms_probe(
         key_col, F.coalesce("cnt", F.lit(0)).alias("cell_cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est_n"))
+
+
+# Hash-sampled quantile (HSQ) sketch — the engine-portable member of the
+# rank/quantile sketch family (built-in Datasketches KLL remains in the
+# contract tests; its compactor consumes a random bit per compaction, so
+# its state — and therefore its quantile answers — cannot be rebuilt in
+# SQL). HSQ replaces KLL's random level compactor with a CONTENT HASH:
+# a row survives to the sketch iff its 56-bit md5-half hash is divisible
+# by 2^T, where the level threshold T is the smallest integer with
+# ceil(n / HSQ_K) <= 2^T (n = exact input count). Every retained row then
+# represents 2^T input rows, so the rank of value v is estimated by
+# (# retained <= v) * 2^T — and because the factor is constant, quantile
+# extraction reduces to plain counting ranks over the ~HSQ_K retained
+# rows. Determinism: survival depends only on row content, never on
+# arrival order or partitioning — the sketch is exactly layout-insensitive
+# (KLL's documented relayout exception does not apply) and cell-for-cell
+# reproducible in DuckDB SQL.
+#
+# Mergeable EXACTLY, the KMV argument transposed: a per-group sketch at
+# local threshold T_g contains every row with h % 2^T_g == 0; the global
+# threshold T >= T_g (n >= n_g, T monotone in n), and divisibility by 2^T
+# implies divisibility by 2^T_g — so filtering the UNION of group sketches
+# by the global threshold yields byte-identically the direct whole-input
+# sketch. Store per-day sketches + exact counts, answer any date range's
+# quantiles by re-threshold + rank — the percentile-matview pattern with
+# O(HSQ_K) state per partition.
+#
+# Accuracy: retained count m is in (HSQ_K/2, HSQ_K] in expectation; the
+# estimated rank of the q-quantile has standard error sqrt(q(1-q)/m)
+# (Bernoulli sampling), ~1.6% at q=0.5 with HSQ_K=1024. Tests pin the
+# observed rank error with 3-sigma headroom.
+HSQ_K = 1024
+
+
+def _hsq_threshold_sql(n: str) -> str:
+    """SQL (shared dialect) for the level threshold T given a BIGINT count
+    expression ``n``: T = bit_length(m - 1) with m = ceil(n / HSQ_K), via
+    the binary-string length of m-1 (no libm, no float log2 edge cases at
+    exact powers of two)."""
+    m = f"(({n} + {HSQ_K - 1}) div {HSQ_K})"
+    return f"CASE WHEN {m} <= 1 THEN 0 ELSE length(bin({m} - 1)) END"
+
+
+def hsq_hash(key) -> "F.Column":
+    """The sketch's survival hash: 56-bit md5-half of the key's string
+    form — the same construction (and therefore the same SQL rebuild,
+    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 14))::BIGINT) as kmv_hash.
+    The key must uniquely identify a row (e.g. event_id): hashing the
+    VALUE would collapse duplicates and under-weight them."""
+    return md5_half(key.cast("string"), 0)
+
+
+def hsq_build_grouped(
+    df: DataFrame, group_cols: list[str], value_col: str, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group sketches: returns (sketch, counts) where sketch is
+    (group_cols..., v, h) — the retained rows at each group's local
+    threshold — and counts is (group_cols..., n) with the group's EXACT
+    row count (the metadata a stored sketch must carry for re-threshold
+    merges and for exact n in estimates).
+
+    Shape: one groupBy for the counts (map-side combined, one row per
+    group), the thresholds broadcast back, then a map-only filter — the
+    sketch build never shuffles the data rows themselves."""
+    base = df.select(
+        *group_cols,
+        F.col(value_col).alias("v"),
+        hsq_hash(F.col(key_col)).alias("h"),
+    )
+    counts = base.groupBy(*group_cols).agg(F.count("*").cast("bigint").alias("n"))
+    thr = counts.select(*group_cols, F.expr(_hsq_threshold_sql("n")).alias("t"))
+    sketch = (
+        base.join(F.broadcast(thr), group_cols)
+        .filter(F.expr("h % shiftleft(CAST(1 AS BIGINT), t) = 0"))
+        .select(*group_cols, "v", "h")
+    )
+    return sketch, counts
+
+
+def hsq_merge_quantiles(
+    sketch: DataFrame, counts: DataFrame, quantiles: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Merge per-group sketches and read quantiles: one output row with a
+    double column per requested quantile plus exact ``n_values``.
+
+    ``quantiles`` maps output column name -> (num, den) with q = num/den;
+    the rank target is computed in INTEGERS — ceil(q * m) = (num*m +
+    den-1) div den over the retained count m — so both engines pick the
+    identical retained row (no float rank boundary). The global threshold
+    comes from the exact total count (sum of stored per-group counts); the
+    re-filter h % 2^T == 0 realizes the exact-merge property documented
+    above. Cost: the merge touches only O(groups * HSQ_K) stored rows; the
+    final rank window runs over <= ~HSQ_K survivors."""
+    total = counts.agg(F.sum("n").cast("bigint").alias("n_total"))
+    thr = total.select(
+        "n_total", F.expr(_hsq_threshold_sql("n_total")).alias("t")
+    )
+    kept = (
+        sketch.crossJoin(F.broadcast(thr))  # 1-row threshold frame
+        .filter(F.expr("h % shiftleft(CAST(1 AS BIGINT), t) = 0"))
+        .select("v")
+    )
+    byv = kept.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = byv.withColumn("cw", F.sum("c").over(w)).withColumn(
+        "m", F.sum("c").over(Window.partitionBy())
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cw")
+                >= F.expr(f"(CAST({num} AS BIGINT) * m + {den - 1}) div {den}"),
+                F.col("v"),
+            )
+        ).alias(name)
+        for name, (num, den) in quantiles.items()
+    ]
+    # n_values from the exact counts frame (not the retained rows), so it
+    # is right even for an empty sketch
+    return cum.groupBy().agg(*aggs).crossJoin(
+        F.broadcast(total.select(F.col("n_total").alias("n_values")))
+    )

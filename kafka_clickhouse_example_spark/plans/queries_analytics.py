@@ -1879,34 +1879,66 @@ def events_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("events_value_quantiles_kll")  # rows-only: KLL sketch binaries engine-specific
+@register(
+    "events_value_quantiles_kll",
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+t AS (
+  SELECT n,
+         CASE WHEN ((n + {SK.HSQ_K - 1}) // {SK.HSQ_K}) <= 1 THEN 0
+              ELSE length(format('{{:b}}', ((n + {SK.HSQ_K - 1}) // {SK.HSQ_K}) - 1))
+         END AS t
+  FROM n
+),
+kept AS (
+  SELECT value AS v
+  FROM events, t
+  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT
+         % (CAST(1 AS BIGINT) << t)) = 0
+),
+byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY v),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cw,
+         (SELECT CAST(count(*) AS BIGINT) FROM kept) AS m
+  FROM byv
+)
+SELECT
+  (SELECT min(v) FROM cum WHERE cw >= (1 * m + 1) // 2) AS p50,
+  (SELECT min(v) FROM cum WHERE cw >= (19 * m + 19) // 20) AS p95,
+  (SELECT min(v) FROM cum WHERE cw >= (99 * m + 99) // 100) AS p99,
+  (SELECT n FROM n) AS n_values
+""",
+)
 def events_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantiles via Datasketches KLL: per-day value sketches
-    merged into one, quantiles read from the merged sketch — the
-    percentile matview pattern (store day sketches, answer any range's
-    p50/p95/p99 by merging; the exact path is events_intraday_value_bands'
-    histogram crossing). KLL merge is deterministic but lossy within a
-    proven rank-error bound; tests/test_pipeline_ops.py pins the merged
-    p50/p95 within KLL's k=200 normalized rank error (~1.65%) of the
-    exact order statistics."""
+    """Mergeable quantiles via the KLL-class hash-sampled rank sketch
+    (operators/sketches.py HSQ block): per-day value sketches at each
+    day's local level threshold, merged by union + global re-threshold,
+    p50/p95/p99 read from the merged sketch — the percentile matview
+    pattern (store O(HSQ_K) rows + one exact count per day, answer any
+    date range's percentiles by merging; the exact path is
+    events_intraday_value_bands' histogram crossing).
+
+    Upgraded from rows-only (round-6 verdict ask #3) with the same device
+    that oracled the CMS and KMV queries: the random compactor of
+    Datasketches KLL — whose state is irreproducible in SQL by design —
+    is replaced by content-hash level sampling, making the sketch
+    deterministic, exactly layout-insensitive, and rebuilt cell-for-cell
+    by the DuckDB oracle (which builds the DIRECT whole-relation sketch;
+    merged == direct exactly by the re-threshold argument in the HSQ
+    docstring, and tests/test_sketches.py pins that equality). The
+    built-in Datasketches KLL surface stays pinned in
+    tests/test_pipeline_ops.py with its rank-error contract. Rank targets
+    are integer ceilings (num*m + den-1) div den — no float rank
+    boundary for engines to disagree on; p-values are raw parquet doubles
+    both sides."""
     events = _t(spark, sf_dir, "events")["events"]
-    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.kll_sketch_agg_double("value").alias("sk")
+    sketch, counts = SK.hsq_build_grouped(
+        events.withColumn("day", F.to_date("ts")), ["day"], "value", "event_id"
     )
-    # kll_sketch_merge_double is a binary scalar (no merge aggregate in
-    # this release): fold the O(#days) collected sketch list — sorted, so
-    # the merge order (and thus the sketch) is deterministic run-over-run.
-    merged = daily.agg(F.sort_array(F.collect_list("sk")).alias("sks")).select(
-        F.expr(
-            "reduce(slice(sks, 2, size(sks) - 1), sks[0], "
-            "(acc, x) -> kll_sketch_merge_double(acc, x))"
-        ).alias("msk")
-    )
-    return merged.select(
-        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("msk", F.lit(0.95)).alias("p95"),
-        F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99"),
-        F.kll_sketch_get_n_double("msk").alias("n_values"),
+    return SK.hsq_merge_quantiles(
+        sketch.drop("day"),
+        counts,
+        {"p50": (1, 2), "p95": (19, 20), "p99": (99, 100)},
     )
 
 

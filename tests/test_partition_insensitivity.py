@@ -1,7 +1,7 @@
 """Partition-insensitivity certification for the rows-only registry tail.
 
-The driver's oracle gate value-checks 179 of 190 queries against DuckDB;
-the 11 rows-only queries are pinned by pure-Python contract tests instead —
+The driver's oracle gate value-checks 180 of 190 queries against DuckDB;
+the 10 rows-only queries are pinned by pure-Python contract tests instead —
 but only at ONE physical layout. This closes that gap: each rows-only query
 must produce identical values when the two knobs that reorder per-partition
 work at scale both change — the input-split size
@@ -19,11 +19,12 @@ with deterministic argmax tiebreaks) — so the comparison is exact up to
 bit-for-bit; the rounding only guards against benign last-ulp noise in
 JVM double formatting).
 
-Documented exception: events_value_quantiles_kll. A KLL sketch's internal
-state depends on the update order within each partition BY DESIGN (its
-guarantee is a rank-error bound, pinned by test_pipeline_ops.py::
-test_kll_merged_quantiles_within_rank_error); here only its exact
-invariant — the stream length n_values — must match across layouts.
+(Historical note: events_value_quantiles_kll used to be the one documented
+exception — Datasketches KLL state depends on per-partition update order
+by design. Round 7 replaced its construction with the hash-sampled HSQ
+sketch, which is exactly layout-insensitive AND oracle-backed, so the
+query left the rows-only tail and the exception is gone; the built-in
+KLL surface stays rank-error-pinned in test_pipeline_ops.py.)
 
 The per-session trainer/corpus memos are cleared between layouts:
 _EMB_CACHE holds a localCheckpoint'ed corpus (frozen partitioning) and the
@@ -46,9 +47,6 @@ LAYOUTS = [
     ("134217728", "32"),
     ("65536", "7"),
 ]
-
-KLL_EXCEPTION = "events_value_quantiles_kll"
-
 
 def _clear_memos() -> None:
     from kafka_clickhouse_example_spark.plans import (
@@ -123,36 +121,15 @@ def layout_results(spark):
 def test_rows_only_queries_exist(layout_results):
     # the registry's rows-only set should shrink, never silently grow
     names = set(layout_results[0])
-    assert len(names) <= 11, f"rows-only tail grew: {sorted(names)}"
-    assert KLL_EXCEPTION in names or not names
+    assert len(names) <= 10, f"rows-only tail grew: {sorted(names)}"
 
 
 def test_rows_only_values_survive_relayout(layout_results):
     base, hostile = layout_results[0], layout_results[1]
     for name in sorted(base):
-        if name == KLL_EXCEPTION:
-            continue
         assert base[name] == hostile[name], (
             f"{name}: values changed under a different physical layout "
             f"(first diff: "
             f"{next((a, b) for a, b in zip(base[name], hostile[name]) if a != b) if len(base[name]) == len(hostile[name]) else (len(base[name]), len(hostile[name]))})"
         )
 
-
-def test_kll_stream_length_survives_relayout(layout_results):
-    # quantiles may move within the rank-error bound; n (the exact part of
-    # the sketch) must not. n_values is the 4th output column.
-    if KLL_EXCEPTION not in layout_results[0]:
-        pytest.skip(
-            f"{KLL_EXCEPTION} is no longer rows-only (graduated to an "
-            "oracle, or the tail emptied) — the exact relayout test above "
-            "covers it now"
-        )
-
-    def n_values(rows: list[str]) -> str:
-        assert len(rows) == 1
-        return rows[0].split("|")[3]
-
-    assert n_values(layout_results[0][KLL_EXCEPTION]) == n_values(
-        layout_results[1][KLL_EXCEPTION]
-    )

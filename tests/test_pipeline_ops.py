@@ -236,10 +236,13 @@ def test_kmv_sketch_merge_is_lossless_and_accurate(spark, sf_correctness_dir):
     assert abs(row.merged_estimate - exact) <= 0.30 * exact
 
 
-def test_kll_merged_quantiles_within_rank_error(spark, sf_correctness_dir):
-    """Per-day KLL sketches merged must report p50/p95 whose true RANK sits
-    within the k=200 sketch's normalized rank error (~1.65%, doubled for
-    the merge) of the requested rank, and n must be exact."""
+def test_hsq_merged_quantiles_within_rank_error(spark, sf_correctness_dir):
+    """The registry's quantile-sketch query (per-day HSQ sketches merged by
+    global re-threshold) must report p50/p95/p99 whose true RANK sits
+    within 3 sigma of the Bernoulli sampling bound at the retained-count
+    floor (m > HSQ_K/2 = 512: sigma(q) = sqrt(q(1-q)/512)), and n must be
+    exact. Values themselves are oracle-certified; this pins the sketch's
+    statistical contract against the EXACT order statistics."""
     from kafka_clickhouse_example_spark.registry import all_queries
     from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
     from pyspark.sql import functions as F
@@ -248,7 +251,41 @@ def test_kll_merged_quantiles_within_rank_error(spark, sf_correctness_dir):
     ev = load_compute_table(spark, sf_correctness_dir, "events")
     n = ev.count()
     assert row.n_values == n
-    eps = 2 * 0.0165  # merged-sketch slack on the single-sketch bound
+    for q, est in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+        rank = ev.filter(F.col("value") <= est).count() / n
+        eps = 3 * (q * (1 - q) / 512) ** 0.5
+        assert abs(rank - q) <= eps, (q, est, rank, eps)
+
+
+def test_datasketches_kll_merged_quantiles_within_rank_error(
+    spark, sf_correctness_dir
+):
+    """The built-in Datasketches KLL surface, pinned with the construction
+    the registry query used before its HSQ upgrade: per-day sketches,
+    deterministic sorted-fold merge, merged p50/p95 within the k=200
+    normalized rank error (~1.65%, doubled for the merge) of the exact
+    order statistics, n exact."""
+    from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+    from pyspark.sql import functions as F
+
+    ev = load_compute_table(spark, sf_correctness_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = daily.agg(F.sort_array(F.collect_list("sk")).alias("sks")).select(
+        F.expr(
+            "reduce(slice(sks, 2, size(sks) - 1), sks[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("msk")
+    )
+    row = merged.select(
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_n_double("msk").alias("n_values"),
+    ).first()
+    n = ev.count()
+    assert row.n_values == n
+    eps = 2 * 0.0165
     for q, est in ((0.5, row.p50), (0.95, row.p95)):
         rank = ev.filter(F.col("value") <= est).count() / n
         assert abs(rank - q) <= eps, (q, est, rank)

@@ -315,3 +315,55 @@ def test_cms_matview_compaction_preserves_sketch(spark, sf_dir, tmp_path):
 
     # epoch dir + the retained newest batch (the only replayable one)
     assert len(glob.glob(partials + "/batch=*")) == 2
+
+
+# --- HSQ: the hash-sampled quantile sketch ----------------------------------
+
+
+def test_hsq_merge_equals_direct_build(spark):
+    """The exact-merge property (the KMV argument transposed to levels):
+    per-group sketches at local thresholds, merged by global re-threshold,
+    must answer quantiles IDENTICALLY to a single whole-input sketch —
+    value-for-value, not within-error."""
+    df = spark.range(30000).selectExpr(
+        "id AS k",
+        "CAST(pmod(id * 2654435761, 100000) AS DOUBLE) / 10 AS v",
+        "pmod(id, 13) AS g",
+    )
+    qs = {"p50": (1, 2), "p95": (19, 20), "p99": (99, 100)}
+    sk_g, n_g = SK.hsq_build_grouped(df, ["g"], "v", "k")
+    merged = SK.hsq_merge_quantiles(sk_g.drop("g"), n_g, qs).first()
+    sk_d, n_d = SK.hsq_build_grouped(df.selectExpr("k", "v", "1 AS one"), ["one"], "v", "k")
+    direct = SK.hsq_merge_quantiles(sk_d.drop("one"), n_d, qs).first()
+    assert merged == direct
+
+
+def test_hsq_exact_mode_below_k(spark):
+    """n <= HSQ_K => threshold 0, every row retained: the sketch IS the
+    input and quantiles are the exact ceiling-rank order statistics."""
+    n = 500
+    assert n <= SK.HSQ_K
+    df = spark.range(n).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v", "1 AS g")
+    sk, cnt = SK.hsq_build_grouped(df, ["g"], "v", "k")
+    assert sk.count() == n
+    row = SK.hsq_merge_quantiles(
+        sk.drop("g"), cnt, {"p50": (1, 2), "p95": (19, 20)}
+    ).first()
+    # exact order statistics: min v with rank >= ceil(q*n) over 0..499
+    assert row.p50 == 249.0  # ceil(500/2) = 250th value
+    assert row.p95 == 474.0  # ceil(475) = 475th value
+    assert row.n_values == n
+
+
+def test_hsq_is_exactly_layout_insensitive(spark):
+    """Survival depends only on row content: rebuilding under a different
+    partitioning yields the byte-identical retained set (the property that
+    let the registry query leave the relayout-exception list)."""
+    df = spark.range(20000).selectExpr(
+        "id AS k", "CAST(pmod(id * 48271, 7919) AS DOUBLE) AS v", "1 AS g"
+    )
+    sk1, _ = SK.hsq_build_grouped(df.repartition(1), ["g"], "v", "k")
+    sk2, _ = SK.hsq_build_grouped(df.repartition(17, "v"), ["g"], "v", "k")
+    a = sorted((r.v, r.h) for r in sk1.collect())
+    b = sorted((r.v, r.h) for r in sk2.collect())
+    assert a == b and len(a) > 0
