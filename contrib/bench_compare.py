@@ -56,12 +56,33 @@ def _unwrap(data: dict) -> dict:
     return out
 
 
+def _query_factors(data: dict) -> dict[str, float]:
+    """Per-query host factors from the round-7 interleaved segment canary:
+    segment i covers positions [i*size, (i+1)*size) of the SORTED query
+    names (bench.py's sweep order), and each segment carries the factor of
+    its two bracketing canary marks. Queries from a file without segments
+    (or in a null-factor segment) fall back to the global factor."""
+    seg = data.get("segments") or {}
+    factors = seg.get("factors")
+    if not factors:
+        return {}
+    names = sorted(data.get("queries", {}))
+    size = int(seg.get("size") or 20)
+    out: dict[str, float] = {}
+    for i, n in enumerate(names):
+        f = factors[min(i // size, len(factors) - 1)]
+        if f:
+            out[n] = float(f)
+    return out
+
+
 def _load(path: str) -> tuple[dict[str, float], float, dict]:
     with open(path) as fh:
         data = _unwrap(json.load(fh))
     factor = float(data.get("canary", {}).get("host_factor", 1.0)) or 1.0
+    per_query = _query_factors(data)
     queries = {
-        name: t / factor
+        name: t / per_query.get(name, factor)
         for name, t in data.get("queries", {}).items()
         if isinstance(t, (int, float)) and t >= 0
     }
@@ -91,6 +112,12 @@ def main() -> None:
         note = "" if "canary" in raw else "  (no canary block: factor=1.0, host noise NOT removed)"
         if raw.get("_partial"):
             note += f"  (driver-wrapped: only {len(old_q if label == 'old' else new_q)} queries recovered from tail)"
+        seg = raw.get("segments") or {}
+        if seg.get("spread") is not None:
+            note += (
+                f"  (segment canary: spread={seg['spread']}"
+                f" segment_normalized_total={seg.get('normalized_value')}s)"
+            )
         print(
             f"{label}: {path}  sf={raw.get('sf')}  raw_total={raw.get('value')}s"
             f"  host_factor={factor}  normalized_total={raw.get('normalized_value', raw.get('value'))}s{note}"

@@ -32,7 +32,15 @@ from kafka_clickhouse_example_spark.sources.catalog import load_table
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SCALE_DIR", "/tmp/sf1")
-COPIES = 10
+# SCALE_COPIES=100 with SCALE_DIR=/tmp/sf10 generates the sf10 decade
+# (round-6 verdict ask #5) with the same offset-copy construction; note
+# the dup-multiplicity caveat in the module docstring scales with it
+# (99 exact copies per doc at 100 copies).
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+# Extra already-generated dirs to measure alongside (comma-separated),
+# e.g. SCALE_COMPARE_DIRS=/tmp/sf1 when measuring /tmp/sf10 — all scales
+# then run in ONE session for thermal comparability.
+COMPARE_DIRS = [d for d in os.environ.get("SCALE_COMPARE_DIRS", "").split(",") if d]
 
 
 def _gen(spark, name: str, offsets: dict[str, bool]) -> None:
@@ -96,7 +104,10 @@ def main() -> None:
     else:
         names = sys.argv[1:] or ["text_bm25_topk"]
     out = {}
-    for sf_dir, label in [(SRC, "sf0.1"), (DST, "sf1")]:
+    dirs = [(SRC, os.path.basename(SRC.rstrip("/")))]
+    dirs += [(d, os.path.basename(d.rstrip("/"))) for d in COMPARE_DIRS]
+    dirs.append((DST, os.path.basename(DST.rstrip("/"))))
+    for sf_dir, label in dirs:
         for name in names:
             fn = queries[name]
             try:

@@ -145,11 +145,53 @@ def streaming_throughput(
             "batches": batch_log,
         }
 
+        # Per-stage attribution (round-6 verdict ask #2): the headline
+        # number moves round-over-round (678k -> 626k -> 591k r4->r6) and
+        # the flat batch distribution ruled out batch-shape causes without
+        # naming the cost. Three cumulative availableNow runs decompose the
+        # spine — source scan alone, scan+JSON decode, the full spine — so
+        # a drift shows up as growth in a SPECIFIC stage delta (code cost)
+        # or as uniform growth across all three (host speed, which the
+        # bench-level canary then corrects). Every run is already warm
+        # (the spine above executed the same corpus).
+        from kafka_clickhouse_example_spark.operators.normalize import (
+            decode_flows,
+            decode_flows_arrow,
+        )
+
+        def _timed_run(make_df, tag: str) -> float:
+            stream = spark.readStream.schema("value string").text(json_dir)
+            df = make_df(stream)
+            t0 = time.perf_counter()
+            q = (
+                df.writeStream.foreachBatch(lambda b, _i: b.count())
+                .option("checkpointLocation", f"{ckpt_dir}-stage-{tag}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return round(time.perf_counter() - t0, 4)
+
+        decode = decode_flows_arrow if use_arrow else decode_flows
+        scan_sec = _timed_run(lambda s: s, "scan")
+        decode_sec = _timed_run(decode, "decode")
+        full_sec = _timed_run(
+            lambda s: flows_from_json(s, use_arrow=use_arrow), "full"
+        )
+        stage_profile = {
+            "scan_sec": scan_sec,
+            "scan_plus_decode_sec": decode_sec,
+            "full_spine_sec": full_sec,
+            "decode_delta_sec": round(decode_sec - scan_sec, 4),
+            "normalize_delta_sec": round(full_sec - decode_sec, 4),
+        }
+
         return {
             "rows": n_rows,
             "wall_sec": round(wall, 4),
             "rows_per_sec": round(n_rows / wall, 1),
             "batch_distribution": distribution,
+            "stage_profile": stage_profile,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
