@@ -41,6 +41,11 @@ COPIES = int(os.environ.get("SCALE_COPIES", "10"))
 # e.g. SCALE_COMPARE_DIRS=/tmp/sf1 when measuring /tmp/sf10 — all scales
 # then run in ONE session for thermal comparability.
 COMPARE_DIRS = [d for d in os.environ.get("SCALE_COMPARE_DIRS", "").split(",") if d]
+# SCALE_RUNS=1 drops the warm-up + best-of-2 protocol to a single timed
+# run — for the sf10 pair emitters whose single execution is tens of
+# minutes, where a 3x protocol would cost hours for a second significant
+# digit. Artifacts record which protocol measured each number.
+RUNS = int(os.environ.get("SCALE_RUNS", "2"))
 
 
 def _gen(spark, name: str, offsets: dict[str, bool]) -> None:
@@ -81,7 +86,14 @@ def _copy_dims(spark) -> None:
 
 
 def main() -> None:
-    spark = get_spark("scale-proof", cpus=32, driver_memory="16g")
+    # SCALE_DRIVER_MEM: the sf10 pair emitters' common-count aggregation
+    # holds ~100x sf1's pair state — 16g OOMs (measured round 7); the
+    # 128 GiB box allows a bigger single-JVM heap for the stress shapes.
+    spark = get_spark(
+        "scale-proof",
+        cpus=32,
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "16g"),
+    )
     configure_runtime(spark)
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DST, exist_ok=True)
@@ -111,13 +123,23 @@ def main() -> None:
         for name in names:
             fn = queries[name]
             try:
-                rows = fn(spark, sf_dir).count()
-                best = float("inf")
-                for _ in range(2):
+                if RUNS <= 1:
                     t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()
-                    best = min(best, time.perf_counter() - t0)
-                out[f"{label}:{name}"] = {"sec": round(best, 3), "rows": rows}
+                    rows = fn(spark, sf_dir).count()
+                    best = time.perf_counter() - t0
+                    out[f"{label}:{name}"] = {
+                        "sec": round(best, 3),
+                        "rows": rows,
+                        "protocol": "single cold run (SCALE_RUNS=1)",
+                    }
+                else:
+                    rows = fn(spark, sf_dir).count()
+                    best = float("inf")
+                    for _ in range(RUNS):
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).count()
+                        best = min(best, time.perf_counter() - t0)
+                    out[f"{label}:{name}"] = {"sec": round(best, 3), "rows": rows}
                 print(label, name, round(best, 3), "s", rows, "rows", file=sys.stderr)
             except Exception as exc:
                 out[f"{label}:{name}"] = {"sec": -1.0, "rows": -1, "err": str(exc)[:200]}
