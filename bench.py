@@ -78,6 +78,14 @@ SEGMENT_CANARY_RUNS = 3
 # regime. As with the r6 trio re-freeze, the freeze host's speed becomes
 # the 1.0 anchor; the level is arbitrary but FIXED, which is all
 # round-over-round comparability needs.
+#
+# Instrument noise floor (contrib/canary_idle_probe.py, round 7): marks
+# taken with NOTHING between them but 10 s idle sleeps still span ~1.26x
+# after warm-up — a sub-second canary on this host cannot resolve host
+# speed finer than ~1.25x, whatever the protocol. Read segment_spread
+# accordingly: <= ~1.3 is "indistinguishable from stable"; the stable
+# flag below keeps the stricter 1.1 threshold so the artifact errs
+# toward flagging.
 SEGMENT_REF_SEC = 0.3425
 
 
