@@ -89,22 +89,27 @@ SEGMENT_CANARY_RUNS = 3
 SEGMENT_REF_SEC = 0.3425
 
 
-def _provenance() -> dict:
+def _provenance(
+    source: str = "self-measured (bench.py invocation)",
+    authoritative: str = "driver-archived BENCH_r{N}.json",
+) -> dict:
     """Who/where/when produced this artifact (round-6 verdict ask #8):
     BENCH_LOCAL.json is overwritten by WHOEVER ran bench.py last — a local
     iteration run is indistinguishable from the driver's per-round run
     without this stamp. The authoritative per-round record is always the
-    driver-archived BENCH_r{N}.json."""
+    driver-archived BENCH_r{N}.json. The ONE stamp format for every
+    self-measured artifact: contrib profilers import this instead of
+    hand-rolling the dict."""
     import datetime
     import platform
 
     return {
-        "source": "self-measured (bench.py invocation)",
+        "source": source,
         "host": platform.node(),
         "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
         ),
-        "authoritative": "driver-archived BENCH_r{N}.json",
+        "authoritative": authoritative,
     }
 
 
@@ -252,8 +257,15 @@ def main() -> None:
     queries = all_queries()
     canary_pre = _canary_medians(spark, queries)
     timings: dict[str, float] = {}
+    # Mark collection only at the reference SF: the segment reference is
+    # frozen at sf0.1, so at any other scale the marks would be discarded
+    # by _segment_summary anyway — at sf1/sf10 the 3x-per-segment canary
+    # runs would cost real minutes for nothing.
+    seg_enabled = abs(_sf_label(SF_DIR) - 0.1) < 1e-9
     seg_walls: list[float] = []  # raw wall per completed segment
-    seg_marks: list[float | None] = [_segment_canary_median(spark, queries)]
+    seg_marks: list[float | None] = [
+        _segment_canary_median(spark, queries) if seg_enabled else None
+    ]
     seg_accum = 0.0
     seg_count = 0
     for name, fn in sorted(queries.items()):
@@ -275,11 +287,15 @@ def main() -> None:
         seg_count += 1
         if seg_count == SEGMENT_SIZE:
             seg_walls.append(seg_accum)
-            seg_marks.append(_segment_canary_median(spark, queries))
+            seg_marks.append(
+                _segment_canary_median(spark, queries) if seg_enabled else None
+            )
             seg_accum, seg_count = 0.0, 0
     if seg_count:  # trailing partial segment
         seg_walls.append(seg_accum)
-        seg_marks.append(_segment_canary_median(spark, queries))
+        seg_marks.append(
+            _segment_canary_median(spark, queries) if seg_enabled else None
+        )
 
     # Streaming spine throughput (rows/s through decode->normalize->sink);
     # reported alongside, never part of the batch total.
@@ -298,11 +314,11 @@ def main() -> None:
     # so normalized = raw * factor. This is what makes the streaming series
     # (678k -> 626k -> 591k over r4-r6) attributable: host drift moves the
     # factor, a code cost moves the stage_profile deltas.
-    post_stream_mark = _segment_canary_median(spark, queries)
+    post_stream_mark = _segment_canary_median(spark, queries) if seg_enabled else None
     ref = SEGMENT_REF_SEC
     if (
         ref
-        and abs(_sf_label(SF_DIR) - 0.1) < 1e-9
+        and seg_enabled
         and seg_marks
         and seg_marks[-1] is not None
         and post_stream_mark is not None

@@ -147,20 +147,15 @@ def main() -> None:
         per_query.setdefault(name, {m: 0 for m in STAGE_METRICS})["failed"] = err
 
     totals = {m: sum(q[m] for q in per_query.values()) for m in STAGE_METRICS}
-    import datetime
-    import platform
+    from bench import _provenance
 
     payload = {
-        "provenance": {
-            "source": "self-measured (contrib/shuffle_profile.py)",
-            "host": platform.node(),
-            "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
-                timespec="seconds"
-            ),
-            "authoritative": "driver-archived BENCH_r{N}.json (wall times only; "
+        "provenance": _provenance(
+            source="self-measured (contrib/shuffle_profile.py)",
+            authoritative="driver-archived BENCH_r{N}.json (wall times only; "
             "the driver records no shuffle profile — this artifact is the "
             "only source for it and is self-measured)",
-        },
+        ),
         "sf_dir": SF_DIR,
         "queries_profiled": len(per_query),
         "queries_failed": sorted(failed),

@@ -276,10 +276,17 @@ def hsq_build_grouped(
     row count (the metadata a stored sketch must carry for re-threshold
     merges and for exact n in estimates).
 
+    NULL values are excluded up front — from the sketch AND from the
+    counts — so quantiles are over the non-NULL domain and ``n`` counts
+    non-NULL rows: the Datasketches-KLL semantics (its update skips
+    nulls), and the only semantics both engines can agree on (Spark
+    windows sort NULLS FIRST, DuckDB NULLS LAST — retained NULLs would
+    shift every cumulative rank differently per engine).
+
     Shape: one groupBy for the counts (map-side combined, one row per
     group), the thresholds broadcast back, then a map-only filter — the
     sketch build never shuffles the data rows themselves."""
-    base = df.select(
+    base = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col).alias("v"),
         hsq_hash(F.col(key_col)).alias("h"),
@@ -308,7 +315,11 @@ def hsq_merge_quantiles(
     re-filter h % 2^T == 0 realizes the exact-merge property documented
     above. Cost: the merge touches only O(groups * HSQ_K) stored rows; the
     final rank window runs over <= ~HSQ_K survivors."""
-    total = counts.agg(F.sum("n").cast("bigint").alias("n_total"))
+    # coalesce: sum over an empty counts relation is NULL, but an empty
+    # input's stream length is 0 (and the oracle's count(...) agrees)
+    total = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_total")
+    )
     thr = total.select(
         "n_total", F.expr(_hsq_threshold_sql("n_total")).alias("t")
     )

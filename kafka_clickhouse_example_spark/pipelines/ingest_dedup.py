@@ -147,21 +147,40 @@ def gate_batch_served(
     the gate once, not once per consumer — the streaming sink writes
     rejects, the corpus, and the store update from one evaluation.
 
-    Fail-loud contracts (all checked BEFORE any relation is served, so a
-    broken store can never masquerade as an empty corpus —
-    dedup_store.check_store_servable): a crashed/in-flight bulk build
-    (state=building), a complete build whose data vanished, a key profile
-    differing from the current constants (even on a store with no hash
-    rows yet), and a half-built store (live hash rows but a missing
-    sibling relation — serving it would silently disable the near leg and
-    land every near-duplicate)."""
+    Fail-loud contracts, so a broken store can never masquerade as an
+    empty corpus: dedup_store.check_store_servable refuses — before any
+    batch work is spent — a crashed/in-flight bulk build
+    (state=building), a complete build whose data vanished, and a key
+    profile differing from the current constants (even on a store with no
+    hash rows yet). This function additionally refuses (a) a missing
+    hashes relation while a sibling relation holds live foreign rows
+    (hashes lost out-of-band on a streaming-built store — serving it as
+    empty would land every duplicate) and (b) live hash rows with a
+    missing sibling (crashed build: the near leg would be silently
+    dark)."""
     from kafka_clickhouse_example_spark.operators import dedup_store as DS
 
     spark = batch.sparkSession
+    DS.check_store_servable(spark, store_path)  # refuse before batch work
     batch2 = _dedup_within_batch(batch, threshold).localCheckpoint(eager=True)
-    DS.check_store_servable(spark, store_path)
     hashes = DS.read_relation(spark, store_path, "hashes", exclude_label=exclude_label)
-    if hashes is None:  # empty store = empty corpus (genuinely-new window)
+    if hashes is None:
+        # Empty store = empty corpus ONLY when the siblings are empty too:
+        # a lost/deleted hashes directory with live bands/shingles rows
+        # from OTHER labels proves a corpus exists — refuse, don't land
+        # its duplicates. (The genuine first-batch crash window leaves at
+        # most the crashed label's own rows, excluded here.)
+        for sibling in ("bands", "shingles"):
+            rel = DS.read_relation(
+                spark, store_path, sibling, exclude_label=exclude_label
+            )
+            if rel is not None and not rel.limit(1).isEmpty():
+                raise ValueError(
+                    f"dedup store at {store_path} has live {sibling} rows but "
+                    "no hashes relation — hashes lost out-of-band; serving "
+                    "this as an empty corpus would land every duplicate. "
+                    "Rebuild with build_dedup_store."
+                )
         return batch2, _empty_rejects(batch2)
 
     bh = batch2.select("doc_id", D.content_hash("text").alias("_h"))

@@ -1882,7 +1882,7 @@ def events_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "events_value_quantiles_kll",
     oracle=f"""
-WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+WITH n AS (SELECT CAST(count(value) AS BIGINT) AS n FROM events),
 t AS (
   SELECT n,
          CASE WHEN ((n + {SK.HSQ_K - 1}) // {SK.HSQ_K}) <= 1 THEN 0
@@ -1893,7 +1893,8 @@ t AS (
 kept AS (
   SELECT value AS v
   FROM events, t
-  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT
+  WHERE value IS NOT NULL
+    AND (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT
          % (CAST(1 AS BIGINT) << t)) = 0
 ),
 byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY v),

@@ -85,14 +85,7 @@ def _green_tiers() -> tuple[set[str], set[str]]:
     """
     hash_green: set[str] = set()
     rows_only_green: set[str] = set()
-    root = Path(__file__).resolve().parent.parent
-    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            rows = json.loads(artifact.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
+    for _rnd, rows in sorted(_artifact_rounds().items()):
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue

@@ -419,3 +419,28 @@ def test_unified_gate_serves_from_store_without_corpus_rescan(
         for r in spark.read.parquet(paths["report"]).collect()
     }
     assert report == {(1000, 7), (1002, 3)}
+
+
+def test_hashes_lost_with_live_siblings_refused(spark, tmp_path):
+    """A streaming-built store (no state relation) whose hashes relation
+    is lost out-of-band while bands/shingles still hold live rows must be
+    refused: the siblings prove a corpus exists, and serving 'empty store
+    = empty corpus' would land every duplicate of it."""
+    import shutil
+
+    store = str(tmp_path / "lostsiblings")
+    # streaming-shaped store: created by update, never bulk-built
+    DS.update_dedup_store(_df(spark, [(1, BASE)]), store, "b0")
+    shutil.rmtree(f"{store}/hashes")
+    with pytest.raises(ValueError, match="lost out-of-band"):
+        gate_batch_served(_df(spark, [(9, NOVEL)]), store, 0.3)
+    # but the genuine first-batch crash window (only the crashed label's
+    # own rows in the siblings) still serves as empty under exclusion
+    store2 = str(tmp_path / "firstbatch")
+    DS.update_dedup_store(_df(spark, [(7, NOVEL)]), store2, "b0")
+    shutil.rmtree(f"{store2}/hashes")
+    survivors, rejects = gate_batch_served(
+        _df(spark, [(7, NOVEL)]), store2, 0.3, exclude_label="b0"
+    )
+    assert [r.doc_id for r in survivors.collect()] == [7]
+    assert rejects.count() == 0

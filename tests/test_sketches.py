@@ -367,3 +367,25 @@ def test_hsq_is_exactly_layout_insensitive(spark):
     a = sorted((r.v, r.h) for r in sk1.collect())
     b = sorted((r.v, r.h) for r in sk2.collect())
     assert a == b and len(a) > 0
+
+
+def test_hsq_ignores_null_values(spark):
+    """NULL values are excluded from the sketch AND the count (the
+    Datasketches-KLL semantics, and the only ordering both engines agree
+    on): quantiles over the non-NULL domain, n_values = non-NULL count."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(1000 + i, None) for i in range(50)],
+        "k long, v double",
+    ).selectExpr("k", "v", "1 AS g")
+    sk, cnt = SK.hsq_build_grouped(df, ["g"], "v", "k")
+    row = SK.hsq_merge_quantiles(sk.drop("g"), cnt, {"p50": (1, 2)}).first()
+    assert row.n_values == 100
+    assert row.p50 == 49.0  # exact mode: ceil(100/2)=50th of 0..99
+
+
+def test_hsq_empty_input_reports_zero(spark):
+    df = spark.createDataFrame([], "k long, v double, g int")
+    sk, cnt = SK.hsq_build_grouped(df, ["g"], "v", "k")
+    row = SK.hsq_merge_quantiles(sk.drop("g"), cnt, {"p50": (1, 2)}).first()
+    assert row.n_values == 0
+    assert row.p50 is None
