@@ -65,9 +65,12 @@ def _load_all() -> None:
 _loaded = False
 
 
-def _green_tiers() -> tuple[set[str], set[str]]:
+def _green_tiers(root: Path | None = None) -> tuple[set[str], set[str]]:
     """(hash_green, rows_only_green) from the driver CORRECTNESS_r*.json
-    artifacts at repo root.
+    artifacts at repo root (or ``root`` when given, so tier membership and
+    the recheck rotation always derive from the SAME artifact set —
+    round-7 ADVICE: previously only _recheck_window honored the override
+    and tests had to monkeypatch this function to compensate).
 
     hash_green = a hash_match:true row exists in any round (oracle-verified
     values). rows_only_green = a completed rows-only check exists
@@ -85,7 +88,7 @@ def _green_tiers() -> tuple[set[str], set[str]]:
     """
     hash_green: set[str] = set()
     rows_only_green: set[str] = set()
-    for _rnd, rows in sorted(_artifact_rounds().items()):
+    for _rnd, rows in sorted(_artifact_rounds(root).items()):
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
@@ -130,14 +133,32 @@ def _gate_priority() -> dict[str, int]:
 # cohort is never re-sampled — the driver's gate re-queues only pending/
 # upgraded queries, so a regression in an already-certified query would be
 # invisible to the hard signal forever (caught only by the local parity
-# test). Each round, RECHECK_SLOTS hash-certified queries move to the
-# front of the done tier, chosen deterministically from the artifacts on
-# disk: the pool is ordered oldest-certification-first, and the window
-# advances RECHECK_SLOTS per round starting from the oldest in
-# _RECHECK_EPOCH (the round the rotation shipped), so the whole cohort
-# recycles in ~ceil(len(pool)/RECHECK_SLOTS) rounds.
-RECHECK_SLOTS = 5
+# test). Each round, a window of hash-certified queries moves to the front
+# of the done tier, chosen deterministically from the artifacts on disk:
+# the pool is ordered oldest-certification-first, and the window advances
+# by the slots consumed in each prior round since _RECHECK_EPOCH (the
+# round the rotation shipped), so the whole cohort recycles in
+# ~ceil(len(pool)/RECHECK_SLOTS) rounds.
+#
+# Round-8 widening (round-7 verdict ask #1): with the pending and upgraded
+# tiers empty, a 5-slot window left ~45 of the driver's ~50 sample slots
+# frozen on the registration-order head every round, and the 180-query
+# cohort recycled only every ~36 rounds. RECHECK_SLOTS is now 45 — sized
+# so recheck fills every sample slot not consumed by pending/upgraded
+# queries (which should stay <=5 in steady state) and the full cohort
+# recycles in 4 rounds. _RECHECK_HISTORY freezes the slot count of the
+# rounds that ran BEFORE the widening, so the offset arithmetic stays
+# reproducible from constants alone: round 8 starts at offset 5 (exactly
+# where round 7's window ended), not at a recomputed 45-multiple that
+# would skip queries 5..44 for a full cycle.
+RECHECK_SLOTS = 45
 _RECHECK_EPOCH = 7
+_RECHECK_HISTORY = {7: 5}  # slots consumed per round before the widening
+
+
+def _recheck_slots(rnd: int) -> int:
+    """Window size used by a given round (frozen history, else current)."""
+    return _RECHECK_HISTORY.get(rnd, RECHECK_SLOTS)
 
 
 def _artifact_rounds(root: Path | None = None) -> dict[int, dict]:
@@ -165,13 +186,14 @@ def _artifact_rounds(root: Path | None = None) -> dict[int, dict]:
 def _recheck_window(
     done: list[str], hash_green: set[str], root: Path | None = None
 ) -> list[str]:
-    """The current round's re-verification picks: RECHECK_SLOTS queries
-    from the hash-certified done cohort, oldest first certification first,
-    window rotated by (current_round - epoch) * RECHECK_SLOTS. Current
-    round = newest artifact round + 1 (the artifacts the driver wrote are
-    exactly the rounds already graded). Only oracle-backed hash-green
-    queries re-enter — re-sampling a rows-only query would just repeat the
-    weak check."""
+    """The current round's re-verification picks: _recheck_slots(round)
+    queries from the hash-certified done cohort, oldest first
+    certification first, window offset = sum of the slots consumed by
+    every prior round since the epoch (frozen 5 for round 7, 45 from
+    round 8 on — see _RECHECK_HISTORY). Current round = newest artifact
+    round + 1 (the artifacts the driver wrote are exactly the rounds
+    already graded). Only oracle-backed hash-green queries re-enter —
+    re-sampling a rows-only query would just repeat the weak check."""
     rounds = _artifact_rounds(root)
     if not rounds:
         return []
@@ -185,12 +207,15 @@ def _recheck_window(
     if not pool:
         return []
     current_round = max(rounds) + 1
-    offset = ((current_round - _RECHECK_EPOCH) * RECHECK_SLOTS) % len(pool)
-    window = pool[offset : offset + RECHECK_SLOTS]
-    if len(window) < RECHECK_SLOTS:
+    slots = _recheck_slots(current_round)
+    offset = sum(
+        _recheck_slots(r) for r in range(_RECHECK_EPOCH, current_round)
+    ) % len(pool)
+    window = pool[offset : offset + slots]
+    if len(window) < slots:
         # wrap around the cohort end; pool[:offset] can't overlap the
         # window, and capping at offset keeps a small pool duplicate-free
-        window += pool[: min(RECHECK_SLOTS - len(window), offset)]
+        window += pool[: min(slots - len(window), offset)]
     return window
 
 
@@ -208,7 +233,7 @@ def _certification_order(names: list[str], root: Path | None = None) -> list[str
        long-done queries re-enter the driver's hard signal;
     4. done — the rest of the certified cohort.
     """
-    hash_green, rows_only_green = _green_tiers()
+    hash_green, rows_only_green = _green_tiers(root)
     certified = hash_green | rows_only_green
     priority = _gate_priority()
     fallback = len(priority) + 1

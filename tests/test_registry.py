@@ -72,7 +72,7 @@ def test_upgraded_tier_mechanism():
         registry.ORACLES.setdefault("upgraded_rows_only", "SELECT 1")
         registry.ORACLES.setdefault("done_hash", "SELECT 1")
         orig_tiers = registry._green_tiers
-        registry._green_tiers = lambda: (
+        registry._green_tiers = lambda root=None: (
             {"done_hash"},
             {"upgraded_rows_only", "plain_rows_only"},
         )
@@ -167,48 +167,81 @@ def test_gate_priority_cohorts_sort_numerically():
         path.write_text(orig)
 
 
-def _write_artifact(root, rnd, names):
+def _write_artifact(root, rnd, names, rows_only=()):
     import json
 
     rows = {
         n: {"hash_match": True, "rows_match": True, "spark_rows": 1} for n in names
     }
+    rows.update(
+        {n: {"err": "no_oracle", "spark_rows": 1, "hash_match": None}
+         for n in rows_only}
+    )
     (root / f"CORRECTNESS_r{rnd}.json").write_text(json.dumps(rows))
 
 
 def test_recheck_rotation_deterministic_and_advances(tmp_path):
-    """Round-6 verdict ask #4: each round, RECHECK_SLOTS hash-certified
-    queries re-enter the sample window, oldest certification first, and
-    the window advances deterministically with the round number (derived
-    purely from the CORRECTNESS artifacts on disk)."""
-    done = [f"q{i:02d}" for i in range(12)]
+    """Round-6 verdict ask #4 + round-7 widening (ask #1): each round, a
+    window of hash-certified queries re-enters the sample window, oldest
+    certification first. The window is 5 slots for round _RECHECK_EPOCH
+    (frozen history) and RECHECK_SLOTS=45 from the next round on, with
+    the offset accumulating the ACTUAL slots each prior round consumed —
+    so the widened round 8 continues at offset 5, exactly where round 7's
+    window ended, instead of skipping to a 45-multiple."""
+    done = [f"q{i:03d}" for i in range(100)]
     added = [n for n in done if registry.ORACLES.setdefault(n, "SELECT 1") == "SELECT 1"]
     try:
-        # r_epoch-1 artifacts: q00..q05 certified in the earliest round,
-        # q06..q11 one round later
+        # q000..q049 certified in the earliest round, q050..q099 one later
         epoch = registry._RECHECK_EPOCH
-        _write_artifact(tmp_path, epoch - 2, done[:6])
-        _write_artifact(tmp_path, epoch - 1, done[6:])
+        _write_artifact(tmp_path, epoch - 2, done[:50])
+        _write_artifact(tmp_path, epoch - 1, done[50:])
+        # round == epoch: frozen-history width (5), oldest first
         w_now = registry._recheck_window(done, set(done), tmp_path)
         assert w_now == done[:5], "round at epoch must start from the oldest"
-        # next round: the driver wrote one more artifact -> window advances
+        # round epoch+1 (first widened round): 45 slots starting at
+        # offset 5 — continues where the 5-slot round stopped
         _write_artifact(tmp_path, epoch, [])
         w_next = registry._recheck_window(done, set(done), tmp_path)
-        assert w_next == done[5:10]
-        # and wraps around the cohort end
+        assert w_next == done[5:50]
+        # round epoch+2: offset 5+45=50
         _write_artifact(tmp_path, epoch + 1, [])
+        w_3 = registry._recheck_window(done, set(done), tmp_path)
+        assert w_3 == done[50:95]
+        # round epoch+3: offset 95, wraps around the cohort end
+        _write_artifact(tmp_path, epoch + 2, [])
         w_wrap = registry._recheck_window(done, set(done), tmp_path)
-        assert w_wrap == done[10:] + done[:3]
+        assert w_wrap == done[95:] + done[:40]
         # rows-only names (no hash row) never enter the window: pool
-        # shrinks to q00..q05, and at round epoch+2 the offset is
-        # (2*5) % 6 = 4 with wrap
-        assert registry._recheck_window(done, set(done[:6]), tmp_path) == [
-            "q04",
-            "q05",
-            "q00",
-            "q01",
-            "q02",
-        ]
+        # shrinks to q000..q009; offset (5+45+45) % 10 = 5, window wraps
+        # the whole 10-query pool starting at q005
+        assert registry._recheck_window(done, set(done[:10]), tmp_path) == (
+            done[5:10] + done[:5]
+        )
+    finally:
+        for n in added:
+            registry.ORACLES.pop(n, None)
+
+
+def test_recheck_widened_window_fills_sample(tmp_path):
+    """Round-7 verdict ask #1 arithmetic: with pending/upgraded empty and
+    a 180-query hash-green pool, rounds 8..11 cover the ENTIRE cohort
+    (4-round recycle), and no query is visited twice before the cycle
+    completes."""
+    done = [f"q{i:03d}" for i in range(180)]
+    added = [n for n in done if registry.ORACLES.setdefault(n, "SELECT 1") == "SELECT 1"]
+    try:
+        epoch = registry._RECHECK_EPOCH
+        _write_artifact(tmp_path, epoch - 1, done)
+        seen: list[str] = []
+        # rounds epoch..epoch+4 (the 5-slot epoch round + 4 widened rounds)
+        for extra in range(5):
+            seen += registry._recheck_window(done, set(done), tmp_path)
+            _write_artifact(tmp_path, epoch + extra, [])
+        assert len(seen) == 5 + 4 * registry.RECHECK_SLOTS  # 185
+        # first 180 picks are each query exactly once (wrap happens only
+        # at pick 181)
+        assert seen[:180] == done
+        assert seen[180:] == done[:5]
     finally:
         for n in added:
             registry.ORACLES.pop(n, None)
@@ -221,13 +254,16 @@ def test_recheck_tier_sits_between_upgraded_and_done(tmp_path):
         for n in ("upg", "d1", "d2", "d3")
         if registry.ORACLES.setdefault(n, "SELECT 1") == "SELECT 1"
     ]
-    _write_artifact(tmp_path, registry._RECHECK_EPOCH - 1, ["d1", "d2", "d3"])
-    orig_tiers = registry._green_tiers
-    registry._green_tiers = lambda: ({"d1", "d2", "d3"}, {"upg"})
+    # No monkeypatch needed any more: _certification_order threads root
+    # through _green_tiers (round-7 ADVICE), so the rows-only 'upg' row in
+    # the tmp_path artifact is seen by the SAME artifact set as the
+    # rotation.
+    _write_artifact(
+        tmp_path, registry._RECHECK_EPOCH - 1, ["d1", "d2", "d3"], rows_only=["upg"]
+    )
     try:
         ordered = registry._certification_order(names, tmp_path)
     finally:
-        registry._green_tiers = orig_tiers
         for n in added:
             registry.ORACLES.pop(n, None)
     assert ordered == ["new", "upg", "d1", "d2", "d3"]
