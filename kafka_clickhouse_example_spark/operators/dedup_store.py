@@ -80,11 +80,15 @@ def _write_state(spark: SparkSession, path: str, state: str) -> None:
 
 def read_store_state(spark: SparkSession, path: str) -> str | None:
     """The build-lifecycle state, or None for a store no bulk build ever
-    touched (streaming-created stores carry no state relation)."""
+    touched (streaming-created stores carry no state relation). A committed
+    but EMPTY state relation (zero rows — e.g. a partial out-of-band copy)
+    also reads as None rather than crashing: an unknown lifecycle is the
+    same serving posture as no lifecycle record at all."""
     state_path = os.path.join(path, "state")
     if not _table_exists(spark, state_path):
         return None
-    return spark.read.parquet(state_path).first().state
+    row = spark.read.parquet(state_path).first()
+    return row.state if row is not None else None
 
 
 def store_relations(
@@ -148,9 +152,11 @@ def check_store_meta(spark: SparkSession, path: str) -> None:
         )
 
 
-def check_store_servable(spark: SparkSession, path: str) -> None:
+def check_store_servable(
+    spark: SparkSession, path: str, *, exclude_label: str | None = None
+) -> None:
     """Every fail-loud precondition for serving the store, checked BEFORE
-    any relation is consulted (so a caller cannot be silently served an
+    any batch work is spent (so a caller cannot be silently served an
     empty gate by a store that is actually broken):
 
     - state=building ⇒ a bulk build crashed mid-landing (or is in flight):
@@ -160,11 +166,22 @@ def check_store_servable(spark: SparkSession, path: str) -> None:
     - meta present ⇒ validate the key profile even if no hash rows exist
       yet: a profile mismatch must be loud on the FIRST call, not only
       once data lands (the silent near-leg blackout hazard).
+    - hashes relation missing while a sibling relation holds LIVE rows
+      (rows outside ``exclude_label``) ⇒ the siblings prove a corpus
+      exists whose hashes were lost out-of-band — serving "empty store =
+      empty corpus" would land every duplicate of it. Refuse.
+    - live hash rows with a missing sibling relation ⇒ half-built store
+      (crashed build): the near leg would be silently dark. Refuse.
 
-    The one meta-present/hashes-absent window that IS served as empty:
-    no state relation at all — only update_dedup_store creates stores
-    without state, and its meta-first write means this is the genuine
-    streaming first-batch crash window where the corpus really is empty."""
+    ``exclude_label`` must be the current batch's landing label in
+    streaming use, exactly as for read_relation: a replayed batch's own
+    half-landed debris never counts as evidence of a live corpus.
+
+    The one relations-absent window that IS servable as empty: no state
+    relation at all and no live foreign rows anywhere — only
+    update_dedup_store creates stores without state, and its meta-first
+    write means this is the genuine streaming first-batch crash window
+    where the corpus really is empty."""
     state = read_store_state(spark, path)
     if state == STATE_BUILDING:
         raise ValueError(
@@ -182,6 +199,35 @@ def check_store_servable(spark: SparkSession, path: str) -> None:
         )
     if hashes_exist or _table_exists(spark, os.path.join(path, "meta")):
         check_store_meta(spark, path)
+    # Sibling consistency. The isEmpty probes run ONLY when a relation dir
+    # is missing (broken-store windows), so the steady-state serving cost
+    # is two directory existence checks.
+    if not hashes_exist:
+        for sibling in ("bands", "shingles"):
+            rel = read_relation(spark, path, sibling, exclude_label=exclude_label)
+            if rel is not None and not rel.limit(1).isEmpty():
+                raise ValueError(
+                    f"dedup store at {path} has live {sibling} rows but "
+                    "no hashes relation — hashes lost out-of-band; serving "
+                    "this as an empty corpus would land every duplicate. "
+                    "Rebuild with build_dedup_store."
+                )
+    else:
+        missing = [
+            s
+            for s in ("shingles", "bands")
+            if not _table_exists(spark, os.path.join(path, s))
+        ]
+        if missing:
+            hashes = read_relation(
+                spark, path, "hashes", exclude_label=exclude_label
+            )
+            if not hashes.limit(1).isEmpty():
+                raise ValueError(
+                    f"dedup store at {path} has live hash rows but no "
+                    f"{'/'.join(missing)} relation — half-built store "
+                    "(crashed build?); rebuild with build_dedup_store"
+                )
 
 
 def build_dedup_store(

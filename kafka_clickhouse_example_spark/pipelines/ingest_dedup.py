@@ -150,37 +150,24 @@ def gate_batch_served(
     Fail-loud contracts, so a broken store can never masquerade as an
     empty corpus: dedup_store.check_store_servable refuses — before any
     batch work is spent — a crashed/in-flight bulk build
-    (state=building), a complete build whose data vanished, and a key
-    profile differing from the current constants (even on a store with no
-    hash rows yet). This function additionally refuses (a) a missing
-    hashes relation while a sibling relation holds live foreign rows
-    (hashes lost out-of-band on a streaming-built store — serving it as
-    empty would land every duplicate) and (b) live hash rows with a
-    missing sibling (crashed build: the near leg would be silently
-    dark)."""
+    (state=building), a complete build whose data vanished, a key profile
+    differing from the current constants (even on a store with no hash
+    rows yet), a missing hashes relation while a sibling relation holds
+    live foreign rows (hashes lost out-of-band on a streaming-built store
+    — serving it as empty would land every duplicate), and live hash rows
+    with a missing sibling (crashed build: the near leg would be silently
+    dark). All sibling-consistency checks honor ``exclude_label``."""
     from kafka_clickhouse_example_spark.operators import dedup_store as DS
 
     spark = batch.sparkSession
-    DS.check_store_servable(spark, store_path)  # refuse before batch work
+    # refuse before batch work; covers every broken-store window including
+    # sibling inconsistency (exclude_label-aware)
+    DS.check_store_servable(spark, store_path, exclude_label=exclude_label)
     batch2 = _dedup_within_batch(batch, threshold).localCheckpoint(eager=True)
     hashes = DS.read_relation(spark, store_path, "hashes", exclude_label=exclude_label)
     if hashes is None:
-        # Empty store = empty corpus ONLY when the siblings are empty too:
-        # a lost/deleted hashes directory with live bands/shingles rows
-        # from OTHER labels proves a corpus exists — refuse, don't land
-        # its duplicates. (The genuine first-batch crash window leaves at
-        # most the crashed label's own rows, excluded here.)
-        for sibling in ("bands", "shingles"):
-            rel = DS.read_relation(
-                spark, store_path, sibling, exclude_label=exclude_label
-            )
-            if rel is not None and not rel.limit(1).isEmpty():
-                raise ValueError(
-                    f"dedup store at {store_path} has live {sibling} rows but "
-                    "no hashes relation — hashes lost out-of-band; serving "
-                    "this as an empty corpus would land every duplicate. "
-                    "Rebuild with build_dedup_store."
-                )
+        # servable + no hashes relation ⇒ the siblings hold no live
+        # foreign rows either: genuinely empty corpus
         return batch2, _empty_rejects(batch2)
 
     bh = batch2.select("doc_id", D.content_hash("text").alias("_h"))
@@ -194,25 +181,11 @@ def gate_batch_served(
     )
     bands = DS.read_relation(spark, store_path, "bands", exclude_label=exclude_label)
     if shingles is None or bands is None:
-        # A relation dir may be missing only in the first-batch crash
-        # window, where the store holds nothing but the crashed label's
-        # own rows — excluded, hence semantically empty. Live rows from
-        # OTHER labels with a missing sibling = a half-built store
-        # (crashed build_dedup_store): refuse rather than serve a gate
-        # whose near leg is silently dark.
-        if hashes.limit(1).isEmpty():
-            near_hits = _empty_rejects(batch2)
-        else:
-            missing = [
-                r
-                for r, rel in (("shingles", shingles), ("bands", bands))
-                if rel is None
-            ]
-            raise ValueError(
-                f"dedup store at {store_path} has live hash rows but no "
-                f"{'/'.join(missing)} relation — half-built store (crashed "
-                "build?); rebuild with build_dedup_store"
-            )
+        # check_store_servable already refused live-hashes-with-missing-
+        # sibling (the half-built store); reaching here means the store is
+        # in the first-batch crash window — at most the crashed label's own
+        # rows, excluded, hence semantically empty for the near leg.
+        near_hits = _empty_rejects(batch2)
     else:
         near_hits = D.incremental_minhash_pairs(
             batch2,

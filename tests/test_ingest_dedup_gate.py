@@ -444,3 +444,41 @@ def test_hashes_lost_with_live_siblings_refused(spark, tmp_path):
     )
     assert [r.doc_id for r in survivors.collect()] == [7]
     assert rejects.count() == 0
+
+
+def test_check_store_servable_covers_sibling_consistency_directly(
+    spark, tmp_path
+):
+    """Round-7 ADVICE: the sibling-consistency refusals live in
+    check_store_servable itself, not only in gate_batch_served — a direct
+    caller pairing check_store_servable with read_relation can no longer
+    serve a half-broken store as empty."""
+    import shutil
+
+    # live siblings, missing hashes → refuse from the check alone
+    store = str(tmp_path / "direct_lostsiblings")
+    DS.update_dedup_store(_df(spark, [(1, BASE)]), store, "b0")
+    shutil.rmtree(f"{store}/hashes")
+    with pytest.raises(ValueError, match="lost out-of-band"):
+        DS.check_store_servable(spark, store)
+    # exclusion makes the same store's crash window servable
+    DS.check_store_servable(spark, store, exclude_label="b0")
+    # live hashes, missing sibling → refuse from the check alone
+    store2 = str(tmp_path / "direct_halfbuilt")
+    DS.build_dedup_store(_df(spark, [(1, BASE)]), store2)
+    shutil.rmtree(f"{store2}/bands")
+    with pytest.raises(ValueError, match="half-built"):
+        DS.check_store_servable(spark, store2)
+
+
+def test_empty_state_relation_reads_as_none(spark, tmp_path):
+    """Round-7 ADVICE: a committed-but-empty state relation (zero rows)
+    must read as None — same serving posture as no lifecycle record —
+    not crash with AttributeError on NoneType."""
+    store = str(tmp_path / "emptystate")
+    spark.createDataFrame([], "state string").coalesce(1).write.parquet(
+        f"{store}/state"
+    )
+    assert DS.read_store_state(spark, store) is None
+    # and the store remains servable-as-empty through the full check
+    DS.check_store_servable(spark, store)
