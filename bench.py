@@ -24,33 +24,20 @@ from kafka_clickhouse_example_spark.session import configure_runtime, get_spark 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Host-speed calibration canary (round-5 verdict ask #4): bench totals on
-# this virtualized host drift up to ~1.2x round-over-round with ZERO code
-# change, which can masquerade as (or hide) a real regression. Three fixed,
-# never-to-be-renamed queries are timed median-of-5 before the main loop;
-# the ratio of their medians to the frozen reference medians below gives a
-# host_factor, and `normalized_value` = value / host_factor is the
-# round-over-round comparable number. The canary queries span the three
-# cost classes (shuffle-agg on facts, Arrow/text batch, scan+rollup) and
-# should never be edited — if one must change, re-freeze its reference and
-# note the re-freeze in the round's commit.
-CANARY_QUERIES = ("q1_pricing_summary", "top_talkers", "text_token_stats")
-# Frozen references: median-of-5 at sf0.1, local[32]. RE-FROZEN at the
-# round-6 close: the original freeze happened during a loaded window (all
-# three ratios later measured a consistent ~0.63 on a quiet host, while
-# the full-suite total moved only ~10% — the trio is cache-sensitive and
-# was over-correcting). No round had consumed the old refs yet, so the
-# quiet-host medians below become the 1.0 baseline; a loaded future host
-# shows factor > 1 and normalization deflates its inflated raw total.
-CANARY_REF_SEC = {
-    "q1_pricing_summary": 0.4835,
-    "top_talkers": 0.2902,
-    "text_token_stats": 0.2165,
-}
+# Pre-sweep warm-up trio (one query per cost class: shuffle-agg on facts,
+# Arrow/text batch, scan+rollup). Historically these were the bracketing
+# host-speed canary (rounds 5-7); the interleaved SEGMENT canary below
+# superseded that whole protocol — the round-7 verdict asked for the
+# bracket-normalized output (host_factor / normalized_value) to be dropped
+# so the artifact carries ONE normalized headline, not three competing
+# totals. The trio still runs first because it warms the JVM, codegen
+# cache, and python workers before the first timed query and before the
+# first segment canary mark (whose reference was frozen warm).
+WARMUP_QUERIES = ("q1_pricing_summary", "top_talkers", "text_token_stats")
 
-# Interleaved segment canary (round-6 verdict ask #1): the pre/post
-# bracketing above cannot track load arriving DURING a ~100 s sweep — r6's
-# own run flagged itself unstable (pre/post spread 1.33). The sweep is now
+# Interleaved segment canary (round-6 verdict ask #1): the retired
+# pre/post bracketing could not track load arriving DURING a ~100 s sweep
+# — r6's own run flagged itself unstable (pre/post spread 1.33). The sweep is
 # split into segments of SEGMENT_SIZE queries with a cheap canary
 # measurement (median-of-SEGMENT_CANARY_RUNS of one fixed query, already
 # warm from the pre-trio) between every pair of segments. Segment i's
@@ -121,75 +108,19 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def _canary_medians(spark, queries) -> dict:
-    """Median-of-5 timings for the canary trio."""
-    meds: dict[str, float] = {}
-    for name in CANARY_QUERIES:
+def _warm_up(spark, queries) -> None:
+    """Run the warm-up trio twice each: first execution pays JVM/codegen/
+    python-worker start-up, second confirms the steady state the segment
+    reference was frozen in."""
+    for name in WARMUP_QUERIES:
         fn = queries.get(name)
         if fn is None:
             continue
         try:
-            fn(spark, SF_DIR).count()  # warm
-            times = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).count()
-                times.append(time.perf_counter() - t0)
-            meds[name] = round(sorted(times)[2], 4)
+            fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).count()
         except Exception as exc:
-            print(f"bench: canary {name} failed: {exc}", file=sys.stderr)
-    return meds
-
-
-def _canary_summary(pre: dict, post: dict) -> dict:
-    """host_factor = median of the PRE-sweep now/ref ratios only. The
-    frozen references were measured in the same thermal state (session up,
-    canary warm-run done, 190-query sweep NOT yet run); post-sweep canaries
-    run with the JVM/page cache warmed by the whole sweep and measure
-    systematically faster — blending them biased host_factor low and
-    INFLATED normalized_value by ~5% on an idle host (caught by review of
-    the first committed artifact). Post medians are still measured and
-    reported as `post_drift` so load arriving DURING the sweep is visible
-    as a diagnostic, it just no longer contaminates the calibration.
-    References are frozen at sf0.1; at any other SF the ratio would
-    conflate data-size with host speed — factor 1.0 (unnormalized)."""
-    out = {"medians": pre, "post_medians": post, "ref": CANARY_REF_SEC}
-    if abs(_sf_label(SF_DIR) - 0.1) > 1e-9:
-        out["host_factor"] = 1.0
-        out["note"] = "canary refs frozen at sf0.1; no normalization at this sf"
-        return out
-
-    def _median_ratio(medians: dict) -> float:
-        ratios = sorted(
-            medians[n] / CANARY_REF_SEC[n] for n in medians if CANARY_REF_SEC.get(n)
-        )
-        if not ratios:
-            return 1.0
-        return (ratios[(len(ratios) - 1) // 2] + ratios[len(ratios) // 2]) / 2
-
-    out["host_factor"] = round(_median_ratio(pre), 4)
-    out["post_drift"] = round(_median_ratio(post), 4)
-    # Honesty flag: when the pre-sweep and post-sweep trios disagree
-    # badly, the "host speed" was not constant across the run and no
-    # single factor can normalize the total — measured this session:
-    # four same-code runs spanned raw 103.3-114.9s while pre-factors
-    # spanned 1.05-1.25, so a sub-second trio cannot track within-sweep
-    # transients. A stable canary (spread ~1) makes normalized_value
-    # trustworthy; an unstable one means compare RAW totals across the
-    # run distribution instead.
-    spread = (
-        round(out["host_factor"] / out["post_drift"], 4)
-        if out["post_drift"] > 0
-        else None
-    )
-    out["pre_post_spread"] = spread
-    if spread is not None and not (0.83 <= spread <= 1.2):
-        out["note"] = (
-            "canary unstable across the sweep (pre/post spread "
-            f"{spread}); normalized_value unreliable for this run — "
-            "compare raw totals across runs"
-        )
-    return out
+            print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
 
 
 def _segment_canary_median(spark, queries) -> float | None:
@@ -210,13 +141,21 @@ def _segment_canary_median(spark, queries) -> float | None:
         return None
 
 
-def _segment_summary(seg_walls: list[float], seg_marks: list[float | None]) -> dict:
+def _segment_summary(
+    seg_walls: list[float],
+    seg_marks: list[float | None],
+    seg_fails: list[int] | None = None,
+) -> dict:
     """Per-segment normalization: segment i is bracketed by canary marks
     i and i+1; its factor is the mean of the two over the frozen
     reference. Returns the factors, the normalized total, and the spread
-    (max/min factor — the run-stability verdict)."""
+    (max/min factor — the run-stability verdict). ``seg_fails`` (failed
+    queries per segment) is carried into the artifact so a segment whose
+    wall includes failed-query runtime is identifiable."""
     ref = SEGMENT_REF_SEC
     out: dict = {"size": SEGMENT_SIZE, "query": SEGMENT_CANARY, "ref_sec": ref}
+    if seg_fails and any(seg_fails):
+        out["failures_per_segment"] = seg_fails
     if abs(_sf_label(SF_DIR) - 0.1) > 1e-9 or not ref:
         out["note"] = "segment refs frozen at sf0.1; no normalization at this sf"
         return out
@@ -255,7 +194,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    canary_pre = _canary_medians(spark, queries)
+    _warm_up(spark, queries)
     timings: dict[str, float] = {}
     # Mark collection only at the reference SF: the segment reference is
     # frozen at sf0.1, so at any other scale the marks would be discarded
@@ -263,12 +202,15 @@ def main() -> None:
     # runs would cost real minutes for nothing.
     seg_enabled = abs(_sf_label(SF_DIR) - 0.1) < 1e-9
     seg_walls: list[float] = []  # raw wall per completed segment
+    seg_fails: list[int] = []  # failed queries per segment
     seg_marks: list[float | None] = [
         _segment_canary_median(spark, queries) if seg_enabled else None
     ]
     seg_accum = 0.0
     seg_count = 0
+    seg_fail_count = 0
     for name, fn in sorted(queries.items()):
+        t_attempt = time.perf_counter()
         try:
             fn(spark, SF_DIR).count()  # warm-up run (codegen, py workers)
             # Best-of-2: this host shows intermittent multi-second external
@@ -284,15 +226,23 @@ def main() -> None:
         except Exception as exc:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            # The failure's real runtime still separates the bracketing
+            # canary marks: keep it in the segment wall so walls and
+            # brackets describe the same interval, and count it so the
+            # artifact shows which segment's wall includes failure time.
+            seg_accum += time.perf_counter() - t_attempt
+            seg_fail_count += 1
         seg_count += 1
         if seg_count == SEGMENT_SIZE:
             seg_walls.append(seg_accum)
+            seg_fails.append(seg_fail_count)
             seg_marks.append(
                 _segment_canary_median(spark, queries) if seg_enabled else None
             )
-            seg_accum, seg_count = 0.0, 0
+            seg_accum, seg_count, seg_fail_count = 0.0, 0, 0
     if seg_count:  # trailing partial segment
         seg_walls.append(seg_accum)
+        seg_fails.append(seg_fail_count)
         seg_marks.append(
             _segment_canary_median(spark, queries) if seg_enabled else None
         )
@@ -330,19 +280,23 @@ def main() -> None:
             streaming["rows_per_sec"] * sfac, 1
         )
 
-    canary = _canary_summary(canary_pre, _canary_medians(spark, queries))
-    segments = _segment_summary(seg_walls, seg_marks)
+    segments = _segment_summary(seg_walls, seg_marks, seg_fails)
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 4)
-    normalized = round(total / canary["host_factor"], 4) if canary["host_factor"] > 0 else total
+    # THE canonical cross-round headline (round-7 verdict ask #3) is
+    # segment_normalized_value: raw total corrected segment-by-segment for
+    # measured host speed against the frozen SEGMENT_REF_SEC reference.
+    # Two runs are comparable ONLY when normalized against the same frozen
+    # reference — segments.ref_sec records it, and bench_compare.py
+    # refuses to compare across differing references. Raw `value` stays in
+    # the artifact as the uncorrected measurement.
     payload = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "canary": canary,
         "segments": segments,
-        "normalized_value": normalized,
+        "canonical_metric": "segment_normalized_value",
         "segment_normalized_value": segments.get("normalized_value", total),
         "segment_spread": segments.get("spread"),
         "streaming": streaming,
@@ -377,10 +331,10 @@ def main() -> None:
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "normalized_value": normalized,
+                "canonical_metric": "segment_normalized_value",
                 "segment_normalized_value": segments.get("normalized_value", total),
                 "segment_spread": segments.get("spread"),
-                "host_factor": canary["host_factor"],
+                "segment_ref_sec": SEGMENT_REF_SEC,
                 "queries_run": len(timings),
                 "queries_failed": sum(1 for t in timings.values() if t < 0),
                 "slowest": slowest,

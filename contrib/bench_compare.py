@@ -4,13 +4,20 @@ Usage: python contrib/bench_compare.py OLD.json NEW.json [--top N]
 
 The round-5 verdict established that raw bench totals on this virtualized
 host drift up to ~1.2x with zero code change, so raw per-query deltas are
-not evidence of regression. bench.py now measures a host-speed canary
-(median-of-5 on three frozen queries, pre+post sweep) and records
-`canary.host_factor`; this tool divides every timing by its file's factor
-before comparing, so the printed ratios are the code-attributable ones.
+not evidence of regression. The canonical cross-round headline (round-7
+verdict ask #3) is `segment_normalized_value`: bench.py interleaves a
+canary mark between every SEGMENT_SIZE queries and corrects each segment's
+wall by its LOCAL host factor against the frozen SEGMENT_REF_SEC
+reference. This tool divides every per-query timing by its segment's
+factor before comparing, so the printed ratios are the code-attributable
+ones — and it REFUSES to compare two runs normalized against different
+frozen references (their "1.0 host" anchors differ, so normalized totals
+are not on the same scale).
 
-Files without a canary block (rounds <= 5) normalize by 1.0 and the output
-says so — deltas against those rounds carry the old host-noise caveat.
+Older artifact shapes degrade gracefully: files with only the retired
+pre/post bracket canary (rounds 5-7) fall back to its global host_factor;
+files with neither normalize by 1.0 and the output says so — deltas
+against those rounds carry the full host-noise caveat.
 """
 
 from __future__ import annotations
@@ -31,26 +38,45 @@ def _unwrap(data: dict) -> dict:
         return data
     parsed = data.get("parsed") or {}
     not_queries = {
-        "value", "normalized_value", "host_factor", "rows_per_sec",
-        "streaming_rows_per_sec", "wall_sec", "rows", "sf", "p50", "p95",
-        "max", "queries_run", "queries_failed",
+        "value", "normalized_value", "segment_normalized_value",
+        "segment_spread", "segment_ref_sec", "ref_sec", "host_factor",
+        "rows_per_sec", "normalized_rows_per_sec", "streaming_rows_per_sec",
+        "wall_sec", "rows", "sf", "p50", "p95", "max", "queries_run",
+        "queries_failed",
+        # streaming stage-profile fields (a left-truncated tail may lack
+        # both the canary and segments markers, exposing these to the
+        # per-query regex)
+        "scan_sec", "scan_plus_decode_sec", "full_spine_sec",
+        "decode_delta_sec", "normalize_delta_sec", "wall_p50", "wall_p95",
+        "wall_max", "post_drift", "pre_post_spread",
     }
     queries: dict[str, float] = dict(parsed.get("slowest") or {})
-    # Only the portion of the tail BEFORE the canary block holds per-query
-    # timings; past it the same query names reappear as canary medians /
-    # frozen refs, which would otherwise be recorded as phantom timings
-    # for the three canary queries.
-    tail = data.get("tail", "").split('"canary"')[0]
-    for name, val in re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)', tail):
+    # Only the portion of the tail BEFORE the canary/segments block holds
+    # per-query timings; past it query names reappear as canary medians /
+    # marks / frozen refs, which would otherwise be recorded as phantom
+    # timings.
+    tail = data.get("tail", "")
+    cut = min(
+        (i for i in (tail.find('"canary"'), tail.find('"segments"')) if i >= 0),
+        default=len(tail),
+    )
+    for name, val in re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)', tail[:cut]):
         if name not in not_queries and float(val) < 1e4:
             queries.setdefault(name, float(val))
     out = {
         "sf": data.get("sf"),
         "value": parsed.get("value"),
         "normalized_value": parsed.get("normalized_value"),
+        "segment_normalized_value": parsed.get("segment_normalized_value"),
         "queries": queries,
         "_partial": True,
     }
+    if parsed.get("segment_ref_sec") is not None:
+        out["segments"] = {
+            "ref_sec": parsed["segment_ref_sec"],
+            "normalized_value": parsed.get("segment_normalized_value"),
+            "spread": parsed.get("segment_spread"),
+        }
     if "host_factor" in parsed:
         out["canary"] = {"host_factor": parsed["host_factor"]}
     return out
@@ -105,22 +131,54 @@ def main() -> None:
     old_q, old_f, old_raw = _load(args.old)
     new_q, new_f, new_raw = _load(args.new)
 
+    # Refuse cross-reference comparison: segment-normalized totals are on
+    # the same scale ONLY when both runs were corrected against the same
+    # frozen SEGMENT_REF_SEC (the reference defines what "host factor 1.0"
+    # means; re-freezing it moves the whole normalized axis).
+    old_ref = (old_raw.get("segments") or {}).get("ref_sec")
+    new_ref = (new_raw.get("segments") or {}).get("ref_sec")
+    if old_ref is not None and new_ref is not None and old_ref != new_ref:
+        raise SystemExit(
+            f"refusing to compare: runs were segment-normalized against "
+            f"different frozen references (old ref_sec={old_ref}, new "
+            f"ref_sec={new_ref}) — their normalized totals are not on the "
+            "same scale. Re-run bench.py for the older side under the "
+            "current reference, or compare raw totals with the full "
+            "host-noise caveat."
+        )
+
     for label, path, factor, raw in (
         ("old", args.old, old_f, old_raw),
         ("new", args.new, new_f, new_raw),
     ):
-        note = "" if "canary" in raw else "  (no canary block: factor=1.0, host noise NOT removed)"
+        seg = raw.get("segments") or {}
+        note = (
+            ""
+            if seg or "canary" in raw
+            else "  (no canary/segment block: factor=1.0, host noise NOT removed)"
+        )
         if raw.get("_partial"):
             note += f"  (driver-wrapped: only {len(old_q if label == 'old' else new_q)} queries recovered from tail)"
-        seg = raw.get("segments") or {}
         if seg.get("spread") is not None:
-            note += (
-                f"  (segment canary: spread={seg['spread']}"
-                f" segment_normalized_total={seg.get('normalized_value')}s)"
+            note += f"  (segment spread={seg['spread']} ref_sec={seg.get('ref_sec')})"
+        headline = seg.get("normalized_value")
+        if headline is None:
+            headline = raw.get("segment_normalized_value")
+        if headline is None:
+            # pre-segment-era artifact: fall back to whatever it has, but
+            # LABEL it — the retired bracket normalization is a different
+            # (incomparable) scale from segment normalization
+            legacy = raw.get("normalized_value", raw.get("value"))
+            print(
+                f"{label}: {path}  sf={raw.get('sf')}  "
+                f"raw_total={raw.get('value')}s  "
+                f"legacy_normalized_total={legacy}s (NOT segment-normalized)"
+                f"{note}"
             )
+            continue
         print(
             f"{label}: {path}  sf={raw.get('sf')}  raw_total={raw.get('value')}s"
-            f"  host_factor={factor}  normalized_total={raw.get('normalized_value', raw.get('value'))}s{note}"
+            f"  segment_normalized_total={headline}s{note}"
         )
 
     shared = sorted(set(old_q) & set(new_q))

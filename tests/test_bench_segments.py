@@ -59,3 +59,98 @@ def test_segment_normalization_skipped_off_reference_sf(monkeypatch):
     out = b._segment_summary([10.0], [0.1, 0.1])
     assert "normalized_value" not in out
     assert "frozen at sf0.1" in out["note"]
+
+
+def test_segment_failure_counts_surface_in_artifact(monkeypatch):
+    """Round-7 ADVICE (bench.py): a segment whose wall includes
+    failed-query runtime must be identifiable — failures_per_segment is
+    carried whenever any segment had failures, omitted on clean runs."""
+    b = _bench(monkeypatch)
+    ref = b.SEGMENT_REF_SEC
+    out = b._segment_summary([10.0, 10.0], [ref, ref, ref], [0, 2])
+    assert out["failures_per_segment"] == [0, 2]
+    clean = b._segment_summary([10.0, 10.0], [ref, ref, ref], [0, 0])
+    assert "failures_per_segment" not in clean
+
+
+def test_bracket_canary_retired(monkeypatch):
+    """Round-7 verdict ask #7: the pre/post bracket canary is gone — no
+    CANARY_REF_SEC, no _canary_summary; the warm-up trio remains."""
+    b = _bench(monkeypatch)
+    assert not hasattr(b, "CANARY_REF_SEC")
+    assert not hasattr(b, "_canary_summary")
+    assert b.WARMUP_QUERIES == (
+        "q1_pricing_summary",
+        "top_talkers",
+        "text_token_stats",
+    )
+
+
+def _compare_mod():
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare_under_test",
+        Path(__file__).resolve().parent.parent / "contrib" / "bench_compare.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_compare_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_compare_refuses_cross_reference_runs(tmp_path, capsys):
+    """Round-7 verdict ask #3: two runs segment-normalized against
+    different frozen references are not on the same scale — the compare
+    must refuse, not print misleading ratios."""
+    import json
+
+    import pytest
+
+    bc = _compare_mod()
+    old = {
+        "sf": 0.1,
+        "value": 100.0,
+        "queries": {"q": 1.0},
+        "segments": {"ref_sec": 0.3425, "normalized_value": 100.0},
+    }
+    new = {
+        "sf": 0.1,
+        "value": 100.0,
+        "queries": {"q": 1.0},
+        "segments": {"ref_sec": 0.2000, "normalized_value": 90.0},
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    import sys as _sys
+
+    argv = _sys.argv
+    _sys.argv = ["bench_compare", str(po), str(pn)]
+    try:
+        with pytest.raises(SystemExit, match="different frozen references"):
+            bc.main()
+        # same reference compares fine
+        new["segments"]["ref_sec"] = 0.3425
+        pn.write_text(json.dumps(new))
+        bc.main()
+        assert "segment_normalized_total" in capsys.readouterr().out
+    finally:
+        _sys.argv = argv
+
+
+def test_bench_compare_unwrap_new_format_no_phantom_queries():
+    """The driver-wrapped tail of a NEW-format artifact (no canary block)
+    must cut at the segments block: factor/ref fields after it must not
+    be recovered as phantom per-query timings."""
+    bc = _compare_mod()
+    tail = (
+        '"q_real": 1.2345, "q_other": 0.5} , "segments": {"ref_sec": 0.3425,'
+        ' "factors": [1.01, 1.02], "normalized_value": 107.9}, '
+        '"segment_normalized_value": 107.9}\n'
+        '{"metric": "total_query_wall_time", "value": 105.0, '
+        '"segment_normalized_value": 107.9, "segment_ref_sec": 0.3425}'
+    )
+    out = bc._unwrap(
+        {"tail": tail, "parsed": {"value": 105.0, "segment_ref_sec": 0.3425}}
+    )
+    assert set(out["queries"]) == {"q_real", "q_other"}
+    assert out["segments"]["ref_sec"] == 0.3425
