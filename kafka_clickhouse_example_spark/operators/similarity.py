@@ -330,6 +330,74 @@ def _md5_ordered_sample(
     return np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
 
 
+# Fixed-point k-means (FPK) — the HSQ device transposed to Lloyd training
+# (round-7 verdict ask #2): every arithmetic step is either exact integer
+# math or an IEEE operation on exactly-representable integers, so a SQL
+# engine replays training bit-for-bit and the k-means query earns a full
+# value-hash oracle. Q20 keeps every intermediate exact:
+#   quantize   q = floor(v * 2^20)       float->double exact, power-of-two
+#                                        scale exact, floor deterministic;
+#                                        |v| <= ~0.6 => |q| < 2^20
+#   distance   sum_i (q_a - q_b)^2       int64: diff < 2^21, square < 2^42,
+#                                        64-dim sum < 2^48 (also exact as
+#                                        double, < 2^53)
+#   update     floor(sum(q) / n)         sum < 2^32 exact in double; IEEE
+#                                        division correctly rounded; floor
+#                                        deterministic => identical in
+#                                        numpy and SQL
+#   argmin     first minimal index       == ORDER BY dist, cluster LIMIT 1
+# The float Lloyd (_subspace_kmeans) stays untouched as the IVF/PQ
+# quantizer trainer, pinned by its own recall/contract tests — exactly how
+# the stock KLL sketch stayed pinned when HSQ took over the oracle row.
+FPK_Q = 1 << 20
+
+
+def fpk_quantize(mat):
+    """float64 (n, dim) -> exact Q20 int64 lattice points."""
+    import numpy as np
+
+    return np.floor(mat * float(FPK_Q)).astype(np.int64)
+
+
+def _fpk_kmeans(mat_q, k: int, iters: int):
+    """Deterministic integer-lattice Lloyd: seeds are the first k sample
+    rows, fixed ``iters`` rounds, empty clusters keep their previous
+    centroid, centroid update floor-divides the exact member sum. All
+    comparisons are on exact int64 distances, so results are independent
+    of partitioning, summation order, and engine."""
+    import numpy as np
+
+    kk = min(k, len(mat_q))
+    cent = mat_q[:kk].copy()
+    for _ in range(iters):
+        d2 = ((mat_q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(kk):
+            members = assign == c
+            if members.any():
+                cent[c] = np.floor(
+                    mat_q[members].sum(axis=0).astype(np.float64)
+                    / float(members.sum())
+                ).astype(np.int64)
+    return cent
+
+
+def train_fpk_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    sample_size: int = IVF_SAMPLE,
+):
+    """Fixed-point Lloyd on the shared md5-ordered bounded sample —
+    returns (k, dim) int64 Q20 centroids, broadcastable like the float
+    trainer's. Same sampling device and the same (k, iters, sample)
+    profile as train_ivf_centroids, but SQL-rebuildable cell for cell."""
+    mat = _md5_ordered_sample(corpus, id_col, vec_col, sample_size)
+    return _fpk_kmeans(fpk_quantize(mat), k, iters)
+
+
 def _sq_dists(x, cent, cent_n2=None):
     """Row-to-centroid squared distances via the expanded
     ||x||^2 - 2<x,c> + ||c||^2 form — THE assignment kernel shared by

@@ -517,30 +517,116 @@ def emb_nearest_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_kmeans_clusters")  # rows-only: k-means training is not SQL-expressible
+def _fpk_oracle_sql(
+    k: int = S.IVF_K,
+    iters: int = S.IVF_ITERS,
+    sample: int = S.IVF_SAMPLE,
+    dims: int = 64,
+) -> str:
+    """DuckDB replay of the ENTIRE fixed-point k-means query — sampling,
+    seeding, every Lloyd iteration (unrolled: ``iters`` is a fixed small
+    constant, so recursion is unnecessary), full-corpus assignment, and
+    the cluster profile. Every arithmetic step mirrors
+    operators/similarity.train_fpk_centroids bit for bit (see the FPK
+    block comment there for the exactness argument)."""
+    q = S.FPK_Q
+    parts = [
+        f"""
+WITH qz AS (
+  SELECT vec_id, t.i,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {q}) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, {dims})) AS t(i)
+),
+samp_ids AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {sample}
+),
+s AS (SELECT qz.vec_id, qz.i, qz.qv FROM qz JOIN samp_ids USING (vec_id)),
+c0 AS (
+  SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cluster, i, qv AS cq
+  FROM s
+  QUALIFY dense_rank() OVER (ORDER BY vec_id) <= {k}
+)"""
+    ]
+    for n in range(1, iters + 1):
+        p = f"c{n - 1}"
+        parts.append(
+            f""",
+d{n} AS (
+  SELECT s.vec_id, {p}.cluster,
+         CAST(sum((s.qv - {p}.cq) * (s.qv - {p}.cq)) AS BIGINT) AS dd
+  FROM s JOIN {p} ON s.i = {p}.i
+  GROUP BY s.vec_id, {p}.cluster
+),
+a{n} AS (
+  SELECT vec_id, cluster FROM d{n}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) = 1
+),
+c{n} AS (
+  SELECT {p}.cluster, {p}.i,
+         coalesce(
+           CAST(floor(CAST(m.sq AS DOUBLE) / m.n) AS BIGINT), {p}.cq
+         ) AS cq
+  FROM {p} LEFT JOIN (
+    SELECT a{n}.cluster, s.i,
+           CAST(sum(s.qv) AS BIGINT) AS sq,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a{n} JOIN s USING (vec_id)
+    GROUP BY a{n}.cluster, s.i
+  ) m ON m.cluster = {p}.cluster AND m.i = {p}.i
+)"""
+        )
+    parts.append(
+        f""",
+df AS (
+  SELECT qz.vec_id, c{iters}.cluster,
+         CAST(sum((qz.qv - c{iters}.cq) * (qz.qv - c{iters}.cq)) AS BIGINT)
+           AS dd
+  FROM qz JOIN c{iters} ON qz.i = c{iters}.i
+  GROUP BY qz.vec_id, c{iters}.cluster
+),
+af AS (
+  SELECT vec_id, cluster, dd FROM df
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) = 1
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(dd // {q}) AS BIGINT) AS inertia_q20
+FROM af GROUP BY cluster ORDER BY cluster"""
+    )
+    return "".join(parts)
+
+
+@register("emb_kmeans_clusters", oracle=_fpk_oracle_sql())
 def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means cluster profile: centroids trained by the
-    deterministic bounded-sample Lloyd trainer (shared with IVF ANN),
-    every corpus vector assigned map-side to its nearest centroid, then a
-    k-row aggregate of cluster sizes and Q30 fixed-point inertia.
+    FIXED-POINT Lloyd trainer (operators/similarity.train_fpk_centroids),
+    every corpus vector assigned map-side to its nearest centroid on the
+    Q20 integer lattice, then a k-row aggregate of cluster sizes and
+    Q20-unit inertia.
 
-    Deterministic despite no oracle: training reads a sorted bounded
-    sample; assignment distance reduces over the fixed dim axis
-    (partition-shape independent); inertia sums floor(dist·2^30) BIGINTs,
-    so partial-agg order can't perturb low bits.
-    test_kmeans_clusters_match_naive pins assignments + inertia against a
-    single-machine numpy recompute.
+    Upgraded rows-only -> full oracle in round 8 (verdict ask #2) by the
+    HSQ device: the float Lloyd's mean updates made training
+    SQL-unreplayable (float sums are order-sensitive), so the query's
+    trainer now does every step in exact integer / exactly-representable
+    arithmetic and the DuckDB oracle replays training, assignment, and
+    inertia cell for cell (see _fpk_oracle_sql). The float trainer stays
+    as the IVF/PQ quantizer, pinned by its recall contracts.
 
-    Scale: centroids broadcast (k·dims doubles); one corpus scan; the
-    final shuffle carries k rows per partition.
+    Per-vector inertia floor-divides the Q40 distance back to Q20 units
+    before the BIGINT sum: max dist < 2^48, so Q20 contributions < 2^28
+    and the per-cluster sum stays exact past 1e9 vectors per cluster.
+
+    Scale: centroids broadcast (k·dims int64); one corpus scan; the final
+    shuffle carries k rows per partition.
     """
     import numpy as np
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
-    cent = S.train_ivf_centroids(emb, vec_col="embedding")
+    cent = S.train_fpk_centroids(emb, vec_col="embedding")
     bc = emb.sparkSession.sparkContext.broadcast(cent)
-    Q30I = 1073741824.0
 
     def assign(batches):
         c = bc.value
@@ -550,22 +636,23 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            mq = S.fpk_quantize(mat)
+            d2 = ((mq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
             dist = d2[np.arange(len(a)), a]
             yield pd.DataFrame(
                 {
                     "cluster": a.astype("int32"),
-                    "dist_q30": np.floor(dist * Q30I).astype("int64"),
+                    "dist_q20": dist // S.FPK_Q,
                 }
             )
 
-    assigned = emb.mapInPandas(assign, schema="cluster int, dist_q30 long")
+    assigned = emb.mapInPandas(assign, schema="cluster int, dist_q20 long")
     return (
         assigned.groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.sum("dist_q30").alias("inertia_q30"),
+            F.sum("dist_q20").alias("inertia_q20"),
         )
         .orderBy("cluster")
     )

@@ -197,32 +197,35 @@ def test_bucket_pairs_numpy_path_bitwise_equals_column_path(emb_and_queries):
 
 
 def test_kmeans_clusters_match_naive(spark, sf_dir):
-    """emb_kmeans_clusters ≡ single-machine numpy recompute: same trained
-    centroids, full-corpus argmin assignment, Q30 inertia — checks the
-    distributed mapInPandas assignment and the BIGINT inertia aggregation
-    end to end."""
+    """emb_kmeans_clusters ≡ single-machine numpy recompute of the
+    FIXED-POINT pipeline (round-8 FPK upgrade): same Q20-quantized trained
+    centroids, full-corpus integer argmin assignment, Q20 inertia — checks
+    the distributed mapInPandas assignment and the BIGINT inertia
+    aggregation end to end. (The DuckDB side of the same contract is the
+    oracle-parity gate; this pins the numpy/Spark side alone.)"""
     import numpy as np
 
     from kafka_clickhouse_example_spark.operators import similarity as S
     from kafka_clickhouse_example_spark.plans.queries_similarity import _emb
 
     q = all_queries()
-    got = {r.cluster: (r.n_vectors, r.inertia_q30)
+    got = {r.cluster: (r.n_vectors, r.inertia_q20)
            for r in q["emb_kmeans_clusters"](spark, sf_dir).collect()}
 
     emb = _emb(spark, sf_dir)
-    cent = S.train_ivf_centroids(emb, vec_col="embedding")
+    cent = S.train_fpk_centroids(emb, vec_col="embedding")
+    assert cent.dtype == np.int64
     pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    mq = S.fpk_quantize(mat)
+    d2 = ((mq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     a = d2.argmin(axis=1)
     dist = d2[np.arange(len(a)), a]
     want = {}
     for c in range(len(cent)):
         m = a == c
         if m.any():
-            want[int(c)] = (int(m.sum()),
-                            int(np.floor(dist[m] * 1073741824.0).sum()))
+            want[int(c)] = (int(m.sum()), int((dist[m] // S.FPK_Q).sum()))
     assert got == want
 
 
