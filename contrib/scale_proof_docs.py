@@ -85,6 +85,31 @@ def _copy_dims(spark) -> None:
             print(f"copied {dst}", file=sys.stderr)
 
 
+def _measurement_dirs(candidates: list[str]) -> list[tuple[str, str]]:
+    """(dir, label) pairs for the sweep. De-duplicates by resolved path
+    (DST listed again in SCALE_COMPARE_DIRS would be measured twice) and
+    fails loudly when DISTINCT dirs share a basename label — one would
+    silently overwrite the other in the output dict (round-7 ADVICE)."""
+    dirs: list[tuple[str, str]] = []
+    seen_paths: set[str] = set()
+    labels: dict[str, str] = {}
+    for d in candidates:
+        real = os.path.realpath(d)
+        if real in seen_paths:
+            continue
+        seen_paths.add(real)
+        label = os.path.basename(d.rstrip("/"))
+        if label in labels:
+            raise SystemExit(
+                f"distinct measurement dirs share the label {label!r}: "
+                f"{labels[label]} and {real} — results would silently "
+                "overwrite each other; rename one directory"
+            )
+        labels[label] = real
+        dirs.append((d, label))
+    return dirs
+
+
 def main() -> None:
     # SCALE_DRIVER_MEM: the sf10 pair emitters' common-count aggregation
     # holds ~100x sf1's pair state — 16g OOMs (measured round 7); the
@@ -116,9 +141,7 @@ def main() -> None:
     else:
         names = sys.argv[1:] or ["text_bm25_topk"]
     out = {}
-    dirs = [(SRC, os.path.basename(SRC.rstrip("/")))]
-    dirs += [(d, os.path.basename(d.rstrip("/"))) for d in COMPARE_DIRS]
-    dirs.append((DST, os.path.basename(DST.rstrip("/"))))
+    dirs = _measurement_dirs([SRC, *COMPARE_DIRS, DST])
     for sf_dir, label in dirs:
         for name in names:
             fn = queries[name]
