@@ -146,6 +146,19 @@ def main() -> None:
             "current reference, or compare raw totals with the full "
             "host-noise caveat."
         )
+    # Same guard for the timed action itself: count()-era runs (rounds
+    # 1-7, recorded as no timed_action field) never executed the windows/
+    # UDF projections/final sorts that the round-8+ noop-write action
+    # pays — raw AND normalized times are on different scales.
+    old_act = old_raw.get("timed_action", "count")
+    new_act = new_raw.get("timed_action", "count")
+    if old_act != new_act:
+        raise SystemExit(
+            f"refusing to compare: runs timed different actions "
+            f"(old={old_act}, new={new_act}) — count() plans prune work "
+            "the noop-write plans execute (contrib/count_plan_audit.py), "
+            "so the walls are not measurements of the same computation."
+        )
 
     for label, path, factor, raw in (
         ("old", args.old, old_f, old_raw),

@@ -98,7 +98,15 @@ def main() -> None:
     failed: dict[str, str] = {}
     for name in names:
         try:
-            queries[name](spark, SF_DIR).count()
+            # noop-write action (round 8): count() let Catalyst prune
+            # unreferenced windows/UDF projections/final sorts AND their
+            # shuffles out of the measured plan — e.g.
+            # customer_order_running_total profiled 59 shuffle bytes
+            # (1 record) when the real query exchanges every order row
+            # for its window (contrib/count_plan_audit.py).
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception as exc:
             failed[name] = str(exc)[:200]
             print(f"shuffle_profile: {name} failed: {exc}", file=sys.stderr)
@@ -157,6 +165,7 @@ def main() -> None:
             "only source for it and is self-measured)",
         ),
         "sf_dir": SF_DIR,
+        "timed_action": "noop_write (round 8+; earlier profiles ran count())",
         "queries_profiled": len(per_query),
         "queries_failed": sorted(failed),
         "note": (

@@ -1,0 +1,80 @@
+"""The bench timing action must execute the WHOLE query plan.
+
+Round-8 finding (contrib/count_plan_audit.py): timing `df.count()` lets
+Catalyst delete every deterministic computed column the count never reads
+— windows with no rank filter, Arrow/pandas UDF projections, percentile
+ObjectHashAggregates — plus the final sort (EliminateSorts). 31 of 190
+registry queries lost Window/PythonEval/Aggregate nodes under count; their
+benched "wall" was a parquet scan-count (customer_order_running_total
+measured 0.22 s FLAT from sf0.1 to sf10 while the real query windows 15M
+rows). bench.py therefore times a noop-sink write, which materializes
+every output column with no driver transfer.
+
+These tests pin BOTH halves: count() pruning is real (the motivation —
+if a Spark upgrade stops pruning, the comment trail is stale but nothing
+breaks), and the bench action executes unreferenced computed columns (the
+fix — if someone reverts to count(), the raising-UDF test fails loudly).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql.functions import pandas_udf
+
+import bench
+
+
+def _raising_udf():
+    @pandas_udf("long")
+    def boom(s: pd.Series) -> pd.Series:
+        # builtin exception: a custom class defined in this test module
+        # cannot be unpickled inside Spark's worker interpreters
+        raise RuntimeError("computed column was executed")
+
+    return boom
+
+
+def test_count_skips_unreferenced_computed_columns(spark):
+    """Motivation: under count(), a deterministic UDF projection nobody
+    reads is pruned — the UDF never runs, so the old timed action never
+    paid for it."""
+    boom = _raising_udf()
+    df = spark.range(100).select("id", boom("id").alias("x"))
+    assert df.count() == 100  # no _Marker: the projection was pruned
+
+
+def test_bench_action_executes_unreferenced_computed_columns(spark):
+    """Fix: the bench action computes every output column, so the same
+    raising UDF surfaces."""
+    boom = _raising_udf()
+    df = spark.range(100).select("id", boom("id").alias("x"))
+    with pytest.raises(Exception) as exc_info:
+        bench._execute(df)
+    assert "computed column was executed" in str(exc_info.value)
+
+
+def test_bench_action_pays_window_and_sort(spark, sf_dir):
+    """The registry query that exposed the bug: its count() plan loses the
+    Window node entirely; the plan the bench action executes keeps it.
+    (Plan-level check — executing at test SF would be green even under
+    count, which is exactly how the bug hid.)"""
+    from kafka_clickhouse_example_spark.registry import all_queries
+
+    df = all_queries()["customer_order_running_total"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def plan(d) -> str:
+        return d._jdf.queryExecution().explainString(mode)
+
+    assert "Window" in plan(df) and "Sort" in plan(df)
+    count_plan = plan(df.groupBy().count())
+    assert "Window" not in count_plan  # the pruning that hid 31 queries
+
+
+def test_bench_artifact_declares_timed_action():
+    """bench_compare refuses cross-action comparison via this field; it
+    must stay in the artifact."""
+    assert bench.TIMED_ACTION == "noop_write"
