@@ -38,13 +38,16 @@ def main() -> None:
 
     queries = all_queries()
     fn = queries[bench.SEGMENT_CANARY]
-    fn(spark, SF_DIR).count()  # warm
+    # bench._execute, not count(): the probe characterizes the canary
+    # INSTRUMENT, so it must run the exact action the canary runs
+    # (noop write since round 8 — count() timed a pruned plan)
+    bench._execute(fn(spark, SF_DIR))  # warm
     marks = []
     for i in range(n_marks):
         times = []
         for _ in range(bench.SEGMENT_CANARY_RUNS):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            bench._execute(fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
         marks.append(round(sorted(times)[len(times) // 2], 4))
         print(f"mark {i}: {marks[-1]}", file=sys.stderr)

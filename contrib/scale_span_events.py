@@ -80,9 +80,12 @@ def main() -> None:
     for sf_dir, label in [(SRC, "sf0.1"), (DST, "sf10span")]:
         rows = fn(spark, sf_dir).count()
         best = float("inf")
+        # noop-write action (round 8): for this join+agg query count()
+        # pruned only the final sort, but the sweep protocol is one
+        # action everywhere (contrib/count_plan_audit.py)
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[f"{label}:events_recent_activity_count"] = {
             "sec": round(best, 3),

@@ -10,8 +10,8 @@ keeps the real Kafka contract).
 
 Measured work per row: schemaless JSON parse (Arrow-vectorized decode),
 12-column projection with missing-field defaults and narrowing casts (P1-P4),
-then a per-batch count in foreachBatch (the ClickHouse sink stand-in's
-accounting, minus the network write).
+then a per-batch count+hash over EVERY column in foreachBatch (the
+ClickHouse sink stand-in's accounting, minus the network write).
 """
 
 from __future__ import annotations
@@ -21,8 +21,29 @@ import tempfile
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.normalize import flows_from_json
+
+
+def _consume_all(batch_df) -> int:
+    """Count the batch while forcing EVERY column to be computed.
+
+    A bare batch_df.count() lets Catalyst prune deterministic computed
+    columns the count never reads — the decode survives (its corrupt-
+    record filter changes the count) but the 12-column normalize
+    projection (P1-P3: renames, missing-field defaults, narrowing casts)
+    does not, so count-consumption measured a spine that skipped the
+    normalize work a real sink pays (contrib/count_plan_audit.py, round
+    8 — the batch-bench count()->noop-write fix, in foreachBatch form).
+    XOR-folding xxhash64 over all columns consumes each one in the same
+    single pass that counts the rows (bit_xor, not sum: summing 64-bit
+    hashes overflows long under ANSI mode)."""
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*batch_df.columns)).alias("h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def streaming_throughput(
@@ -62,7 +83,7 @@ def streaming_throughput(
         seen = {"rows": 0}
 
         def sink(batch_df, batch_id) -> None:
-            seen["rows"] += batch_df.count()
+            seen["rows"] += _consume_all(batch_df)
 
         # Same methodology as the query bench: one untimed warm-up run
         # (JIT/codegen/py-worker spin-up — measured 2-3x the steady rate
@@ -101,7 +122,7 @@ def streaming_throughput(
         mark = {"t": 0.0}
 
         def dist_sink(batch_df, batch_id) -> None:
-            rows = batch_df.count()
+            rows = _consume_all(batch_df)
             now = time.perf_counter()
             batch_log.append(
                 {
@@ -164,7 +185,9 @@ def streaming_throughput(
             df = make_df(stream)
             t0 = time.perf_counter()
             q = (
-                df.writeStream.foreachBatch(lambda b, _i: b.count())
+                # same all-columns consumption as the spine sinks so the
+                # three stage walls differ only by the stage under test
+                df.writeStream.foreachBatch(lambda b, _i: _consume_all(b))
                 .option("checkpointLocation", f"{ckpt_dir}-stage-{tag}")
                 .trigger(availableNow=True)
                 .start()
@@ -184,6 +207,13 @@ def streaming_throughput(
             "full_spine_sec": full_sec,
             "decode_delta_sec": round(decode_sec - scan_sec, 4),
             "normalize_delta_sec": round(full_sec - decode_sec, 4),
+            # Each stage run consumes (count + xxhash) its OWN output, so
+            # a delta mixes the added stage's cost with the change in
+            # consumption width — normalize SHRINKS the row (12 typed
+            # columns vs raw string + decoded struct), which can make its
+            # delta negative. Deltas are drift instruments per stage
+            # series, not absolute stage costs.
+            "consumption": "count+xxhash over the stage's output columns",
         }
 
         return {
