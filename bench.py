@@ -70,7 +70,10 @@ SEGMENT_CANARY_RUNS = 3
 # Instrument noise floor (contrib/canary_idle_probe.py, round 7): marks
 # taken with NOTHING between them but 10 s idle sleeps still span ~1.26x
 # after warm-up — a sub-second canary on this host cannot resolve host
-# speed finer than ~1.25x, whatever the protocol. Read segment_spread
+# speed finer than ~1.25x, whatever the protocol. Re-measured round 8
+# after the count()->noop action change (the probe runs the canary's
+# actual action): idle spread 1.293x — the ~1.3x floor is a host
+# property, not an artifact of the old instrument. Read segment_spread
 # accordingly: <= ~1.3 is "indistinguishable from stable"; the stable
 # flag below keeps the stricter 1.1 threshold so the artifact errs
 # toward flagging.
