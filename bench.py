@@ -80,14 +80,30 @@ SEGMENT_CANARY_RUNS = 3
 #
 # RE-FROZEN in round 8 when the timed action changed count()->noop write
 # (see TIMED_ACTION): the canary q1 now pays its final sort + the noop
-# write path, so marks under the new action sit ~2.5-3.7x the 0.3425
-# count()-era reference. Value = median of the 10 segment bracket means
-# of the round-8 calibration run (sf0.1 local[32], noop action; raw
-# 183.4 s, factors vs the old ref 3.72 declining to 2.53 as the write
-# path warmed in). Comparable ONLY to runs normalized against the same
-# (ref_sec, timed_action) pair — bench_compare.py refuses to compare
-# across either changing.
-SEGMENT_REF_SEC = 0.9727
+# write path, so marks under the new action sit well above the 0.3425
+# count()-era reference. The round-8 freeze (0.9727) came from the first
+# noop calibration run — which the repo's own record (SCALE.md "The new
+# instrument, characterized") flags as half-disturbed: raw 183.4 s,
+# factors 3.72 declining to 2.53 over an ~18-minute transient. Anchoring
+# "host factor 1.0" to a disturbed run embeds that transient into every
+# later round's normalized headline (round-9 ADVICE, medium).
+#
+# RE-FROZEN round 9 from the CLEAN steady-state characterization run
+# (commit 8af33f0's BENCH_LOCAL.json: raw 145.38 s, spread 1.2247 — at
+# the idle floor, 0 failures): value = median of that run's 10 segment
+# bracket means, recovered exactly as factor_i x 0.9727 (the artifact
+# stores factors against the then-frozen ref; the mark means are
+# factor*ref by definition). Sorted means 0.826..1.012, median 0.8671.
+#
+# Re-freezing does NOT orphan older noop-era artifacts: segment
+# normalization is LINEAR in the reference (normalized = ref x
+# sum(wall_i / mark_mean_i)), so a run normalized against ref A is
+# re-expressed against ref B by multiplying by B/A — exact, no
+# re-measurement needed. bench_compare.py applies that rescale
+# automatically when two artifacts carry different ref_sec values; only
+# a differing timed_action (count-era vs noop-era) remains a refused,
+# genuinely incomparable pair.
+SEGMENT_REF_SEC = 0.8671
 
 
 def _provenance(
@@ -138,6 +154,45 @@ TIMED_ACTION = "noop_write"
 
 def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def executed_plan(df) -> str:
+    """Run the timed action on ``df`` and return the physical-plan
+    description of the execution that ACTUALLY ran (from the SQL status
+    store), final-plan section only when AQE re-planned.
+
+    This exists because the timed action's plan is not ``df``'s plan:
+    count() demonstrated that an action can trigger optimizer rewrites
+    (ColumnPruning/EliminateSorts) that delete real query work before
+    execution. Tests that pin "the bench action pays for node X" must
+    therefore assert on THIS plan, not on ``df.explain()`` — if a future
+    Spark version started pruning beneath V2 write commands, a
+    df-plan-based test would stay green while bench silently
+    under-measured again (round-9 ADVICE on tests/test_bench_action.py).
+    """
+    spark = df.sparkSession
+    _execute(df)
+    # The SQLAppStatusListener ingests execution events asynchronously on
+    # the listener bus; drain it so the store reflects our write.
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    execs = spark._jsparkSession.sharedState().statusStore().executionsList()
+    # Newest execution that IS the write command: iterative runtimes
+    # (Spark 4 recursive CTE UnionLoop) register every loop step as its
+    # own trailing execution, so "the last execution" can be an inner
+    # iteration instead of the noop write that wraps the query.
+    desc = None
+    for i in range(execs.size() - 1, -1, -1):
+        d = execs.apply(i).physicalPlanDescription()
+        if "OverwriteByExpression" in d:
+            desc = d
+            break
+    if desc is None:
+        desc = execs.apply(execs.size() - 1).physicalPlanDescription()
+    # AQE descriptions carry "== Final Plan ==" then "== Initial Plan ==";
+    # only the final plan executed — keep the description up to the
+    # initial-plan section so pruned-from-final nodes can't hide there.
+    cut = desc.find("== Initial Plan ==")
+    return desc if cut < 0 else desc[:cut]
 
 
 def _warm_up(spark, queries) -> None:

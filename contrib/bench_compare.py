@@ -10,9 +10,11 @@ canary mark between every SEGMENT_SIZE queries and corrects each segment's
 wall by its LOCAL host factor against the frozen SEGMENT_REF_SEC
 reference. This tool divides every per-query timing by its segment's
 factor before comparing, so the printed ratios are the code-attributable
-ones — and it REFUSES to compare two runs normalized against different
-frozen references (their "1.0 host" anchors differ, so normalized totals
-are not on the same scale).
+ones. Two runs frozen against DIFFERENT references are put on one scale
+by an exact linear rescale (normalized totals are proportional to the
+frozen ref, so old x new_ref/old_ref re-expresses the old run against
+the new anchor); only a differing timed_action — count-era vs noop-era
+runs measuring different computations — is refused outright.
 
 Older artifact shapes degrade gracefully: files with only the retired
 pre/post bracket canary (rounds 5-7) fall back to its global host_factor;
@@ -71,6 +73,17 @@ def _unwrap(data: dict) -> dict:
         "queries": queries,
         "_partial": True,
     }
+    # timed_action must survive tail recovery: a round-8+ driver-wrapped
+    # artifact that lost it would default to "count" downstream and be
+    # refused against a full noop-write artifact — fail-closed for a
+    # false reason (round-9 ADVICE). The compact last line carries it;
+    # the truncated tail is the fallback.
+    act = parsed.get("timed_action")
+    if act is None:
+        m = re.search(r'"timed_action":\s*"([a-z_]+)"', tail)
+        act = m.group(1) if m else None
+    if act is not None:
+        out["timed_action"] = act
     if parsed.get("segment_ref_sec") is not None:
         out["segments"] = {
             "ref_sec": parsed["segment_ref_sec"],
@@ -131,21 +144,42 @@ def main() -> None:
     old_q, old_f, old_raw = _load(args.old)
     new_q, new_f, new_raw = _load(args.new)
 
-    # Refuse cross-reference comparison: segment-normalized totals are on
-    # the same scale ONLY when both runs were corrected against the same
-    # frozen SEGMENT_REF_SEC (the reference defines what "host factor 1.0"
-    # means; re-freezing it moves the whole normalized axis).
+    # Cross-reference comparison: the reference defines what "host factor
+    # 1.0" means, so two runs frozen against different SEGMENT_REF_SEC
+    # values sit on different normalized axes — but segment normalization
+    # is LINEAR in the reference (normalized = ref x sum(wall/mark_mean)),
+    # so re-expressing a run against the other's reference is an EXACT
+    # rescale by new_ref/old_ref, not an approximation. When both sides
+    # carry their ref_sec, rescale the OLD run onto the NEW (current)
+    # reference and say so; rounds 1-7 count-era runs are still refused
+    # below on timed_action, which is the genuinely incomparable axis.
     old_ref = (old_raw.get("segments") or {}).get("ref_sec")
     new_ref = (new_raw.get("segments") or {}).get("ref_sec")
+    ref_scale = 1.0
     if old_ref is not None and new_ref is not None and old_ref != new_ref:
-        raise SystemExit(
-            f"refusing to compare: runs were segment-normalized against "
-            f"different frozen references (old ref_sec={old_ref}, new "
-            f"ref_sec={new_ref}) — their normalized totals are not on the "
-            "same scale. Re-run bench.py for the older side under the "
-            "current reference, or compare raw totals with the full "
-            "host-noise caveat."
+        ref_scale = new_ref / old_ref
+        print(
+            f"note: old run was normalized against ref_sec={old_ref}, new "
+            f"against {new_ref}; rescaling the old run's normalized values "
+            f"by {new_ref}/{old_ref} = {ref_scale:.4f} (exact — "
+            "normalization is linear in the frozen reference)."
         )
+        # Per-query values were divided by their segment factor only when
+        # the artifact carries factors; a tail-recovered partial without
+        # them holds RAW per-query times, which must not be rescaled.
+        if (old_raw.get("segments") or {}).get("factors"):
+            old_q = {n: t * ref_scale for n, t in old_q.items()}
+        else:
+            print(
+                "note: old artifact has no per-segment factors — its "
+                "per-query values are raw (factor 1.0) and are NOT "
+                "rescaled; only its normalized headline is."
+            )
+        seg = old_raw.get("segments") or {}
+        for holder, key in ((seg, "normalized_value"),
+                            (old_raw, "segment_normalized_value")):
+            if isinstance(holder.get(key), (int, float)):
+                holder[key] = round(holder[key] * ref_scale, 4)
     # Same guard for the timed action itself: count()-era runs (rounds
     # 1-7, recorded as no timed_action field) never executed the windows/
     # UDF projections/final sorts that the round-8+ noop-write action

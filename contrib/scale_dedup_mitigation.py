@@ -14,6 +14,14 @@ a dup-free corpus. This script measures that composed shape at sf10:
 Expected: survivor count ~= sf0.1's unique-doc count, pair walls back to
 sf0.1-scale — the whole point of the stage order.
 
+Round 9 adds the two GRAPH CONSUMERS (duplicate_clusters connected
+components, pagerank_q30) over the survivors' pair graph — the last two
+sf10 walls (16 GiB OOM on the raw pair graph, SCALE.md). Timing note:
+both operators materialize every propagation round eagerly
+(localCheckpoint inside the loop), so the measured wall covers the real
+iterative work; the trailing count() only consumes the final labels —
+count-pruning (the round-8 instrument bug) cannot hide work here.
+
 Usage: PYTHONPATH=/root/repo python contrib/scale_dedup_mitigation.py
 """
 
@@ -69,6 +77,53 @@ def main() -> None:
         except Exception as exc:
             out[name] = {"sec": -1.0, "err": str(exc)[:200]}
         print(name, out[name], file=sys.stderr)
+
+    # Round-9 (round-8 verdict ask #1): the two GRAPH CONSUMERS of the
+    # pair graph — the sf10 walls. On the RAW sf10 corpus both OOM at
+    # 16 GiB because the shingle-pair graph is output-quadratic in
+    # duplicate multiplicity (~25M dup-cluster edges before the first
+    # iteration). Under the corpus_prep stage order (this script's whole
+    # premise) they consume the post-exact-dedup pair graph instead —
+    # measured here end-to-end: pair memo BUILD included above
+    # (jaccard_pairs), then each consumer timed over a localCheckpointed
+    # pair graph, mirroring queries_dedup's _jaccard_pairs_cached memo.
+    def _heap_mb(jvm) -> int:
+        rt = jvm.java.lang.Runtime.getRuntime()
+        return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+
+    from kafka_clickhouse_example_spark.operators.graph import pagerank_q30
+
+    jvm = spark.sparkContext._jvm
+    try:
+        pairs = D.jaccard_pairs(survivors, THRESHOLD).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        n_labels = D.duplicate_clusters(pairs).count()
+        out["duplicate_clusters"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "rows": n_labels,
+            "driver_heap_used_mb": _heap_mb(jvm),
+        }
+        print("duplicate_clusters:", out["duplicate_clusters"], file=sys.stderr)
+
+        edges = (
+            pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+            .union(
+                pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+            )
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        n_ranked = pagerank_q30(edges, iters=3).count()
+        out["pagerank_q30"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "rows": n_ranked,
+            "driver_heap_used_mb": _heap_mb(jvm),
+        }
+        print("pagerank_q30:", out["pagerank_q30"], file=sys.stderr)
+    except Exception as exc:
+        out["graph_consumers_err"] = str(exc)[:300]
+        print("graph consumers FAILED:", str(exc)[:300], file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+import bench
 from kafka_clickhouse_example_spark.session import configure_runtime, get_spark
 from kafka_clickhouse_example_spark.sources.catalog import load_table
 
@@ -145,15 +146,17 @@ def main() -> None:
     for sf_dir, label in dirs:
         for name in names:
             fn = queries[name]
-            # Timed runs use the bench noop-write action: count() lets
-            # Catalyst prune unreferenced windows/UDF projections/sorts
-            # out of the timed plan (round-8 audit,
+            # Timed runs use bench._execute — THE timed action, imported
+            # rather than re-implemented so this sweep can never silently
+            # diverge from what bench.py times (round-9 ADVICE). count()
+            # let Catalyst prune unreferenced windows/UDF projections/
+            # sorts out of the timed plan (round-8 audit,
             # contrib/count_plan_audit.py — customer_order_running_total
             # "measured" 0.22 s flat from sf0.1 to sf10 under count
             # because the count plan never windowed anything). Row counts
             # still come from an untimed count().
             def run_once():
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                bench._execute(fn(spark, sf_dir))
 
             try:
                 if RUNS <= 1:
@@ -178,7 +181,10 @@ def main() -> None:
             except Exception as exc:
                 out[f"{label}:{name}"] = {"sec": -1.0, "rows": -1, "err": str(exc)[:200]}
                 print(label, name, "FAILED:", str(exc)[:200], file=sys.stderr)
-    out["_timed_action"] = "noop_write (round 8+; earlier sweeps timed count())"
+    out["_timed_action"] = (
+        f"{bench.TIMED_ACTION} via bench._execute (round 8+; earlier sweeps "
+        "timed count())"
+    )
     print(json.dumps(out))
 
 

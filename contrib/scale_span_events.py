@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+import bench
 from kafka_clickhouse_example_spark.session import configure_runtime, get_spark
 from kafka_clickhouse_example_spark.sources.catalog import load_table
 
@@ -80,12 +81,13 @@ def main() -> None:
     for sf_dir, label in [(SRC, "sf0.1"), (DST, "sf10span")]:
         rows = fn(spark, sf_dir).count()
         best = float("inf")
-        # noop-write action (round 8): for this join+agg query count()
-        # pruned only the final sort, but the sweep protocol is one
-        # action everywhere (contrib/count_plan_audit.py)
+        # Timed runs use bench._execute — THE timed action, imported so
+        # this sweep can never silently diverge from what bench.py times
+        # (round-9 ADVICE; the round-8 inline copy was already identical,
+        # but one definition beats two that merely agree today).
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            bench._execute(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         out[f"{label}:events_recent_activity_count"] = {
             "sec": round(best, 3),

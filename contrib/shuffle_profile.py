@@ -51,6 +51,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import bench  # noqa: E402 — the ONE timed-action definition
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 UI_PORT = os.environ.get("SPARK_GRAFT_UI_PORT", "4097")
@@ -98,15 +100,15 @@ def main() -> None:
     failed: dict[str, str] = {}
     for name in names:
         try:
-            # noop-write action (round 8): count() let Catalyst prune
-            # unreferenced windows/UDF projections/final sorts AND their
-            # shuffles out of the measured plan — e.g.
+            # bench._execute — THE timed action, imported rather than
+            # re-implemented so the profile can never silently diverge
+            # from what bench.py times (round-9 ADVICE). count() let
+            # Catalyst prune unreferenced windows/UDF projections/final
+            # sorts AND their shuffles out of the measured plan — e.g.
             # customer_order_running_total profiled 59 shuffle bytes
             # (1 record) when the real query exchanges every order row
             # for its window (contrib/count_plan_audit.py).
-            queries[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            bench._execute(queries[name](spark, SF_DIR))
         except Exception as exc:
             failed[name] = str(exc)[:200]
             print(f"shuffle_profile: {name} failed: {exc}", file=sys.stderr)
@@ -165,7 +167,7 @@ def main() -> None:
             "only source for it and is self-measured)",
         ),
         "sf_dir": SF_DIR,
-        "timed_action": "noop_write (round 8+; earlier profiles ran count())",
+        "timed_action": f"{bench.TIMED_ACTION} via bench._execute (round 8+; earlier profiles ran count())",
         "queries_profiled": len(per_query),
         "queries_failed": sorted(failed),
         "note": (

@@ -56,9 +56,15 @@ def test_bench_action_executes_unreferenced_computed_columns(spark):
 
 def test_bench_action_pays_window_and_sort(spark, sf_dir):
     """The registry query that exposed the bug: its count() plan loses the
-    Window node entirely; the plan the bench action executes keeps it.
-    (Plan-level check — executing at test SF would be green even under
-    count, which is exactly how the bug hid.)"""
+    Window node entirely; the plan the bench action EXECUTES keeps it.
+
+    Round-9 ADVICE hardening: the assertion runs against the physical
+    plan the noop write actually executed (captured from the SQL status
+    store via bench.executed_plan), not against df's own plan — if a
+    future Spark version started applying EliminateSorts/ColumnPruning
+    beneath V2 write commands, a df-plan assertion would stay green while
+    bench under-measured again, the exact failure mode this test exists
+    to prevent."""
     from kafka_clickhouse_example_spark.registry import all_queries
 
     df = all_queries()["customer_order_running_total"](spark, sf_dir)
@@ -72,6 +78,9 @@ def test_bench_action_pays_window_and_sort(spark, sf_dir):
     assert "Window" in plan(df) and "Sort" in plan(df)
     count_plan = plan(df.groupBy().count())
     assert "Window" not in count_plan  # the pruning that hid 31 queries
+
+    write_plan = bench.executed_plan(df)
+    assert "Window" in write_plan and "Sort" in write_plan
 
 
 def test_bench_artifact_declares_timed_action():

@@ -97,44 +97,107 @@ def _compare_mod():
     return mod
 
 
-def test_bench_compare_refuses_cross_reference_runs(tmp_path, capsys):
-    """Round-7 verdict ask #3: two runs segment-normalized against
-    different frozen references are not on the same scale — the compare
-    must refuse, not print misleading ratios."""
+def _run_compare(bc, tmp_path, old, new):
     import json
+    import sys as _sys
 
-    import pytest
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    argv = _sys.argv
+    _sys.argv = ["bench_compare", str(po), str(pn)]
+    try:
+        bc.main()
+    finally:
+        _sys.argv = argv
 
+
+def test_bench_compare_rescales_cross_reference_runs(tmp_path, capsys):
+    """Round-9 re-freeze: two runs segment-normalized against different
+    frozen references sit on proportional axes (normalized = ref x
+    sum(wall/mark)), so the compare re-expresses the old run against the
+    new reference by the exact linear factor instead of refusing."""
     bc = _compare_mod()
     old = {
         "sf": 0.1,
         "value": 100.0,
         "queries": {"q": 1.0},
-        "segments": {"ref_sec": 0.3425, "normalized_value": 100.0},
+        "segments": {
+            "ref_sec": 0.4,
+            "factors": [1.0],
+            "size": 20,
+            "normalized_value": 100.0,
+        },
     }
     new = {
         "sf": 0.1,
         "value": 100.0,
         "queries": {"q": 1.0},
-        "segments": {"ref_sec": 0.2000, "normalized_value": 90.0},
+        "segments": {
+            "ref_sec": 0.2,
+            "factors": [1.0],
+            "size": 20,
+            "normalized_value": 90.0,
+        },
     }
-    po, pn = tmp_path / "old.json", tmp_path / "new.json"
-    po.write_text(json.dumps(old))
-    pn.write_text(json.dumps(new))
-    import sys as _sys
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "rescaling the old run" in out
+    # old normalized total 100.0 re-expressed on the 0.2 axis: 50.0
+    assert "segment_normalized_total=50.0s" in out
+    # per-query: old q rescaled 1.0 -> 0.5, new 1.0 => shared ratio 2.0x
+    assert "(2.000x)" in out
 
-    argv = _sys.argv
-    _sys.argv = ["bench_compare", str(po), str(pn)]
-    try:
-        with pytest.raises(SystemExit, match="different frozen references"):
-            bc.main()
-        # same reference compares fine
-        new["segments"]["ref_sec"] = 0.3425
-        pn.write_text(json.dumps(new))
-        bc.main()
-        assert "segment_normalized_total" in capsys.readouterr().out
-    finally:
-        _sys.argv = argv
+    # same reference: no rescale note, totals untouched
+    new["segments"]["ref_sec"] = 0.4
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "rescaling" not in out
+    assert "segment_normalized_total=100.0s" in out
+
+
+def test_bench_compare_refuses_cross_action_runs(tmp_path):
+    """count-era runs (no timed_action field) timed a Catalyst-pruned
+    plan; comparing them to noop-write runs stays refused — the walls
+    measure different computations and no rescale can fix that."""
+    import pytest
+
+    bc = _compare_mod()
+    old = {"sf": 0.1, "value": 100.0, "queries": {"q": 1.0}}
+    new = {
+        "sf": 0.1,
+        "value": 100.0,
+        "queries": {"q": 1.0},
+        "timed_action": "noop_write",
+    }
+    with pytest.raises(SystemExit, match="different actions"):
+        _run_compare(bc, tmp_path, old, new)
+
+
+def test_bench_compare_unwrap_recovers_timed_action():
+    """Round-9 ADVICE: a driver-wrapped (tail-recovered) round-8+
+    artifact must not lose timed_action — a lost field defaults to
+    'count' downstream and spuriously refuses comparison against a full
+    noop-write artifact."""
+    bc = _compare_mod()
+    # carried in the parsed compact line (the normal round-8+ shape)
+    out = bc._unwrap(
+        {"tail": "", "parsed": {"value": 1.0, "timed_action": "noop_write"}}
+    )
+    assert out["timed_action"] == "noop_write"
+    # parsed lost it (e.g. driver parse of a truncated line): tail fallback
+    out = bc._unwrap(
+        {
+            "tail": '"q_real": 1.2, "timed_action": "noop_write", ',
+            "parsed": {"value": 1.0},
+        }
+    )
+    assert out["timed_action"] == "noop_write"
+    assert "timed_action" not in out["queries"]
+    # genuinely absent (count-era wrapper): field stays absent so the
+    # downstream default of "count" applies honestly
+    out = bc._unwrap({"tail": '"q_real": 1.2, ', "parsed": {"value": 1.0}})
+    assert "timed_action" not in out
 
 
 def test_bench_compare_unwrap_new_format_no_phantom_queries():
