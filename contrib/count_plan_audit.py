@@ -1,5 +1,15 @@
 """Audit: which registry queries does a `.count()` timing action UNDER-measure?
 
+ARCHIVAL (round 9): this was the one-shot round-8 discovery instrument;
+its output is frozen in COUNT_PLAN_AUDIT.json. The invariant it guarded
+is now pinned in CI at registration granularity by
+tests/test_plan_integrity.py, which asserts — for EVERY registry query,
+against the plan the bench action ACTUALLY executed (SQL status store) —
+that no prunable-class node of the query's own plan is lost, plus the
+action-level pins in tests/test_bench_action.py. Keep this script for
+re-running the historical count-vs-full comparison; nothing depends on
+it operationally.
+
 bench.py and contrib/scale_proof_docs.py historically timed each query with
 `df.count()`. Catalyst's ColumnPruning + RemoveNoopOperators + EliminateSorts
 rewrite the count plan: any deterministic computed column nobody downstream
