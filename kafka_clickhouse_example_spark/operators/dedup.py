@@ -817,6 +817,7 @@ def incremental_minhash_pairs(
     new_shingles: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Incremental ingest dedup: near-dup pairs between a NEW batch and the
     EXISTING corpus, without re-deduping the corpus against itself.
@@ -849,10 +850,41 @@ def incremental_minhash_pairs(
     column-pruned scan of the stored keys — no md5/minhash kernel runs
     over the corpus at all, which is the dominant per-batch CPU when only
     shingles are precomputed.
+
+    ``strategy`` selects the PHYSICAL join shape; the emitted pairs are
+    identical (pinned by tests/test_dedup_paths.py):
+
+    - ``"broadcast"`` (default): the three new-side relations broadcast —
+      the |new| << |corpus| ingest contract above. This shape has a HARD
+      ceiling: Spark caps any broadcast at 8 GiB, and the candidate⋈
+      new-shingle build side carries a shingle ARRAY per candidate row,
+      so a corpus-PROPORTIONAL "new" slice on a dup-heavy corpus breaks
+      it architecturally (measured round 9: the sf10 split-leakage audit
+      — 50k-doc test slice x ~100 exact-copy candidate multiplicity —
+      OOMs a 16 GiB heap and hits the 8 GiB broadcast cap at 64 GiB).
+    - ``"shuffle"``: the same joins as shuffled SORT-MERGE joins. Pays
+      corpus-sized shuffles (the docstring's never-shuffle promise is a
+      broadcast-mode property), but SMJ spills instead of holding a hash
+      relation per task — shuffled-HASH was tried first and fails the
+      same corpus ("Can't acquire ... bytes to build hash relation": the
+      candidate x shingle-array build side outgrows per-task execution
+      memory exactly where the broadcast shape outgrew the driver). SMJ
+      is linear and spill-safe at any |new| — the right plan whenever
+      the delta grows with the corpus (split audits, backfills) rather
+      than arriving as a bounded daily batch.
     """
-    # The new batch is small by contract; materialize its shingles once —
-    # three consumers (banding, candidate broadcast, verify broadcast)
-    # would otherwise each recompute the Arrow shingle/minhash kernels.
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}: broadcast|shuffle")
+
+    def _build_side(df: DataFrame) -> DataFrame:
+        # broadcast: the new side lands whole on every executor.
+        # shuffle: merge hint -> SMJ; both sides shuffle-partition on the
+        # key and the join never materializes a whole-relation hash table.
+        return F.broadcast(df) if strategy == "broadcast" else df.hint("merge")
+
+    # The new batch's shingles are read by three consumers (banding,
+    # candidate join, verify join) — materialize once so the Arrow
+    # shingle/minhash kernels don't run three times.
     new_sh = (
         new_shingles
         if new_shingles is not None
@@ -876,17 +908,19 @@ def incremental_minhash_pairs(
         .select(F.col("doc_id").alias("corpus_id"), "bk")
     )
     candidates = (
-        corp_banded.join(F.broadcast(new_banded), "bk")
+        corp_banded.join(_build_side(new_banded), "bk")
         .select("new_id", "corpus_id")
         .distinct()
     )
     cand_with_new = candidates.join(
-        F.broadcast(new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new"))),
+        _build_side(
+            new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new"))
+        ),
         "new_id",
     )
     return (
         corp_sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_corp"))
-        .join(F.broadcast(cand_with_new), "corpus_id")
+        .join(_build_side(cand_with_new), "corpus_id")
         .withColumn("n_common", F.size(F.array_intersect("sh_new", "sh_corp")))
         .withColumn(
             "jaccard",

@@ -847,11 +847,19 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test split-leakage audit: near-duplicate pairs that STRADDLE
     the hash split (test docs with a near-dup in train) — the
     contamination an eval suite must not have. Composes the deterministic
-    80/10/10 splitter with the asymmetric minhash-LSH pipeline: the test
-    slice (small by construction) broadcasts, train is scanned map-side,
-    exactly like daily-ingest dedup. The driver corpus really leaks (5
-    pairs at sf0.01) because planted near-dups are split-blind — which is
-    the point of auditing.
+    80/10/10 splitter with the asymmetric minhash-LSH pipeline. The
+    driver corpus really leaks (5 pairs at sf0.01) because planted
+    near-dups are split-blind — which is the point of auditing.
+
+    strategy="shuffle" (round 9): unlike a daily-ingest batch, the test
+    slice is corpus-PROPORTIONAL (always 10%), so the broadcast shape's
+    hard 8 GiB cap is guaranteed to break at some corpus size — measured
+    at sf10, where 50k test docs x ~100 exact-copy candidate
+    multiplicity OOMs a 16 GiB heap and exceeds Spark's broadcast
+    ceiling outright at 64 GiB. The shuffled-hash shape pays one linear
+    corpus shuffle instead and runs sf10 on the standard heap; emitted
+    pairs are identical (same band-key equi-join + exact verify —
+    strategy parity pinned in tests/test_dedup_paths.py).
     """
     from kafka_clickhouse_example_spark.operators import sampling as SP
 
@@ -866,6 +874,7 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_THRESHOLD,
         new_shingles=sh.filter(b >= 90),
         corpus_shingles=sh.filter(b < 80),
+        strategy="shuffle",
     ).orderBy("new_id", "corpus_id")
 
 

@@ -316,3 +316,43 @@ def test_null_text_agrees_across_paths_and_never_aborts(spark):
         )
     assert shs[0] == shs[1]
     assert mhs[0] == mhs[1]
+
+
+def test_incremental_minhash_strategy_parity(spark, sf_dir):
+    """The broadcast and shuffle strategies of incremental_minhash_pairs
+    are PHYSICAL variants of one logical plan (round 9: the broadcast
+    shape hits Spark's hard 8 GiB cap when the "new" side is
+    corpus-proportional — the sf10 split-leakage audit). Emitted pairs
+    must be identical, and the shapes must actually differ: broadcast
+    plans a BroadcastHashJoin, shuffle must not broadcast the new side."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    def rows(strategy):
+        return sorted(
+            (r["new_id"], r["corpus_id"], r["n_common"], round(r["jaccard"], 9))
+            for r in D.incremental_minhash_pairs(
+                new, corpus, 0.3, strategy=strategy
+            ).collect()
+        )
+
+    bcast, shuf = rows("broadcast"), rows("shuffle")
+    assert bcast == shuf and bcast  # identical AND non-empty on this corpus
+
+    bcast_plan = D.incremental_minhash_pairs(
+        new, corpus, 0.3, strategy="broadcast"
+    )._jdf.queryExecution().executedPlan().toString()
+    shuf_plan = D.incremental_minhash_pairs(
+        new, corpus, 0.3, strategy="shuffle"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan
+    assert "BroadcastHashJoin" not in shuf_plan
+    assert "SortMergeJoin" in shuf_plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        D.incremental_minhash_pairs(new, corpus, 0.3, strategy="sort")
