@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+import warnings
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -156,6 +157,12 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class PlanLookupWarning(UserWarning):
+    """executed_plan could not find the noop-write execution in the SQL
+    status store and fell back to the newest execution — an assertion
+    against that plan may be an assertion against the wrong plan."""
+
+
 def executed_plan(df) -> str:
     """Run the timed action on ``df`` and return the physical-plan
     description of the execution that ACTUALLY ran (from the SQL status
@@ -171,22 +178,53 @@ def executed_plan(df) -> str:
     under-measured again (round-9 ADVICE on tests/test_bench_action.py).
     """
     spark = df.sparkSession
+    store = spark._jsparkSession.sharedState().statusStore()
+    # Only executions registered BY THIS CALL are candidates: the store
+    # retains up to spark.sql.ui.retainedExecutions (1000) past entries,
+    # so an unscoped newest-write search could match a STALE write from a
+    # previous query if ours failed to register — silently returning the
+    # wrong plan (round-10 ADVICE hardening). Scope by the MONOTONIC
+    # execution id, never by list index: past the retention cap the store
+    # evicts from the front, so a before/after SIZE comparison sees no
+    # growth and index scoping would skip the fresh write entirely
+    # (measured: the full-suite shared session crosses the cap and every
+    # late plan-integrity query false-fell-back).
+    prior = store.executionsList()
+    before_max = (
+        prior.apply(prior.size() - 1).executionId() if prior.size() > 0 else -1
+    )
     _execute(df)
     # The SQLAppStatusListener ingests execution events asynchronously on
     # the listener bus; drain it so the store reflects our write.
     spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
-    execs = spark._jsparkSession.sharedState().statusStore().executionsList()
-    # Newest execution that IS the write command: iterative runtimes
+    execs = store.executionsList()
+    # Newest NEW execution that IS the write command: iterative runtimes
     # (Spark 4 recursive CTE UnionLoop) register every loop step as its
     # own trailing execution, so "the last execution" can be an inner
     # iteration instead of the noop write that wraps the query.
     desc = None
     for i in range(execs.size() - 1, -1, -1):
-        d = execs.apply(i).physicalPlanDescription()
+        e = execs.apply(i)
+        if e.executionId() <= before_max:
+            break
+        d = e.physicalPlanDescription()
         if "OverwriteByExpression" in d:
             desc = d
             break
     if desc is None:
+        # The write execution was not found; the newest execution may be
+        # an inner UnionLoop iteration rather than the noop write, so a
+        # plan-honesty assertion against it could pass against the WRONG
+        # plan. Warn loudly (round-10 ADVICE) — test_plan_integrity
+        # escalates this warning to an error so a silent miss of the
+        # write execution can never be asserted against.
+        warnings.warn(
+            "bench.executed_plan: no OverwriteByExpression execution in "
+            "the SQL status store — falling back to the newest execution, "
+            "which may not be the timed write plan",
+            PlanLookupWarning,
+            stacklevel=2,
+        )
         desc = execs.apply(execs.size() - 1).physicalPlanDescription()
     # AQE descriptions carry "== Final Plan ==" then "== Initial Plan ==";
     # only the final plan executed — keep the description up to the

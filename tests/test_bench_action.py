@@ -83,6 +83,18 @@ def test_bench_action_pays_window_and_sort(spark, sf_dir):
     assert "Window" in write_plan and "Sort" in write_plan
 
 
+def test_executed_plan_warns_when_write_execution_missing(spark, monkeypatch):
+    """Round-10 ADVICE: executed_plan's fallback — newest execution when no
+    OverwriteByExpression is found — can return an inner-iteration plan.
+    The fallback must WARN so plan-honesty tests assert against it loudly,
+    never silently. Simulated by swapping the action for a collect(): the
+    status store's newest execution is then not a write."""
+    monkeypatch.setattr(bench, "_execute", lambda df: df.collect())
+    df = spark.range(10).selectExpr("id", "id * 2 AS x")
+    with pytest.warns(bench.PlanLookupWarning, match="OverwriteByExpression"):
+        bench.executed_plan(df)
+
+
 def test_bench_artifact_declares_timed_action():
     """bench_compare refuses cross-action comparison via this field; it
     must stay in the artifact."""

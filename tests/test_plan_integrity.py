@@ -23,8 +23,19 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import bench
 from kafka_clickhouse_example_spark.registry import all_queries
+
+# If executed_plan cannot find the noop-write execution it falls back to
+# the newest execution, which can be an inner UnionLoop iteration — an
+# assertion against that plan would be an assertion against the WRONG
+# plan. Escalate the fallback's warning to a hard failure here (round-10
+# ADVICE): plan-honesty tests must never silently assert on a fallback.
+pytestmark = pytest.mark.filterwarnings(
+    "error::bench.PlanLookupWarning"
+)
 
 # Node classes Catalyst provably pruned under count() (the audit's list).
 # Their counts are AQE-stable: runtime re-planning converts join
