@@ -27,6 +27,17 @@ from __future__ import annotations
 import argparse
 import json
 import re
+from pathlib import Path
+
+# Per-query ratios at or above this are above the host-noise attribution
+# floor (contrib/canary_idle_probe.py: segment-normalized same-code
+# spread bottoms out around ~1.3x for sub-3s queries) and trigger the
+# round-8 cross-check protocol — the comparison itself prints the
+# ready-to-run delta_crosscheck command so the follow-up step cannot be
+# skipped (round-9 verdict ask #7: the driver-artifact tail deltas went
+# uncross-checked precisely because the invocation was a separate manual
+# step).
+ATTRIBUTION_FLOOR = 1.3
 
 
 def _unwrap(data: dict) -> dict:
@@ -156,6 +167,7 @@ def main() -> None:
     old_ref = (old_raw.get("segments") or {}).get("ref_sec")
     new_ref = (new_raw.get("segments") or {}).get("ref_sec")
     ref_scale = 1.0
+    mixed_scale = False
     if old_ref is not None and new_ref is not None and old_ref != new_ref:
         ref_scale = new_ref / old_ref
         print(
@@ -170,10 +182,18 @@ def main() -> None:
         if (old_raw.get("segments") or {}).get("factors"):
             old_q = {n: t * ref_scale for n, t in old_q.items()}
         else:
+            # Round-10 ADVICE: these raw old values still flow into the
+            # shared-total and per-query tables against the new run's
+            # factor-corrected ref-scaled values — every downstream ratio
+            # mixes scales, so each one is tagged where it prints, not
+            # just noted here.
+            mixed_scale = True
             print(
                 "note: old artifact has no per-segment factors — its "
                 "per-query values are raw (factor 1.0) and are NOT "
-                "rescaled; only its normalized headline is."
+                "rescaled; only its normalized headline is. Per-query "
+                "ratios below are RAW-vs-NORMALIZED (mixed scale) and "
+                "are NOT code-attributable."
             )
         seg = old_raw.get("segments") or {}
         for holder, key in ((seg, "normalized_value"),
@@ -233,9 +253,11 @@ def main() -> None:
     removed = sorted(set(old_q) - set(new_q))
     old_shared = sum(old_q[n] for n in shared)
     new_shared = sum(new_q[n] for n in shared)
+    scale_tag = " [MIXED SCALE: old=raw, new=normalized]" if mixed_scale else ""
     print(
         f"\nshared queries: {len(shared)}  normalized shared-total: "
         f"{old_shared:.1f}s -> {new_shared:.1f}s ({new_shared / old_shared:.3f}x)"
+        f"{scale_tag}"
         if shared
         else "\nno shared queries"
     )
@@ -255,12 +277,13 @@ def main() -> None:
         if not rows:
             print(f"\n{title}: none above {args.min_sec}s")
             return
-        print(f"\n{title}:")
+        print(f"\n{title}{scale_tag}:")
         print(f"{'query':44s} {'old(n)':>8s} {'new(n)':>8s} {'delta':>8s} {'ratio':>7s}")
+        row_tag = "  raw-vs-normalized" if mixed_scale else ""
         for delta, ratio, name in rows:
             print(
                 f"{name:44s} {old_q[name]:8.3f} {new_q[name]:8.3f} "
-                f"{delta:+8.3f} {ratio:6.2f}x"
+                f"{delta:+8.3f} {ratio:6.2f}x{row_tag}"
             )
 
     _table([d for d in deltas if d[0] > 0][: args.top], "slower (normalized)")
@@ -268,6 +291,28 @@ def main() -> None:
         sorted((d for d in deltas if d[0] < 0))[: args.top],
         "faster (normalized)",
     )
+
+    # Round-9 verdict ask #7: when any slower delta clears the attribution
+    # floor, the cross-check is MANDATORY protocol, not a suggestion —
+    # print the exact command so it cannot be skipped the way the r8->r9
+    # driver-tail deltas were.
+    above_floor = sorted(
+        (n for d, r, n in deltas if d > 0 and r >= ATTRIBUTION_FLOOR),
+        key=lambda n: -(new_q[n] / old_q[n]),
+    )
+    if above_floor:
+        repo = Path(__file__).resolve().parent.parent
+        flags = " (mixed-scale ratios — cross-check resolves the scale too)" if mixed_scale else ""
+        print(
+            f"\nabove-floor deltas (>= {ATTRIBUTION_FLOOR}x){flags}: "
+            + ", ".join(f"{n} {new_q[n] / old_q[n]:.2f}x" for n in above_floor)
+        )
+        print(
+            "follow-up (round-8 cross-check protocol, one focused "
+            "re-measurement per flag):\n"
+            f"  PYTHONPATH={repo} python {repo}/contrib/delta_crosscheck.py "
+            + " ".join(above_floor)
+        )
 
 
 if __name__ == "__main__":

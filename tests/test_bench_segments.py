@@ -156,6 +156,58 @@ def test_bench_compare_rescales_cross_reference_runs(tmp_path, capsys):
     assert "segment_normalized_total=100.0s" in out
 
 
+def test_bench_compare_emits_crosscheck_command_for_above_floor_deltas(
+    tmp_path, capsys
+):
+    """Round-9 verdict ask #7: when a slower per-query delta clears the
+    ~1.3x attribution floor, the comparison itself must print the
+    ready-to-run delta_crosscheck command (query list pre-filled, worst
+    ratio first) so the follow-up step cannot be skipped."""
+    bc = _compare_mod()
+    old = {"sf": 0.1, "value": 10.0, "timed_action": "noop_write",
+           "queries": {"q_slow": 1.0, "q_worse": 1.0, "q_flat": 1.0}}
+    new = {"sf": 0.1, "value": 10.0, "timed_action": "noop_write",
+           "queries": {"q_slow": 1.4, "q_worse": 2.0, "q_flat": 1.05}}
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "above-floor deltas (>= 1.3x)" in out
+    assert "q_worse 2.00x, q_slow 1.40x" in out
+    assert "contrib/delta_crosscheck.py q_worse q_slow" in out
+    assert "q_flat" not in out.split("above-floor")[1]
+
+    # below the floor: no command emitted
+    new["queries"] = {"q_slow": 1.2, "q_worse": 1.1, "q_flat": 1.0}
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "delta_crosscheck" not in out
+
+
+def test_bench_compare_tags_mixed_scale_ratios(tmp_path, capsys):
+    """Round-10 ADVICE: under a cross-reference compare where the old
+    artifact lacks per-segment factors, its per-query values stay RAW
+    while the new side is factor-corrected and ref-scaled — every printed
+    ratio must carry the mixed-scale tag so it can't be read as
+    code-attributable."""
+    bc = _compare_mod()
+    old = {"sf": 0.1, "value": 100.0, "timed_action": "noop_write",
+           "queries": {"q": 1.0},
+           "segments": {"ref_sec": 0.4, "normalized_value": 100.0}}
+    new = {"sf": 0.1, "value": 100.0, "timed_action": "noop_write",
+           "queries": {"q": 2.0},
+           "segments": {"ref_sec": 0.2, "factors": [1.0], "size": 20,
+                         "normalized_value": 90.0}}
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "[MIXED SCALE: old=raw, new=normalized]" in out
+    assert "raw-vs-normalized" in out
+    # the same comparison with old-side factors present carries no tag
+    old["segments"]["factors"] = [1.0]
+    old["segments"]["size"] = 20
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "MIXED SCALE" not in out
+
+
 def test_bench_compare_refuses_cross_action_runs(tmp_path):
     """count-era runs (no timed_action field) timed a Catalyst-pruned
     plan; comparing them to noop-write runs stays refused — the walls
