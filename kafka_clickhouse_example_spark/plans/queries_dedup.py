@@ -856,8 +856,10 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard 8 GiB cap is guaranteed to break at some corpus size — measured
     at sf10, where 50k test docs x ~100 exact-copy candidate
     multiplicity OOMs a 16 GiB heap and exceeds Spark's broadcast
-    ceiling outright at 64 GiB. The shuffled-hash shape pays one linear
-    corpus shuffle instead and runs sf10 on the standard heap; emitted
+    ceiling outright at 64 GiB. The sort-merge (shuffled) shape pays one
+    linear corpus shuffle instead and runs sf10 on the standard heap —
+    shuffled-HASH was tried and fails the same corpus (operators/dedup.py
+    strategy docstring), so "shuffle" here means SMJ, not SHJ; emitted
     pairs are identical (same band-key equi-join + exact verify —
     strategy parity pinned in tests/test_dedup_paths.py).
     """

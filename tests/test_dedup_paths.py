@@ -356,3 +356,43 @@ def test_incremental_minhash_strategy_parity(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown strategy"):
         D.incremental_minhash_pairs(new, corpus, 0.3, strategy="sort")
+
+
+def test_broadcast_strategy_raises_on_corpus_proportional_new_side(spark):
+    """Round-9 verdict ask #4: the broadcast-ceiling class of bug must be
+    impossible to reintroduce. The audit's shape — a "new" side that
+    grows with the corpus (10%+ row ratio) past the guard floor — must
+    raise up front under strategy="broadcast" with a message pointing at
+    the shuffle knob, not die at Spark's 8 GiB broadcast cap mid-job.
+    Shingle relations are supplied directly so the guard is exercised on
+    exactly the relations the joins would broadcast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    def shingles(n, offset=0):
+        # (doc_id, sh): tiny fake shingle arrays — the guard fires on ROW
+        # ratio before any join/minhash work runs
+        return spark.range(n).select(
+            (F.col("id") + offset).alias("doc_id"),
+            F.array(F.col("id") % 97, (F.col("id") + 1) % 97).alias("sh"),
+        )
+
+    floor = D.BROADCAST_GUARD_MIN_NEW_ROWS
+    new = shingles(floor + 2_000)               # past the guard floor
+    corpus = shingles(2 * floor, offset=10**6)  # ratio 0.6 >> 0.10
+    with pytest.raises(ValueError, match="strategy='shuffle'"):
+        D.incremental_minhash_pairs(
+            None, None, 0.3, new_shingles=new, corpus_shingles=corpus
+        )
+    # the same shape under the knob the message points at is accepted
+    # (plan construction succeeds; no guard, no counts)
+    D.incremental_minhash_pairs(
+        None, None, 0.3, new_shingles=new, corpus_shingles=corpus,
+        strategy="shuffle",
+    )
+    # a bounded batch below the floor never pays the corpus count and
+    # never raises, whatever its ratio
+    D.incremental_minhash_pairs(
+        None, None, 0.3, new_shingles=shingles(50),
+        corpus_shingles=shingles(60, offset=10**6),
+    )
