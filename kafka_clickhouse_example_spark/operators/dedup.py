@@ -318,15 +318,50 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def corpus_side(rel: DataFrame) -> DataFrame:
+    """Mark a corpus-proportional relation as a sort-merge (never
+    broadcast, never hash-build) join side, whatever Catalyst's size
+    estimate says.
+
+    Why an explicit hint and not trust in stats: the shingle memo is a
+    ``localCheckpoint`` (LogicalRDD), and its propagated estimate sits
+    below the 64 MB broadcast threshold well past the point where the
+    SERIALIZED rows outgrow the driver — the round-10 sf30 probe measured
+    the minhash verify join statically broadcasting BOTH O(corpus)
+    shingle sides at 1.5M docs, dying at spark.driver.maxResultSize
+    (26 tasks / 1028 MiB), while the identical plan at 500k docs
+    collected ~350 MB per side and "worked" silently. Same failure class
+    as the round-9 split-leakage broadcast cap, one stage later.
+
+    Why SMJ and not shuffled-hash: tried; at the same 1.5M-doc corpus the
+    per-task hash build of corpus/32 shingle-array rows dies with "Can't
+    acquire ... bytes memory to build hash relation" — the exact failure
+    signature the r9 split-leakage SHJ attempt hit. SMJ spills instead of
+    holding a per-task hash relation, and the sort keys are bare doc_id
+    longs (skew-free: one row per doc).
+    """
+    return rel.hint("merge")
+
+
 def _pair_common_counts(
     with_sh: DataFrame, max_shingle_freq: int | None = None
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Shared candidate core for the set-overlap dedup family: from a
     (doc_id, sh) relation build the inverted index, optionally cut hot
-    shingles, and return (common, sizes) where ``common`` is
-    (id1 < id2, n_common) and ``sizes`` is (doc_id, n_sh). Jaccard and
-    containment differ only in the final score formula."""
-    sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
+    shingles, and return (id1 < id2, n_common, n_sh1, n_sh2). Jaccard and
+    containment differ only in the final score formula.
+
+    The per-doc set sizes ride ON the inverted-index rows (+8 bytes per
+    posting) and come out of the pair aggregation as first() — NOT via
+    joins back to an O(corpus) sizes relation. The join form was the
+    round-10 probe's second finding: Catalyst statically BROADCASTS a
+    corpus-proportional side when the memoized relation's estimate reads
+    small (dying at spark.driver.maxResultSize at 1.5M docs), and the
+    shuffle-hash repair dies building per-task hash relations on the same
+    corpus ("Can't acquire ... bytes to build hash relation" — the exact
+    r9 split-leakage failure). Carrying the size through the aggregation
+    removes the join, the hazard, and a shuffle stage at every scale."""
+    sized = with_sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     # Invert on the 56-bit shingle *hash*, not the string: ~8x less shuffle
     # IO, long-vs-long join keys. (Distinct strings already; a hash collision
     # would merge two shingles — the oracle applies the identical hash, so
@@ -336,8 +371,8 @@ def _pair_common_counts(
     # inside explode() directly makes Catalyst duplicate the upstream UDF
     # chain into the Generate (measured 8.4s vs 1.7s at sf0.1).
     inverted = (
-        with_sh.withColumn("_hs", _md5half_array_udf()(F.col("sh")))
-        .select("doc_id", F.explode("_hs").alias("shingle"))
+        sized.withColumn("_hs", _md5half_array_udf()(F.col("sh")))
+        .select("doc_id", "n_sh", F.explode("_hs").alias("shingle"))
     )
     if max_shingle_freq is not None:
         # Materialize once: the hot-shingle derivation and the anti-join
@@ -357,16 +392,20 @@ def _pair_common_counts(
     # hash join partitions both sides by shingle.
     a = inverted.alias("a")
     b = inverted.hint("shuffle_hash").alias("b")
-    common = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            # constant within the group (one n_sh per doc) — partial-agg free
+            F.first(F.col("a.n_sh")).alias("n_sh1"),
+            F.first(F.col("b.n_sh")).alias("n_sh2"),
+        )
     )
-    return common, sizes
 
 
 def jaccard_pairs(
@@ -387,12 +426,8 @@ def jaccard_pairs(
     clusters, minhash) tokenize once instead of per-operator.
     """
     with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
-    common, sizes = _pair_common_counts(with_sh, max_shingle_freq)
-    sz1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n_sh1"))
-    sz2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n_sh2"))
     return (
-        common.join(sz1, "id1")
-        .join(sz2, "id2")
+        _pair_common_counts(with_sh, max_shingle_freq)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -424,12 +459,8 @@ def containment_pairs(
     formula differs, so the same 100 TB analysis applies.
     """
     with_sh = shingles if shingles is not None else with_shingles(df, text_col, id_col)
-    common, sizes = _pair_common_counts(with_sh, max_shingle_freq)
-    sz1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n_sh1"))
-    sz2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n_sh2"))
     scored = (
-        common.join(sz1, "id1")
-        .join(sz2, "id2")
+        _pair_common_counts(with_sh, max_shingle_freq)
         .withColumn(
             "containment",
             F.col("n_common").cast("double")
@@ -491,8 +522,13 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    sh1 = with_sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
-    sh2 = with_sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    # The verify sides carry the full shingle ARRAYS and are O(corpus) —
+    # the relation Catalyst statically broadcast at 1.5M docs until the
+    # round-10 probe measured it dying at maxResultSize, and whose
+    # shuffled-hash repair died building per-task hash relations on the
+    # same corpus (see corpus_side: SMJ, spill-safe).
+    sh1 = corpus_side(with_sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")))
+    sh2 = corpus_side(with_sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")))
     return (
         candidates.join(sh1, "id1")
         .join(sh2, "id2")
@@ -539,14 +575,20 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
+    # Every relation in the propagation loop — edges, labels, per-round
+    # neighbor minima — is corpus-proportional (O(edges)/O(nodes)), and the
+    # memoized inputs carry the LogicalRDD under-estimate that round 10
+    # measured static-broadcasting O(corpus) sides in the verify joins
+    # (labels here planned as BroadcastHashJoin at test scale): pin every
+    # round join to SMJ (see corpus_side).
     for it in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(corpus_side(labels), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            labels.join(corpus_side(neighbor_min), labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
@@ -564,7 +606,7 @@ def duplicate_clusters(
         if it % 2 == 1 or it == max_iterations - 1:
             changed = (
                 new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .join(corpus_side(labels.alias("o")), F.col("n.node") == F.col("o.node"))
                 .filter(F.col("n.lbl") != F.col("o.lbl"))
                 .limit(1)
                 .count()

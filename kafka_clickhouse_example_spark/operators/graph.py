@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.checkpointing import materialize
+from kafka_clickhouse_example_spark.operators.dedup import corpus_side
 
 Q30 = 1 << 30
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
@@ -54,13 +55,17 @@ def pagerank_q30(
             F.col("src").alias("node"), F.lit(0).cast("long").alias("rank")
         )
     base = (15 * Q30) // (100 * n)
-    ed = edges.join(deg, "src")
+    # deg/ranks are O(nodes) and ed is O(edges) — corpus-proportional by
+    # contract, and the materialized (LogicalRDD) inputs carry the size
+    # under-estimate that round 10 measured static-broadcasting O(corpus)
+    # join sides: pin every round join to SMJ (see dedup.corpus_side).
+    ed = edges.join(corpus_side(deg), "src")
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(Q30 // n).cast("long").alias("rank")
     )
     for _ in range(iters):
         ranks = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(corpus_side(ranks), ed["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank div deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))

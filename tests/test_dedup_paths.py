@@ -396,3 +396,103 @@ def test_broadcast_strategy_raises_on_corpus_proportional_new_side(spark):
         None, None, 0.3, new_shingles=shingles(50),
         corpus_shingles=shingles(60, offset=10**6),
     )
+
+
+def test_verify_joins_never_broadcast_corpus_sides(spark, sf_dir):
+    """Round-10 probe finding: with the shingle memo materialized via
+    localCheckpoint (the production shape — _shingled), Catalyst's
+    LogicalRDD size estimate sits under the broadcast threshold and it
+    statically planned BroadcastExchange on BOTH O(corpus) shingle sides
+    of the minhash verify join — measured dying at
+    spark.driver.maxResultSize (1028 MiB / 26 tasks) at 1.5M docs, while
+    silently collecting ~350 MB per side at 500k docs. The corpus_side
+    hint must keep every corpus-proportional relation (shingle arrays in
+    minhash's verify, size relations in jaccard/containment's) out of
+    broadcast in the pair emitters' plans — the deliberate tiny hot-list
+    broadcast of the stop-cut is the one allowed exception."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the hazard shape: memoized (localCheckpoint) shingles, like _shingled
+    sh = D.with_shingles(docs).localCheckpoint(eager=True)
+
+    emitters = {
+        "minhash": D.minhash_lsh_pairs(None, 0.3, shingles=sh),
+        "jaccard": D.jaccard_pairs(None, 0.3, shingles=sh),
+        "containment": D.containment_pairs(None, 0.3, shingles=sh),
+    }
+    for name, df in emitters.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, name
+        assert "ShuffledHashJoin" in plan, name
+    # minhash's exact verify joins the candidate pairs back to the
+    # shingle arrays as SMJ (spill-safe — the shuffled-hash build form
+    # died at 1.5M docs); jaccard/containment have NO verify join at all
+    # (set sizes ride the inverted index through the aggregation), so a
+    # SortMergeJoin appearing there means the join form crept back in.
+    minhash_plan = emitters["minhash"]._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in minhash_plan
+    for name in ("jaccard", "containment"):
+        plan = emitters[name]._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+
+    # stop-cut: the hot-shingle anti-join list is bounded (|shingles with
+    # freq > cut|, KBs) and broadcasts DELIBERATELY; everything else must
+    # still stay shuffle-side.
+    stopcut = D.jaccard_pairs(None, 0.3, shingles=sh, max_shingle_freq=50)
+    plan = stopcut._jdf.queryExecution().executedPlan().toString()
+    # the hot-list anti-join subtree feeds BOTH sides of the self-join, so
+    # its one deliberate broadcast prints twice — every BroadcastExchange
+    # must be one of those LeftAnti probes and nothing else
+    n_broadcast = plan.count("BroadcastExchange")
+    assert n_broadcast == plan.count("LeftAnti") == 2
+    assert plan.count("BroadcastHashJoin") == n_broadcast
+    assert "ShuffledHashJoin" in plan
+
+
+def test_iterative_loops_never_broadcast_corpus_relations(spark, sf_dir):
+    """Round-10: the CC label-propagation and PageRank round joins take
+    corpus-proportional relations on BOTH sides (edges O(pairs), labels/
+    ranks O(nodes)), and their materialized (LogicalRDD) inputs carry the
+    size under-estimate that static-planned BroadcastHashJoin at test
+    scale — fatal at a 10^9-node graph's 8 GiB broadcast cap. corpus_side
+    pins every round join to SMJ; this asserts on the plans that ACTUALLY
+    executed (SQL status store — the loops materialize each round, so the
+    returned DataFrame's plan shows nothing)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_example_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        D.jaccard_pairs(docs, 0.3).select("id1", "id2").localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def new_plans(action):
+        prior = store.executionsList()
+        before = prior.apply(prior.size() - 1).executionId() if prior.size() > 0 else -1
+        action()
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        execs = store.executionsList()
+        out = []
+        for i in range(execs.size() - 1, -1, -1):
+            e = execs.apply(i)
+            if e.executionId() <= before:
+                break
+            out.append(e.physicalPlanDescription())
+        return out
+
+    for tag, action in (
+        ("clusters", lambda: D.duplicate_clusters(pairs).count()),
+        ("pagerank", lambda: G.pagerank_q30(edges).count()),
+    ):
+        plans = new_plans(action)
+        assert plans, tag  # the loop really registered executions
+        offenders = [p for p in plans if "BroadcastHashJoin" in p]
+        assert not offenders, (tag, offenders[0][:500] if offenders else "")
