@@ -977,6 +977,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = load_compute_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # perdoc is O(docs) and broadcast at test scale — AUDITED AND CLEARED
+    # (round-10 valley audit): its estimate tracks the corpus linearly
+    # with only a ~3.5x under-read (skinny 24 B rows, no array widening;
+    # contrib/scale_sf30_r10.json stats probe), so the broadcast window
+    # closes at ~220 MB real — below every cap. Catalyst's size-aware
+    # call is right in both regimes; a pin here measured +0.85 s at
+    # sf0.1 for no wall removed.
     return (
         perdoc.join(docs, "doc_id")
         .groupBy("source")

@@ -158,6 +158,12 @@ def events_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = events.select("user_id").distinct()
     est = SK.cms_probe(sketch, probes, "user_id")
     true = events.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    # est is O(users) and broadcast at test scale — AUDITED AND CLEARED
+    # (round-10 valley audit): skinny 16 B rows whose estimate tracks the
+    # events scan linearly (~small-constant under-read), so the broadcast
+    # window closes far below the driver/broadcast caps. See SCALE.md
+    # "valley criterion" — pin only where UDF/array widening makes the
+    # under-read >= ~16x.
     return (
         est.join(true, "user_id")
         .select(

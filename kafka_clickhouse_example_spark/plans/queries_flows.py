@@ -269,6 +269,13 @@ def flows_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start",
         "bytes",
     )
+    # Batch mode broadcasts one side of the O(traffic) self-join at test
+    # scale — AUDITED AND CLEARED (round-10 valley audit): the flows
+    # memo's estimate tracks its origin scan linearly and the rows carry
+    # no UDF/array widening, so the broadcast window closes below the
+    # caps (SCALE.md "valley criterion"). In production this operator
+    # runs as the stream-stream interval join (state-store semantics, no
+    # broadcast question).
     joined = correlated_flows_stream(with_event_time(f2), horizon="6 hours")
     return (
         joined.groupBy("src_ip", "dst_ip")
