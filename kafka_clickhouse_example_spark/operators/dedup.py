@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.checkpointing import materialize
+from kafka_clickhouse_example_spark.operators.planning import corpus_side  # noqa: F401 — re-exported; pair/verify plans and callers use it
 
 NGRAM_DEFAULT = 3
 
@@ -316,31 +317,6 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
             F.count("*").alias("n_copies"),
         )
     )
-
-
-def corpus_side(rel: DataFrame) -> DataFrame:
-    """Mark a corpus-proportional relation as a sort-merge (never
-    broadcast, never hash-build) join side, whatever Catalyst's size
-    estimate says.
-
-    Why an explicit hint and not trust in stats: the shingle memo is a
-    ``localCheckpoint`` (LogicalRDD), and its propagated estimate sits
-    below the 64 MB broadcast threshold well past the point where the
-    SERIALIZED rows outgrow the driver — the round-10 sf30 probe measured
-    the minhash verify join statically broadcasting BOTH O(corpus)
-    shingle sides at 1.5M docs, dying at spark.driver.maxResultSize
-    (26 tasks / 1028 MiB), while the identical plan at 500k docs
-    collected ~350 MB per side and "worked" silently. Same failure class
-    as the round-9 split-leakage broadcast cap, one stage later.
-
-    Why SMJ and not shuffled-hash: tried; at the same 1.5M-doc corpus the
-    per-task hash build of corpus/32 shingle-array rows dies with "Can't
-    acquire ... bytes memory to build hash relation" — the exact failure
-    signature the r9 split-leakage SHJ attempt hit. SMJ spills instead of
-    holding a per-task hash relation, and the sort keys are bare doc_id
-    longs (skew-free: one row per doc).
-    """
-    return rel.hint("merge")
 
 
 def _pair_common_counts(

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.checkpointing import materialize
-from kafka_clickhouse_example_spark.operators.dedup import corpus_side
+from kafka_clickhouse_example_spark.operators.planning import corpus_side
 
 Q30 = 1 << 30
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
