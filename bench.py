@@ -131,6 +131,35 @@ def _provenance(
     }
 
 
+def _data_fingerprints(sf_dir: str) -> dict:
+    """md5 + row count per input table (round-11 ask #3): the driver
+    regenerates /root/testdata each round, so every cross-round per-query
+    comparison silently assumed "same data" until round 10 recorded the
+    first snapshot. Stamping the fingerprints into every bench artifact
+    makes the data axis checkable from the artifact alone —
+    contrib/data_fingerprint.py diffs two artifacts' blocks directly.
+    Cost: one md5 pass over ~17 MB of parquet at sf0.1, microseconds
+    against a 150 s sweep; failure is non-fatal (the bench number still
+    stands, just without the data stamp)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(sf_dir, name)
+            with open(p, "rb") as fh:
+                md5 = hashlib.md5(fh.read()).hexdigest()
+            meta = pq.ParquetFile(p).metadata
+            out[name] = {"md5": md5, "num_rows": meta.num_rows}
+    except OSError as exc:
+        return {"_error": str(exc)[:200]}
+    return out
+
+
 def _sf_label(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -432,6 +461,7 @@ def main() -> None:
         "timed_action": TIMED_ACTION,
         "streaming": streaming,
         "sf": _sf_label(SF_DIR),
+        "data_fingerprints": _data_fingerprints(SF_DIR),
         "provenance": _provenance(),
     }
     print(json.dumps(payload))

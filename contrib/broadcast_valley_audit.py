@@ -39,48 +39,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MARKERS = ("ArrowEvalPython", "BatchEvalPython", "Generate ", "Scan ExistingRDD")
-
-
-def _indent(line: str) -> int:
-    """Tree-string indentation depth: count chars before the node name
-    (toString uses ':'/'+- '/'   ' prefixes; the first alpha char of the
-    operator name marks the depth)."""
-    for i, ch in enumerate(line):
-        if ch.isalpha() and line[i : i + 2] != "- ":
-            return i
-    return len(line)
-
-
-def broadcast_subtrees(plan: str) -> list[str]:
-    """Return the subtree text of every BroadcastExchange node in a
-    physical-plan tree string (lines deeper-indented than the node)."""
-    lines = plan.splitlines()
-    out = []
-    for i, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
-            continue
-        depth = _indent(line)
-        sub = [line]
-        for nxt in lines[i + 1 :]:
-            if not nxt.strip():
-                break
-            if _indent(nxt) <= depth:
-                break
-            sub.append(nxt)
-        out.append("\n".join(sub))
-    return out
-
-
-def flags_in_plan(plan: str) -> list[dict]:
-    found = []
-    for sub in broadcast_subtrees(plan):
-        hit = [m.strip() for m in MARKERS if m in sub]
-        if hit:
-            head = sub.splitlines()
-            # first two operators under the exchange identify the relation
-            found.append({"markers": hit, "subtree_head": head[: min(4, len(head))]})
-    return found
+# Parser + markers live in the package (operators/planning.py) so the
+# regression pytest and this sweep can never drift apart (round-11 ask #6).
+from kafka_clickhouse_example_spark.operators.planning import (  # noqa: E402
+    VALLEY_MARKERS as MARKERS,
+    broadcast_subtrees,
+    valley_flags as flags_in_plan,
+)
 
 
 def main() -> None:

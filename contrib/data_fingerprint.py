@@ -76,9 +76,10 @@ def diff(old_path: str, new_path: str) -> int:
             failed = True
             continue
         if o["md5"] != n["md5"]:
+            # .get: bench.py's in-artifact blocks carry only md5+num_rows
             print(f"CHANGED {name}: md5 {o['md5']} -> {n['md5']} "
-                  f"(rows {o['num_rows']} -> {n['num_rows']}, "
-                  f"bytes {o['bytes']} -> {n['bytes']})")
+                  f"(rows {o.get('num_rows')} -> {n.get('num_rows')}, "
+                  f"bytes {o.get('bytes')} -> {n.get('bytes')})")
             failed = True
         else:
             notes = []

@@ -44,7 +44,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.checkpointing import materialize
-from kafka_clickhouse_example_spark.operators.planning import corpus_side  # noqa: F401 — re-exported; pair/verify plans and callers use it
+from kafka_clickhouse_example_spark.operators.planning import (  # noqa: F401 — corpus_side re-exported; pair/verify plans and callers use it
+    POSTING_ROW_BYTES,
+    SHINGLE_ARRAY_ROW_BYTES,
+    corpus_side,
+    warn_if_task_state_overflows,
+)
 
 NGRAM_DEFAULT = 3
 
@@ -355,6 +360,17 @@ def _pair_common_counts(
         # probe would otherwise each re-run the shingle+hash UDF chain over
         # the whole corpus (measured ~2x the query time at sf0.1).
         inverted = inverted.localCheckpoint()
+        # Partition-sizing guard on the pinned-SHJ self-join below: the
+        # per-task hash build is postings/partitions x 24 B and died at
+        # sf30ctl/32 partitions (SCALE.md). The memo makes the posting
+        # count O(cached partitions) — free relative to the kernel run
+        # that just executed.
+        warn_if_task_state_overflows(
+            inverted.sparkSession,
+            inverted.count(),
+            POSTING_ROW_BYTES,
+            "inverted-index self-join (SHJ build)",
+        )
         hot = (
             inverted.groupBy("shingle")
             .agg(F.count("*").alias("freq"))
@@ -377,7 +393,9 @@ def _pair_common_counts(
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(
             F.count("*").alias("n_common"),
-            # constant within the group (one n_sh per doc) — partial-agg free
+            # safe under partial aggregation (first() DOES partially
+            # aggregate): n_sh is constant within the group — one n_sh
+            # per doc — so any partial's first equals the group's value
             F.first(F.col("a.n_sh")).alias("n_sh1"),
             F.first(F.col("b.n_sh")).alias("n_sh2"),
         )
@@ -968,6 +986,21 @@ def incremental_minhash_pairs(
                     "(split audits, backfills) — same emitted pairs via "
                     "spill-safe sort-merge joins."
                 )
+    elif corpus_shingles is not None:
+        # Partition-sizing guard on the SMJ shape (round-11 ask #5): the
+        # verify join sorts corpus shingle-ARRAY rows, and the per-task
+        # sort state OOMed at sf100ctl (5M rows / 32 partitions) while 128
+        # partitions completed — SCALE.md "partition-sizing rule". Only
+        # the precomputed-shingles path counts: corpus_shingles is
+        # memoized / parquet-backed in every production caller, so
+        # count() is cheap, whereas counting a raw corpus_df here would
+        # run the shingle kernel over the whole corpus just to maybe warn.
+        warn_if_task_state_overflows(
+            corpus_shingles.sparkSession,
+            corpus_shingles.count(),
+            SHINGLE_ARRAY_ROW_BYTES,
+            "incremental minhash verify (SMJ sort state, corpus side)",
+        )
     new_banded = (
         with_minhash_signature(new_sh)
         .withColumn("bk", F.explode(band_keys(F.col("mh"))))

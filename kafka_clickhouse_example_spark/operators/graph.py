@@ -58,7 +58,7 @@ def pagerank_q30(
     # deg/ranks are O(nodes) and ed is O(edges) — corpus-proportional by
     # contract, and the materialized (LogicalRDD) inputs carry the size
     # under-estimate that round 10 measured static-broadcasting O(corpus)
-    # join sides: pin every round join to SMJ (see dedup.corpus_side).
+    # join sides: pin every round join to SMJ (see planning.corpus_side).
     ed = edges.join(corpus_side(deg), "src")
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(Q30 // n).cast("long").alias("rank")

@@ -441,12 +441,18 @@ def test_verify_joins_never_broadcast_corpus_sides(spark, sf_dir):
     # still stay shuffle-side.
     stopcut = D.jaccard_pairs(None, 0.3, shingles=sh, max_shingle_freq=50)
     plan = stopcut._jdf.queryExecution().executedPlan().toString()
-    # the hot-list anti-join subtree feeds BOTH sides of the self-join, so
-    # its one deliberate broadcast prints twice — every BroadcastExchange
-    # must be one of those LeftAnti probes and nothing else
-    n_broadcast = plan.count("BroadcastExchange")
-    assert n_broadcast == plan.count("LeftAnti") == 2
-    assert plan.count("BroadcastHashJoin") == n_broadcast
+    # the hot-list anti-join is the ONE deliberate broadcast: assert
+    # structurally (round-10 ADVICE — substring counts flip on exchange
+    # reuse / plan-printing changes) that every BroadcastExchange in the
+    # executed plan feeds a LeftAnti probe and nothing else
+    from kafka_clickhouse_example_spark.operators.planning import (
+        broadcast_parent_joins,
+    )
+
+    parents = broadcast_parent_joins(plan)
+    assert parents, "stop-cut lost its deliberate hot-list broadcast"
+    for parent in parents:
+        assert "LeftAnti" in parent, (parent, plan[:500])
     assert "ShuffledHashJoin" in plan
 
 

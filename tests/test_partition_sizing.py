@@ -1,0 +1,132 @@
+"""The partition-sizing rule, executable (round-11 verdict ask #5).
+
+SCALE.md documents two measured mid-job deaths on a 16 GiB heap / 32
+slots / 32 shuffle partitions — the SHJ hash build of the sf30ctl
+inverted-index self-join (67M postings) and the SMJ sort state of the
+sf100ctl split-leakage audit (5M shingle-array rows) — both completing
+at 128 partitions. These tests pin that exact arithmetic into
+planning.per_task_state_overflow (the failing shapes warn, the passing
+shapes don't) and prove the production call sites actually invoke it.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from kafka_clickhouse_example_spark.operators import dedup as D
+from kafka_clickhouse_example_spark.operators import planning as P
+
+GIB = 2**30
+RIG = dict(heap_bytes=16 * GIB, task_slots=32)  # the measured rig
+
+
+def test_shj_build_shapes():
+    """sf30ctl inverted-index self-join: 67M postings x 24 B."""
+    fail = P.per_task_state_overflow(
+        67_000_000, P.POSTING_ROW_BYTES, shuffle_partitions=32, **RIG
+    )
+    assert fail is not None, "the measured SHJ death shape must warn"
+    assert fail["partitions_floor"] > 32
+    # 128 partitions completed in 130.7 s — must be silent
+    assert (
+        P.per_task_state_overflow(
+            67_000_000, P.POSTING_ROW_BYTES, shuffle_partitions=128, **RIG
+        )
+        is None
+    )
+    # and the recommended floor itself must be a passing configuration
+    assert (
+        P.per_task_state_overflow(
+            67_000_000,
+            P.POSTING_ROW_BYTES,
+            shuffle_partitions=fail["partitions_floor"],
+            **RIG,
+        )
+        is None
+    )
+
+
+def test_smj_sort_shapes():
+    """sf100ctl split-leakage audit: 5M shingle-array rows (~700 B)."""
+    fail = P.per_task_state_overflow(
+        5_000_000, P.SHINGLE_ARRAY_ROW_BYTES, shuffle_partitions=32, **RIG
+    )
+    assert fail is not None, "the measured SMJ OOM shape must warn"
+    assert fail["partitions_floor"] > 32
+    # 128 partitions completed in 111.7 s — must be silent
+    assert (
+        P.per_task_state_overflow(
+            5_000_000, P.SHINGLE_ARRAY_ROW_BYTES, shuffle_partitions=128, **RIG
+        )
+        is None
+    )
+
+
+def test_bench_scale_shapes_stay_silent():
+    """The sf0.1 bench corpus (5k docs, ~1M postings) must never warn —
+    the guard is a scale contract, not bench noise."""
+    assert (
+        P.per_task_state_overflow(
+            1_000_000, P.POSTING_ROW_BYTES, shuffle_partitions=32, **RIG
+        )
+        is None
+    )
+    assert (
+        P.per_task_state_overflow(
+            5_000, P.SHINGLE_ARRAY_ROW_BYTES, shuffle_partitions=32, **RIG
+        )
+        is None
+    )
+
+
+def _shingles(spark, n, offset=0):
+    from pyspark.sql import functions as F
+
+    rows = [(offset + i, f"doc {i} some shingle text here") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return D.with_shingles(docs)
+
+
+def test_wired_sites_fire(spark, monkeypatch):
+    """The guard is only worth anything if the production paths call it:
+    shrink the share so the tiny test corpus overflows, and both wired
+    sites (stop-cut SHJ memo branch; incremental shuffle-strategy SMJ)
+    must emit the ResourceWarning with the partitions arithmetic."""
+    monkeypatch.setattr(P, "TASK_STATE_SHARE", 1e-12)
+    sh = _shingles(spark, 20).localCheckpoint(eager=True)
+
+    with pytest.warns(ResourceWarning, match="SHJ build.*shuffle.partitions"):
+        D.jaccard_pairs(None, 0.3, shingles=sh, max_shingle_freq=50).collect()
+
+    with pytest.warns(ResourceWarning, match="SMJ sort state.*partitions"):
+        D.incremental_minhash_pairs(
+            None,
+            None,
+            0.3,
+            new_shingles=_shingles(spark, 5, offset=10**6),
+            corpus_shingles=sh,
+            strategy="shuffle",
+        )
+
+
+def test_wired_sites_silent_at_test_scale(spark):
+    """Under the real session sizing, the tiny corpus must not warn —
+    the default bound has ~40 MB/task of headroom at test scale."""
+    sh = _shingles(spark, 20).localCheckpoint(eager=True)
+    # record=True rather than error-on-ResourceWarning: py4j emits its own
+    # unclosed-socket ResourceWarnings at GC time, which must not flake this
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        D.jaccard_pairs(None, 0.3, shingles=sh, max_shingle_freq=50).collect()
+        D.incremental_minhash_pairs(
+            None,
+            None,
+            0.3,
+            new_shingles=_shingles(spark, 5, offset=10**6),
+            corpus_shingles=sh,
+            strategy="shuffle",
+        )
+    ours = [w for w in seen if "shuffle.partitions" in str(w.message)]
+    assert not ours, [str(w.message) for w in ours]
