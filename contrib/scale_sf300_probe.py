@@ -112,15 +112,23 @@ def main() -> None:
         try:
             t0 = time.perf_counter()
             bench._execute(fn(spark, DST))
-            sec = time.perf_counter() - t0
-            rows = fn(spark, DST).count()
-            out[name] = {
-                "sec": round(sec, 3),
-                "rows": rows,
-                "disk_free_gb_before": round(free_gb, 1),
-            }
+            sec = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record, never sink the probe
             out[name] = {"sec": -1.0, "rows": -1, "err": str(exc)[:300]}
+            print(name, out[name], file=sys.stderr)
+            continue
+        # separate try: the count re-executes for the output size; its
+        # failure must not discard the measured wall
+        try:
+            rows = fn(spark, DST).count()
+        except Exception as exc:
+            rows = -1
+            out[name + "_count_err"] = str(exc)[:300]
+        out[name] = {
+            "sec": sec,
+            "rows": rows,
+            "disk_free_gb_before": round(free_gb, 1),
+        }
         print(name, out[name], file=sys.stderr)
     print(json.dumps(out))
 
