@@ -124,6 +124,79 @@ def warn_if_task_state_overflows(
         )
 
 
+# ---------------------------------------------------------------------------
+# Memo-residency rule (round-11 sf300ctl finding, SCALE.md "memo
+# residency"): a localCheckpoint memo's deserialized blocks live in the
+# unified pool's STORAGE region, and storage at/below
+# spark.memory.storageFraction cannot be evicted by execution — so a memo
+# that outgrows the pool starves every concurrent shuffle writer
+# ("UNABLE_TO_ACQUIRE_MEMORY ... got 0" with spill() failing), and no
+# shuffle-partition count can fix it. Measured on the 16 GiB / 32-slot
+# rig: the 5M-doc shingle memo (~10 GB deserialized, ~1.0x the pool) ran
+# both dedup walls to completion; the 15M-doc memo (~31 GB, ~3.2x) killed
+# both. The 1.5x headroom bound separates the two measured points; past
+# it the answer is the parquet-backed store (operators/dedup_store.py's
+# ingest shape — on a real cluster, the shared HDFS/object-store table),
+# which round 11 measured completing both queries at 15M docs.
+# ---------------------------------------------------------------------------
+MEMO_RESIDENCY_HEADROOM = 1.5
+# Deserialized bytes/row for shingle-array memo rows: ~2-3x the ~700 B
+# serialized estimate (Java object headers + UTF-16 strings + array boxes)
+MEMO_ARRAY_ROW_BYTES_DESER = 2048
+
+
+def memo_residency_overflow(
+    n_rows: int,
+    bytes_per_row: float,
+    *,
+    heap_bytes: int,
+    memory_fraction: float = EXECUTION_MEMORY_FRACTION,
+) -> dict | None:
+    """The memo-residency rule as arithmetic: None when the estimated
+    deserialized memo footprint fits MEMO_RESIDENCY_HEADROOM x the
+    unified pool, else the numbers. Pure, like per_task_state_overflow,
+    so tests pin the measured shapes exactly."""
+    pool = heap_bytes * memory_fraction
+    est = n_rows * bytes_per_row
+    if est <= MEMO_RESIDENCY_HEADROOM * pool:
+        return None
+    return {
+        "memo_est_bytes": int(est),
+        "pool_bytes": int(pool),
+        "ratio": round(est / pool, 2),
+    }
+
+
+def warn_if_memo_overflows(
+    spark, n_rows: int, bytes_per_row: float, label: str
+) -> None:
+    """Session-reading wrapper for the memo-residency rule: warn when a
+    localCheckpoint memo of ``n_rows`` would pin more storage than the
+    unified pool can give back, pointing at the parquet-backed store."""
+    try:
+        heap = _jvm_max_heap_bytes(spark)
+        frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    except Exception:
+        return  # sizing introspection must never break the query
+    hit = memo_residency_overflow(
+        n_rows, bytes_per_row, heap_bytes=heap, memory_fraction=frac
+    )
+    if hit:
+        warnings.warn(
+            f"{label}: estimated deserialized memo footprint "
+            f"{hit['memo_est_bytes'] / 2**30:.1f} GiB is "
+            f"{hit['ratio']}x the unified memory pool "
+            f"({hit['pool_bytes'] / 2**30:.1f} GiB = heap x fraction "
+            f"{frac}). localCheckpoint blocks pin the storage region and "
+            "starve shuffle writers past this point (measured at 15M "
+            "docs — SCALE.md 'memo residency'); materialize the memo to "
+            "a parquet-backed store instead "
+            "(operators/dedup_store.py ingest shape).",
+            ResourceWarning,
+            stacklevel=3,
+        )
+
+
 def _jvm_max_heap_bytes(spark) -> int:
     """The JVM's actual -Xmx — authoritative over parsing
     spark.driver.memory (which may be unset when the JVM was launched

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import dedup as D
+from kafka_clickhouse_example_spark.operators import planning as P
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
@@ -32,6 +33,17 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         docs = load_compute_table(spark, sf_dir, "documents")
         cached = D.with_shingles(docs).localCheckpoint(eager=True)
+        # Memo-residency guard (round-11 sf300ctl finding): a
+        # localCheckpoint memo that outgrows the unified pool pins the
+        # storage region and starves every shuffle writer downstream —
+        # warn here, once per memo, with the parquet-store pointer. The
+        # count is O(cached partitions) on the just-checkpointed blocks.
+        P.warn_if_memo_overflows(
+            spark,
+            cached.count(),
+            P.MEMO_ARRAY_ROW_BYTES_DESER,
+            "shingle memo (localCheckpoint)",
+        )
         _SHINGLE_CACHE[key] = cached
     return cached
 

@@ -81,6 +81,48 @@ def test_bench_scale_shapes_stay_silent():
     )
 
 
+def test_memo_residency_shapes():
+    """sf300ctl finding: the 5M-doc localCheckpoint memo (~1.0x the
+    unified pool) completed both dedup walls; the 15M-doc memo (~3.2x)
+    starved every shuffle writer. The rule must separate the two."""
+    heap = 16 * GIB
+    assert (
+        P.memo_residency_overflow(
+            5_000_000, P.MEMO_ARRAY_ROW_BYTES_DESER, heap_bytes=heap
+        )
+        is None
+    ), "the measured-passing 5M-doc memo must stay silent"
+    fail = P.memo_residency_overflow(
+        15_000_000, P.MEMO_ARRAY_ROW_BYTES_DESER, heap_bytes=heap
+    )
+    assert fail is not None, "the measured-failing 15M-doc memo must warn"
+    assert fail["ratio"] > P.MEMO_RESIDENCY_HEADROOM
+    # bench/test scale is nowhere near the bound
+    assert (
+        P.memo_residency_overflow(
+            5_000, P.MEMO_ARRAY_ROW_BYTES_DESER, heap_bytes=4 * GIB
+        )
+        is None
+    )
+
+
+def test_memo_guard_wired_into_shingle_memo(spark, monkeypatch):
+    from kafka_clickhouse_example_spark.plans import queries_dedup as QD
+
+    monkeypatch.setattr(P, "MEMO_RESIDENCY_HEADROOM", 1e-12)
+    monkeypatch.setattr(QD, "_SHINGLE_CACHE", {})
+    with pytest.warns(ResourceWarning, match="memo.*parquet-backed store"):
+        QD._shingled(spark, "/root/testdata/sf0.001")
+    # and silent under the real bound
+    monkeypatch.undo()
+    monkeypatch.setattr(QD, "_SHINGLE_CACHE", {})
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        QD._shingled(spark, "/root/testdata/sf0.001")
+    ours = [w for w in seen if "parquet-backed store" in str(w.message)]
+    assert not ours
+
+
 def _shingles(spark, n, offset=0):
     from pyspark.sql import functions as F
 
