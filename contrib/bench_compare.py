@@ -1,6 +1,21 @@
 """Canary-normalized round-over-round bench comparison.
 
 Usage: python contrib/bench_compare.py OLD.json NEW.json [--top N]
+       python contrib/bench_compare.py r9 r10 [--top N]
+
+A bare round ref (`r9`, `r10`, ...) resolves through git to that round's
+close commit ("round N: verdict/advice/correctness/bench") and compares
+the BENCH_LOCAL.json committed there — which IS the driver's run for
+round N (round-11 finding: the wrapper BENCH_r{N}.json tails recover
+only ~12 per-query values, while the round-close BENCH_LOCAL carries the
+full 190-query map with segment factors; r10's tail values match its
+BENCH_LOCAL exactly). Prefer round refs for round-over-round work.
+
+When both artifacts carry a data_fingerprints block (bench.py stamps one
+from round 11 on), the comparison checks the DATA axis first and lists
+any table whose md5 changed — per-query deltas for queries reading a
+changed table are not code-attributable (round-11 ask #3, made
+automatic).
 
 The round-5 verdict established that raw bench totals on this virtualized
 host drift up to ~1.2x with zero code change, so raw per-query deltas are
@@ -126,6 +141,72 @@ def _query_factors(data: dict) -> dict[str, float]:
     return out
 
 
+def _resolve_round_ref(ref: str) -> str:
+    """Turn a bare round ref (r9 / R09 / 9) into a temp-file path holding
+    that round's close-commit BENCH_LOCAL.json; non-refs pass through.
+    The round-N close commit is the driver's "round N: verdict/advice/
+    correctness/bench" commit, whose BENCH_LOCAL is the round-N driver
+    run itself (full per-query map + segment factors)."""
+    import subprocess
+    import tempfile
+
+    m = re.fullmatch(r"[rR]?0*(\d+)", ref)
+    if not m or Path(ref).exists():
+        return ref
+    rnd = int(m.group(1))
+    repo = Path(__file__).resolve().parent.parent
+    log = subprocess.run(
+        ["git", "-C", str(repo), "log", "--format=%H %s"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    commit = None
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(rf"round 0*{rnd}: verdict", subject):
+            commit = sha
+            break
+    if commit is None:
+        raise SystemExit(
+            f"no 'round {rnd}: verdict/...' close commit found — pass an "
+            "explicit artifact path instead"
+        )
+    blob = subprocess.run(
+        ["git", "-C", str(repo), "show", f"{commit}:BENCH_LOCAL.json"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=f"_bench_r{rnd}.json", delete=False
+    )
+    tmp.write(blob)
+    tmp.close()
+    print(f"note: {ref} -> BENCH_LOCAL.json at round-{rnd} close commit "
+          f"{commit[:9]} (the round-{rnd} driver run, full per-query map)")
+    return tmp.name
+
+
+def _data_axis_check(old_raw: dict, new_raw: dict) -> list[str]:
+    """Compare data_fingerprints blocks when both runs carry them; returns
+    the tables whose content changed (empty = identical or uncheckable)."""
+    old_fp = old_raw.get("data_fingerprints") or {}
+    new_fp = new_raw.get("data_fingerprints") or {}
+    if "_error" in old_fp or "_error" in new_fp or not old_fp or not new_fp:
+        print("data axis: unchecked (a run lacks fingerprints — pre-r11 "
+              "artifact or capture error); 'same data' is an assumption "
+              "for this comparison")
+        return []
+    changed = sorted(
+        t for t in set(old_fp) | set(new_fp)
+        if (old_fp.get(t) or {}).get("md5") != (new_fp.get(t) or {}).get("md5")
+    )
+    if changed:
+        print(f"data axis: CHANGED tables {', '.join(changed)} — per-query "
+              "deltas for queries reading them are NOT code-attributable")
+    else:
+        print(f"data axis: all {len(old_fp)} input tables md5-identical — "
+              "comparison valid on the data axis")
+    return changed
+
+
 def _load(path: str) -> tuple[dict[str, float], float, dict]:
     with open(path) as fh:
         data = _unwrap(json.load(fh))
@@ -151,9 +232,12 @@ def main() -> None:
         help="ignore deltas smaller than this many normalized seconds",
     )
     args = ap.parse_args()
+    args.old = _resolve_round_ref(args.old)
+    args.new = _resolve_round_ref(args.new)
 
     old_q, old_f, old_raw = _load(args.old)
     new_q, new_f, new_raw = _load(args.new)
+    _data_axis_check(old_raw, new_raw)
 
     # Cross-reference comparison: the reference defines what "host factor
     # 1.0" means, so two runs frozen against different SEGMENT_REF_SEC

@@ -269,3 +269,56 @@ def test_bench_compare_unwrap_new_format_no_phantom_queries():
     )
     assert set(out["queries"]) == {"q_real", "q_other"}
     assert out["segments"]["ref_sec"] == 0.3425
+
+
+def test_bench_compare_data_axis_verdicts(tmp_path, capsys):
+    """Round-11 ask #3, automated: when both artifacts carry the
+    data_fingerprints stamp, the compare reports the data axis up front —
+    identical, changed (naming the tables), or unchecked when a side
+    predates the stamp."""
+    bc = _compare_mod()
+    base = {
+        "sf": 0.1,
+        "value": 100.0,
+        "queries": {"q": 1.0},
+        "segments": {
+            "ref_sec": 0.4,
+            "factors": [1.0],
+            "size": 20,
+            "normalized_value": 100.0,
+        },
+    }
+    fp = {"events.parquet": {"md5": "a" * 32, "num_rows": 5}}
+    old = dict(base, data_fingerprints=fp)
+    new = dict(base, data_fingerprints=fp)
+    _run_compare(bc, tmp_path, old, new)
+    assert "md5-identical — comparison valid" in capsys.readouterr().out
+
+    new = dict(
+        base,
+        data_fingerprints={"events.parquet": {"md5": "b" * 32, "num_rows": 6}},
+    )
+    _run_compare(bc, tmp_path, old, new)
+    out = capsys.readouterr().out
+    assert "CHANGED tables events.parquet" in out
+    assert "NOT code-attributable" in out
+
+    _run_compare(bc, tmp_path, base, new)  # old side lacks the stamp
+    assert "data axis: unchecked" in capsys.readouterr().out
+
+
+def test_bench_compare_resolves_round_refs():
+    """A bare round ref resolves through git to the round-close commit's
+    BENCH_LOCAL.json — the driver's own run with the FULL per-query map
+    (the wrapper BENCH_r{N}.json tails recover only ~12 queries)."""
+    import json as _json
+
+    bc = _compare_mod()
+    path = bc._resolve_round_ref("r10")
+    data = _json.load(open(path))
+    assert len(data["queries"]) == 190
+    # spot-pin against the independently archived wrapper tail value
+    assert data["queries"]["text_bm25_batch_topk"] == 2.105
+    # non-refs and real paths pass through untouched
+    assert bc._resolve_round_ref("BENCH_r10.json") == "BENCH_r10.json"
+    assert bc._resolve_round_ref("/nope/missing.json") == "/nope/missing.json"
