@@ -38,6 +38,8 @@ signatures exactly.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -47,6 +49,7 @@ from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.operators.planning import (  # noqa: F401 — corpus_side re-exported; pair/verify plans and callers use it
     POSTING_ROW_BYTES,
     SHINGLE_ARRAY_ROW_BYTES,
+    VERIFY_BROADCAST_CAP_BYTES,
     corpus_side,
     warn_if_task_state_overflows,
 )
@@ -1018,6 +1021,38 @@ def incremental_minhash_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    verify_build = _build_side
+    if strategy == "broadcast":
+        # Candidate-fan-out guard with AUTO-FALLBACK (round-11 dedup-store
+        # probe finding): the verify join below broadcasts cand_with_new —
+        # |candidates| rows EACH carrying the new doc's shingle array. The
+        # bounded-batch ratio guard above bounds the NEW side, but the
+        # candidate count is batch x per-doc corpus multiplicity, which a
+        # store bulk-built over an UN-deduped corpus makes corpus-
+        # proportional: measured via gate_batch_served, 500k candidates
+        # (~350 MB) broadcast fine at 100x dup multiplicity while 1.5M
+        # (~1.05 GB) died at spark.driver.maxResultSize at 300x. The
+        # candidate pair list itself is skinny (16 B/row) — materialize
+        # it, count the cached blocks, and when the ARRAY-carrying
+        # broadcast would exceed the cap, pin that one join to SMJ: the
+        # batch pays one corpus-shingle shuffle and completes, instead of
+        # dying mid-gate. The happy path keeps the no-corpus-shuffle plan.
+        candidates = candidates.localCheckpoint(eager=True)
+        est = candidates.count() * SHINGLE_ARRAY_ROW_BYTES
+        if est > VERIFY_BROADCAST_CAP_BYTES:
+            warnings.warn(
+                "incremental_minhash_pairs(strategy='broadcast'): estimated "
+                f"verify broadcast {est / 2**20:.0f} MiB (candidates x "
+                f"~{SHINGLE_ARRAY_ROW_BYTES} B shingle rows) exceeds the "
+                f"{VERIFY_BROADCAST_CAP_BYTES / 2**20:.0f} MiB cap — "
+                "candidate fan-out is corpus-proportional (the corpus "
+                "behind this store looks heavily duplicated). Falling back "
+                "to a sort-merge verify join for this batch; consider "
+                "deduplicating the corpus before bulk-building its store.",
+                RuntimeWarning,  # shown by default; ResourceWarning is filtered out
+                stacklevel=2,
+            )
+            verify_build = lambda df: df.hint("merge")  # noqa: E731
     cand_with_new = candidates.join(
         _build_side(
             new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new"))
@@ -1026,7 +1061,7 @@ def incremental_minhash_pairs(
     )
     return (
         corp_sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_corp"))
-        .join(_build_side(cand_with_new), "corpus_id")
+        .join(verify_build(cand_with_new), "corpus_id")
         .withColumn("n_common", F.size(F.array_intersect("sh_new", "sh_corp")))
         .withColumn(
             "jaccard",

@@ -48,6 +48,13 @@ TASK_STATE_SHARE = 0.125
 POSTING_ROW_BYTES = 24  # (doc_id long, n_sh int->8 B aligned, shingle-hash long)
 SHINGLE_ARRAY_ROW_BYTES = 700  # measured: ~350 MB per 500k-doc side (r10 probe)
 
+# Cap on the ARRAY-carrying verify broadcast in incremental_minhash_pairs'
+# broadcast strategy (round-11 dedup-store probe): 500k candidates
+# (~350 MB) measured broadcasting fine, 1.5M (~1.05 GB) measured dying at
+# spark.driver.maxResultSize. 512 MiB sits between the two measured
+# points; past it the verify join auto-falls-back to SMJ.
+VERIFY_BROADCAST_CAP_BYTES = 512 * 2**20
+
 
 def per_task_state_overflow(
     n_rows: int,
@@ -119,7 +126,7 @@ def warn_if_task_state_overflows(
             f"{hit['partitions_floor']} (a floor — measured-good configs "
             "sat 3-4x above it; AQE cannot split non-skewed partitions). "
             "See SCALE.md 'partition-sizing rule'.",
-            ResourceWarning,
+            RuntimeWarning,  # ResourceWarning is IGNORED by default filters — a guard no one sees is no guard (round-11 probe finding)
             stacklevel=3,
         )
 
@@ -192,7 +199,7 @@ def warn_if_memo_overflows(
             "docs — SCALE.md 'memo residency'); materialize the memo to "
             "a parquet-backed store instead "
             "(operators/dedup_store.py ingest shape).",
-            ResourceWarning,
+            RuntimeWarning,  # ResourceWarning is IGNORED by default filters — a guard no one sees is no guard (round-11 probe finding)
             stacklevel=3,
         )
 

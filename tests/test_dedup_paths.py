@@ -370,11 +370,16 @@ def test_broadcast_strategy_raises_on_corpus_proportional_new_side(spark):
     from pyspark.sql import functions as F
 
     def shingles(n, offset=0):
-        # (doc_id, sh): tiny fake shingle arrays — the guard fires on ROW
-        # ratio before any join/minhash work runs
+        # (doc_id, sh): tiny fake shingle arrays. STRING elements: the
+        # below-floor broadcast path now eagerly materializes candidate
+        # generation (the round-11 fan-out guard), so the minhash kernel
+        # really runs over this fixture — int shingles would crash it
         return spark.range(n).select(
             (F.col("id") + offset).alias("doc_id"),
-            F.array(F.col("id") % 97, (F.col("id") + 1) % 97).alias("sh"),
+            F.array(
+                (F.col("id") % 97).cast("string"),
+                ((F.col("id") + 1) % 97).cast("string"),
+            ).alias("sh"),
         )
 
     floor = D.BROADCAST_GUARD_MIN_NEW_ROWS
@@ -390,8 +395,10 @@ def test_broadcast_strategy_raises_on_corpus_proportional_new_side(spark):
         None, None, 0.3, new_shingles=new, corpus_shingles=corpus,
         strategy="shuffle",
     )
-    # a bounded batch below the floor never pays the corpus count and
-    # never raises, whatever its ratio
+    # a bounded batch below the floor never pays the corpus ROW count and
+    # never raises on ratio, whatever that ratio is (it does pay the
+    # round-11 candidate-fan-out count — an eager candidate materialization
+    # that decides the verify join's physical shape)
     D.incremental_minhash_pairs(
         None, None, 0.3, new_shingles=shingles(50),
         corpus_shingles=shingles(60, offset=10**6),

@@ -111,7 +111,7 @@ def test_memo_guard_wired_into_shingle_memo(spark, monkeypatch):
 
     monkeypatch.setattr(P, "MEMO_RESIDENCY_HEADROOM", 1e-12)
     monkeypatch.setattr(QD, "_SHINGLE_CACHE", {})
-    with pytest.warns(ResourceWarning, match="memo.*parquet-backed store"):
+    with pytest.warns(RuntimeWarning, match="memo.*parquet-backed store"):
         QD._shingled(spark, "/root/testdata/sf0.001")
     # and silent under the real bound
     monkeypatch.undo()
@@ -139,10 +139,10 @@ def test_wired_sites_fire(spark, monkeypatch):
     monkeypatch.setattr(P, "TASK_STATE_SHARE", 1e-12)
     sh = _shingles(spark, 20).localCheckpoint(eager=True)
 
-    with pytest.warns(ResourceWarning, match="SHJ build.*shuffle.partitions"):
+    with pytest.warns(RuntimeWarning, match="SHJ build.*shuffle.partitions"):
         D.jaccard_pairs(None, 0.3, shingles=sh, max_shingle_freq=50).collect()
 
-    with pytest.warns(ResourceWarning, match="SMJ sort state.*partitions"):
+    with pytest.warns(RuntimeWarning, match="SMJ sort state.*partitions"):
         D.incremental_minhash_pairs(
             None,
             None,
@@ -172,3 +172,34 @@ def test_wired_sites_silent_at_test_scale(spark):
         )
     ours = [w for w in seen if "shuffle.partitions" in str(w.message)]
     assert not ours, [str(w.message) for w in ours]
+
+
+def test_verify_broadcast_fallback(spark, monkeypatch):
+    """Round-11 dedup-store probe finding: the broadcast strategy's verify
+    join carries |candidates| shingle-array rows, and candidate fan-out is
+    corpus-proportional on a dup-heavy store (measured: 350 MB broadcast
+    fine at 500k candidates, 1.05 GB dies at 1.5M). Past the cap the join
+    must auto-fall-back to SMJ with identical emitted pairs."""
+    sh_corpus = _shingles(spark, 30).localCheckpoint(eager=True)
+    sh_new = _shingles(spark, 6, offset=10**6).localCheckpoint(eager=True)
+
+    def pairs():
+        return D.incremental_minhash_pairs(
+            None, None, 0.3,
+            new_shingles=sh_new, corpus_shingles=sh_corpus,
+            strategy="broadcast",
+        )
+
+    baseline = sorted(map(tuple, pairs().collect()))
+    assert baseline, "fixture must produce candidate pairs"
+
+    monkeypatch.setattr(D, "VERIFY_BROADCAST_CAP_BYTES", 1)
+    with pytest.warns(RuntimeWarning, match="verify broadcast.*sort-merge"):
+        df = pairs()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert sorted(map(tuple, df.collect())) == baseline
+
+    monkeypatch.undo()
+    plan = pairs()._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # happy path keeps no-corpus-shuffle
