@@ -38,18 +38,15 @@ signatures exactly.
 
 from __future__ import annotations
 
-import warnings
-
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.operators.planning import (  # noqa: F401 — corpus_side re-exported; pair/verify plans and callers use it
     POSTING_ROW_BYTES,
     SHINGLE_ARRAY_ROW_BYTES,
-    VERIFY_BROADCAST_CAP_BYTES,
     corpus_side,
     warn_if_task_state_overflows,
 )
@@ -359,28 +356,37 @@ def _pair_common_counts(
         .select("doc_id", "n_sh", F.explode("_hs").alias("shingle"))
     )
     if max_shingle_freq is not None:
-        # Materialize once: the hot-shingle derivation and the anti-join
-        # probe would otherwise each re-run the shingle+hash UDF chain over
-        # the whole corpus (measured ~2x the query time at sf0.1).
-        inverted = inverted.localCheckpoint()
-        # Partition-sizing guard on the pinned-SHJ self-join below: the
-        # per-task hash build is postings/partitions x 24 B and died at
-        # sf30ctl/32 partitions (SCALE.md). The memo makes the posting
-        # count O(cached partitions) — free relative to the kernel run
-        # that just executed.
+        # Hot-shingle cut as a WINDOW over the shingle-partitioned index
+        # (r11 restructure): count(*) over (partition by shingle) attaches
+        # each posting's global frequency inside the hashpartitioning(
+        # shingle) exchange the self-join needs anyway, so the cut costs a
+        # per-partition sort — no hot-list aggregate, no broadcast, no
+        # anti-join, and (decisively) ONE run of the shingle+hash UDF
+        # chain: both self-join sides read the same canonical exchange via
+        # ReuseExchange. The pre-r11 shape (derive hot list, broadcast,
+        # anti-join) needed an eager localCheckpoint to stop the kernel
+        # running 3x, paying a materialization job + count per call
+        # (~1.5 s/run at sf0.1 on the registered stop-cut query).
+        # Partition-sizing guard on the pinned-SHJ self-join below (the
+        # per-task hash build died at sf30ctl/32 partitions — SCALE.md):
+        # postings = sum of per-doc set sizes, a column-pruned pass over
+        # the caller's shingle relation — O(cached blocks) in every
+        # production path (the memoized/parquet-backed corpus store); the
+        # shingle KERNEL never runs for it because n_sh reads only the
+        # array length.
+        n_postings = sized.agg(F.sum("n_sh")).first()[0] or 0
         warn_if_task_state_overflows(
-            inverted.sparkSession,
-            inverted.count(),
+            sized.sparkSession,
+            int(n_postings),
             POSTING_ROW_BYTES,
             "inverted-index self-join (SHJ build)",
         )
-        hot = (
-            inverted.groupBy("shingle")
-            .agg(F.count("*").alias("freq"))
-            .filter(F.col("freq") > max_shingle_freq)
-            .select("shingle")
+        w = Window.partitionBy("shingle")
+        inverted = (
+            inverted.withColumn("_freq", F.count("*").over(w))
+            .filter(F.col("_freq") <= max_shingle_freq)
+            .drop("_freq")
         )
-        inverted = inverted.join(F.broadcast(hot), "shingle", "left_anti")
     # The self-join must NOT broadcast: the inverted index is O(corpus) — at
     # 100 TB broadcasting it is fatal, and even locally the build is a serial
     # bottleneck (Spark underestimates post-explode cardinality). Shuffle
@@ -922,18 +928,22 @@ def incremental_minhash_pairs(
     ``strategy`` selects the PHYSICAL join shape; the emitted pairs are
     identical (pinned by tests/test_dedup_paths.py):
 
-    - ``"broadcast"`` (default): the three new-side relations broadcast —
-      the |new| << |corpus| ingest contract above. This shape has a HARD
-      ceiling: Spark caps any broadcast at 8 GiB, and the candidate⋈
-      new-shingle build side carries a shingle ARRAY per candidate row,
-      so a corpus-PROPORTIONAL "new" slice on a dup-heavy corpus breaks
-      it architecturally (measured round 9: the sf10 split-leakage audit
-      — 50k-doc test slice x ~100 exact-copy candidate multiplicity —
-      OOMs a 16 GiB heap and hits the 8 GiB broadcast cap at 64 GiB).
-      The contract is EXECUTABLE (round-9 verdict ask #4): past
-      ``BROADCAST_GUARD_MIN_NEW_ROWS`` new rows, a new/corpus row ratio
-      above ``BROADCAST_NEW_RATIO_BOUND`` raises up front with a
-      point-to-the-knob message instead of dying at the cap mid-job.
+    - ``"broadcast"`` (default): the new-side relations broadcast — the
+      |new| << |corpus| ingest contract above. Since r11 the verify
+      broadcasts are ARRAY-FREE on the candidate axis: the skinny
+      (new_id, corpus_id) pair list (16 B/row) joins the corpus scan
+      first and the batch-bounded new-side arrays attach afterwards, so
+      candidate fan-out on a dup-heavy corpus no longer multiplies
+      broadcast BYTES (the pre-r11 shape carried one shingle array per
+      candidate row and died at spark.driver.maxResultSize at 1.5M
+      candidates; the same store now broadcasts ~24 MB). The remaining
+      ceiling is Spark's hard 8 GiB / 512M-row broadcast cap on the pair
+      list itself (~100x past the measured death point) and on the new
+      batch, which the EXECUTABLE contract below bounds (round-9 verdict
+      ask #4): past ``BROADCAST_GUARD_MIN_NEW_ROWS`` new rows, a
+      new/corpus row ratio above ``BROADCAST_NEW_RATIO_BOUND`` raises up
+      front with a point-to-the-knob message instead of dying at the cap
+      mid-job.
     - ``"shuffle"``: the same joins as shuffled SORT-MERGE joins. Pays
       corpus-sized shuffles (the docstring's never-shuffle promise is a
       broadcast-mode property), but SMJ spills instead of holding a hash
@@ -1021,47 +1031,35 @@ def incremental_minhash_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    verify_build = _build_side
-    if strategy == "broadcast":
-        # Candidate-fan-out guard with AUTO-FALLBACK (round-11 dedup-store
-        # probe finding): the verify join below broadcasts cand_with_new —
-        # |candidates| rows EACH carrying the new doc's shingle array. The
-        # bounded-batch ratio guard above bounds the NEW side, but the
-        # candidate count is batch x per-doc corpus multiplicity, which a
-        # store bulk-built over an UN-deduped corpus makes corpus-
-        # proportional: measured via gate_batch_served, 500k candidates
-        # (~350 MB) broadcast fine at 100x dup multiplicity while 1.5M
-        # (~1.05 GB) died at spark.driver.maxResultSize at 300x. The
-        # candidate pair list itself is skinny (16 B/row) — materialize
-        # it, count the cached blocks, and when the ARRAY-carrying
-        # broadcast would exceed the cap, pin that one join to SMJ: the
-        # batch pays one corpus-shingle shuffle and completes, instead of
-        # dying mid-gate. The happy path keeps the no-corpus-shuffle plan.
-        candidates = candidates.localCheckpoint(eager=True)
-        est = candidates.count() * SHINGLE_ARRAY_ROW_BYTES
-        if est > VERIFY_BROADCAST_CAP_BYTES:
-            warnings.warn(
-                "incremental_minhash_pairs(strategy='broadcast'): estimated "
-                f"verify broadcast {est / 2**20:.0f} MiB (candidates x "
-                f"~{SHINGLE_ARRAY_ROW_BYTES} B shingle rows) exceeds the "
-                f"{VERIFY_BROADCAST_CAP_BYTES / 2**20:.0f} MiB cap — "
-                "candidate fan-out is corpus-proportional (the corpus "
-                "behind this store looks heavily duplicated). Falling back "
-                "to a sort-merge verify join for this batch; consider "
-                "deduplicating the corpus before bulk-building its store.",
-                RuntimeWarning,  # shown by default; ResourceWarning is filtered out
-                stacklevel=2,
-            )
-            verify_build = lambda df: df.hint("merge")  # noqa: E731
-    cand_with_new = candidates.join(
-        _build_side(
-            new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new"))
-        ),
-        "new_id",
-    )
+    # Verify-join ORDER (r11 restructure, guide-§8 shape: decide with small
+    # rows, attach heavy arrays map-side): the SKINNY candidate pair list
+    # (16 B/row) joins the corpus scan FIRST, then the batch-bounded
+    # new-side arrays attach per candidate. The pre-r11 shape broadcast
+    # candidates⋈new_sh — |candidates| rows EACH carrying a shingle ARRAY —
+    # so a dup-heavy corpus made the broadcast BYTES corpus-proportional
+    # (measured via gate_batch_served: ~350 MB at 500k candidates, death at
+    # spark.driver.maxResultSize at 1.5M), and guarding it required an
+    # EAGER candidate materialization + count on every call (+~2 s/run on
+    # the registered bench query). With only the array-free pair list
+    # broadcast, the same 1.5M-candidate corpus broadcasts ~24 MB: the
+    # array-width fan-out hazard is gone structurally (the 8 GiB / 512M-row
+    # broadcast cap moves ~100x out, past where strategy='shuffle' is the
+    # documented choice anyway), so that guard and its per-call jobs are
+    # deleted rather than cheapened. Under 'broadcast' both joins stay
+    # map-side on the corpus; under 'shuffle' the same two SMJs run merely
+    # reordered (corpus_id first, then new_id) — identical bytes moved.
+    cand_with_corp = corp_sh.select(
+        F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_corp")
+    ).join(_build_side(candidates), "corpus_id")
     return (
-        corp_sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_corp"))
-        .join(verify_build(cand_with_new), "corpus_id")
+        cand_with_corp.join(
+            _build_side(
+                new_sh.select(
+                    F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new")
+                )
+            ),
+            "new_id",
+        )
         .withColumn("n_common", F.size(F.array_intersect("sh_new", "sh_corp")))
         .withColumn(
             "jaccard",

@@ -48,11 +48,14 @@ TASK_STATE_SHARE = 0.125
 POSTING_ROW_BYTES = 24  # (doc_id long, n_sh int->8 B aligned, shingle-hash long)
 SHINGLE_ARRAY_ROW_BYTES = 700  # measured: ~350 MB per 500k-doc side (r10 probe)
 
-# Cap on the ARRAY-carrying verify broadcast in incremental_minhash_pairs'
-# broadcast strategy (round-11 dedup-store probe): 500k candidates
-# (~350 MB) measured broadcasting fine, 1.5M (~1.05 GB) measured dying at
-# spark.driver.maxResultSize. 512 MiB sits between the two measured
-# points; past it the verify join auto-falls-back to SMJ.
+# RETIRED r11 (kept for the measurement provenance): the cap once gated an
+# ARRAY-carrying verify broadcast in incremental_minhash_pairs' broadcast
+# strategy (round-11 dedup-store probe: ~350 MB at 500k candidates fine,
+# ~1.05 GB at 1.5M dying at spark.driver.maxResultSize; the cap sat
+# between). The r11 verify-join restructure broadcasts only the ARRAY-FREE
+# candidate pair list (16 B/row — the same 1.5M-candidate store broadcasts
+# ~24 MB), so the hazard the cap guarded is structurally unreachable and
+# the eager per-call candidate count it required is gone.
 VERIFY_BROADCAST_CAP_BYTES = 512 * 2**20
 
 

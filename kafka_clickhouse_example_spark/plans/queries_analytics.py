@@ -1269,10 +1269,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The max-revenue equality compares the EXACT DECIMAL sums, not doubles —
     a double-rounded tie test could keep or drop a supplier depending on
     partial-agg order; decimal equality cannot. Q15 defines revenue as a
-    VIEW consumed twice (row source + scalar max); materializing it once
-    (localCheckpoint — supplier-count rows) replaces two full lineitem
-    scans with one, exactly what CREATE VIEW + two readers costs on any
-    engine that materializes. The 1-row max broadcasts.
+    VIEW consumed twice (row source + scalar max); both consumers hang off
+    the view's canonical aggregation Exchange, so ReuseExchange runs the
+    lineitem scan + revenue shuffle ONCE inside one job (r11: the former
+    eager localCheckpoint bought the same single-scan guarantee for an
+    extra per-run job). The 1-row max broadcasts.
     """
     t = _t(spark, sf_dir, "supplier", "lineitem")
     revenue = (
@@ -1283,7 +1284,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_disc_price()).alias("total_revenue_dec"))
-        .localCheckpoint(eager=True)
     )
     max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
     return (

@@ -18,17 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+from kafka_clickhouse_example_spark.sources.catalog import load_table
 
 WEEK_MS = 7 * 86_400_000
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
-    return load_compute_table(spark, sf_dir, "events")
+    return load_table(spark, sf_dir, "events")
 
 
 @register(
@@ -246,10 +245,12 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     day axis is emitted as a STRING (DATE columns are hash-dead
     cross-engine, see verify notes).
 
-    The (day, user) relation is materialized once (localCheckpoint, the
-    flows-family memo pattern): dau/wau/mau all branch from it, and without
-    the cut Catalyst would re-scan the raw events input once per branch —
-    four full scans of the 100 TB table instead of one.
+    The (day, user) relation is computed once per run even though
+    dau/wau/mau all branch from it: every branch reads the same canonical
+    distinct-Exchange, so ReuseExchange executes the raw-events scan and
+    the (day, user) shuffle a single time inside one job (r11: the former
+    localCheckpoint bought the same single-scan guarantee for an extra
+    per-run materialization job).
     """
     events = _events(spark, sf_dir)
     daily = (
@@ -257,7 +258,6 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"unix_millis(ts) div {DAY_MS}").alias("d"), "user_id"
         ).distinct()
     )
-    daily = materialize(daily)
     days = daily.select("d").distinct()
     dau = daily.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
 
@@ -726,7 +726,6 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("died"),
     )
-    lived = materialize(lived)
     per_t = lived.groupBy("t").agg(
         F.sum("died").cast("bigint").alias("d"),
         F.count("*").cast("bigint").alias("ended_here"),

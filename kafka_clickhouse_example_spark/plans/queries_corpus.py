@@ -14,10 +14,9 @@ from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.plans.queries_text import TOKENS_SQL, _docs
 from kafka_clickhouse_example_spark.operators import text as T
-from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+from kafka_clickhouse_example_spark.sources.catalog import load_compute_table, load_table
 
 CHUNK = 100
 STRIDE = 80  # CHUNK - STRIDE = 20 chars of overlap between adjacent chunks
@@ -364,11 +363,17 @@ def documents_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold runs over that bounded list on one row.
     """
     configure_runtime(spark)
-    docs = load_compute_table(spark, sf_dir, "documents")
+    # plain load (r11): the chi-square input is one JVM count aggregate —
+    # per-row work is nil, so the compute-table scan-parallelism floor
+    # (a full round-robin exchange at test scale) buys nothing here
+    docs = load_table(spark, sf_dir, "documents")
+    # cells feeds four consumers (row terms, both marginals, the totals);
+    # all read the same canonical aggregation Exchange, so ReuseExchange
+    # scans documents once (r11: replaced an eager localCheckpoint that
+    # bought the same guarantee for an extra per-run job)
     cells = docs.groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("o")
     )
-    cells = materialize(cells)
     rt = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
     ct = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
     tot = cells.agg(

@@ -15,10 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import sketches as SK
-from kafka_clickhouse_example_spark.operators.checkpointing import materialize_all
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+from kafka_clickhouse_example_spark.sources.catalog import load_table
 
 
 @register(
@@ -66,10 +65,12 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
 
     def profile(freq: DataFrame, domain: str) -> DataFrame:
-        # the per-key frequencies arrive materialized (once per domain,
-        # concurrently across domains): both the stats and the hot-key
-        # branches read them, and without the cut each branch would
-        # re-scan (and re-shuffle) the full profiled table
+        # both the stats and hot-key branches consume the same freq
+        # aggregate: its Exchange subtree is canonically identical on both
+        # paths, so ReuseExchange executes the table scan + frequency
+        # shuffle ONCE and both branches read the shared shuffle output
+        # (r11: the former eager-checkpoint version paid 2 extra jobs per
+        # run for the same single-shuffle guarantee — constr 2.1 s -> ~0)
         stats = freq.agg(
             F.sum("freq").cast("bigint").alias("n_rows"),
             F.count("*").cast("bigint").alias("n_keys"),
@@ -91,14 +92,10 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
 
-    lineitem = load_compute_table(spark, sf_dir, "lineitem")
-    events = load_compute_table(spark, sf_dir, "events")
-    li_freq, ev_freq = materialize_all(
-        [
-            lineitem.groupBy("l_orderkey").agg(F.count("*").alias("freq")),
-            events.groupBy("user_id").agg(F.count("*").alias("freq")),
-        ]
-    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    li_freq = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("freq"))
+    ev_freq = events.groupBy("user_id").agg(F.count("*").alias("freq"))
     return (
         profile(li_freq, "lineitem.l_orderkey")
         .unionByName(profile(ev_freq, "events.user_id"))
@@ -153,7 +150,7 @@ def events_user_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pinned by tests/test_sketches.py.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     sketch = SK.cms_build(events, "user_id")
     probes = events.select("user_id").distinct()
     est = SK.cms_probe(sketch, probes, "user_id")
@@ -210,28 +207,25 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two per-key frequency aggregates (compact histograms) joined on
     the key — the histograms are #distinct-keys rows, so the prediction
     costs two rollups plus a histogram join, not the join's own output.
-    The four histograms are independent single-column rollups, so they
-    materialize CONCURRENTLY (materialize_all): sequential eager
-    checkpoints would leave the cluster idle between the four shuffles —
-    wall is max() of the scans, not sum().
+    Each histogram feeds two consumers (the prediction join and the row
+    count); both hang off the same canonical Exchange, so ReuseExchange
+    runs each scan+shuffle once inside ONE job whose four independent
+    histogram stages schedule concurrently (r11: the former materialize_all
+    version paid 4 eager checkpoint jobs per run — constr 7.5 s -> ~0.2).
     """
     configure_runtime(spark)
 
-    orders = load_compute_table(spark, sf_dir, "orders")
-    lineitem = load_compute_table(spark, sf_dir, "lineitem")
-    customer = load_compute_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
 
     def hist(df: DataFrame, key: str, out: str) -> DataFrame:
         return df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias(out))
 
-    o_hist, l_hist, c_hist, oc_hist = materialize_all(
-        [
-            hist(orders, "o_orderkey", "na"),
-            hist(lineitem, "l_orderkey", "nb"),
-            hist(customer, "c_custkey", "na"),
-            hist(orders, "o_custkey", "nb"),
-        ]
-    )
+    o_hist = hist(orders, "o_orderkey", "na")
+    l_hist = hist(lineitem, "l_orderkey", "nb")
+    c_hist = hist(customer, "c_custkey", "na")
+    oc_hist = hist(orders, "o_custkey", "nb")
 
     def predict(fa: DataFrame, fb: DataFrame, name: str) -> DataFrame:
         # row counts derive from the histograms (sum of freqs) instead of
@@ -299,7 +293,7 @@ def diag_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_example_spark.operators.layout import diff_tables
 
     configure_runtime(spark)
-    orders = load_compute_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
     modified = orders.filter(key % 101 != 0).withColumn(
         "o_orderpriority",
@@ -365,7 +359,7 @@ def diag_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
 
     def profile(tbl: str, cols: list[str]) -> DataFrame:
-        df = load_compute_table(spark, sf_dir, tbl)
+        df = load_table(spark, sf_dir, tbl)
         aggs = [F.count("*").cast("bigint").alias("_n")]
         for c in cols:
             aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"_nulls_{c}"))

@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.operators import multimodal as M
-from kafka_clickhouse_example_spark.operators.checkpointing import materialize
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
 from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
@@ -197,13 +196,13 @@ def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 1_000_000)
     )
     media = M.attach_media(docs.select("doc_id", "text").unionByName(twins.select("doc_id", "text")))
-    # materialize the 16-byte fingerprints before the self-join — the
-    # fingerprints= branch of simhash_hamming_pairs does NOT cut lineage
-    # itself, and without the cut the Arrow decode+hash pass over every
-    # payload can run once per join side
-    hashes = materialize(
-        M.image_phash(media, method="dhash").withColumnRenamed("phash", "sh")
-    )
+    # the 16-byte fingerprints feed both self-join sides, but the pair
+    # join's (block, value) exchange is canonically identical on each
+    # side, so ReuseExchange runs the Arrow decode+hash pass ONCE (r11:
+    # replaced an eager materialize that bought the same single-pass
+    # guarantee for an extra per-run job; plan-verified ArrowEvalPython
+    # appears once in the executed plan)
+    hashes = M.image_phash(media, method="dhash").withColumnRenamed("phash", "sh")
     pairs = simhash_hamming_pairs(
         media, max_hamming=3, bits=64, id_col="media_id", fingerprints=hashes
     )

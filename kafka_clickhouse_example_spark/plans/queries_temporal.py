@@ -14,7 +14,7 @@ from kafka_clickhouse_example_spark.operators.temporal import (
 )
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+from kafka_clickhouse_example_spark.sources.catalog import load_table
 
 BAND_MS = 3_600_000  # 1 hour: ~14 events/band at sf0.01 density
 
@@ -45,7 +45,7 @@ def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated max() subquery is the semantic spec, not the scalable plan.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -76,7 +76,7 @@ def events_recent_activity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume O(rows x band density); the oracle's direct theta-join is the
     semantic spec (DuckDB plans it as an IEJoin)."""
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     return range_join_binned(events, BAND_MS).orderBy("event_id")
 
 
@@ -123,7 +123,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -189,7 +189,7 @@ def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_example_spark.operators.temporal import scd2_intervals
 
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     return scd2_intervals(
         events, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
     ).orderBy("user_id", "version_no")
@@ -260,7 +260,7 @@ def events_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     history = (
         scd2_intervals(
             events.filter(F.col("event_type") != "purchase"),

@@ -1095,12 +1095,12 @@ def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical results — pinned in tests/test_streaming.py.
     """
     docs = _docs(spark, sf_dir)
-    # Materialize the aggregated counts once: both join sides below derive
-    # from cnt, and without the checkpoint Spark re-runs the token explode
-    # for each (the corpus scanned twice for a vocab-sized relation). Same
-    # device as the flows family; cnt is sources x vocab — orders of
-    # magnitude smaller than the corpus at any scale.
-    cnt = T.token_counts(docs).localCheckpoint(eager=True)
+    # Every consumer below derives from cnt AFTER its (source, term)
+    # aggregation Exchange, so ReuseExchange runs the corpus explode once
+    # and each consumer replays only the vocab-sized final aggregate (r11:
+    # replaced an eager localCheckpoint that bought the same single-explode
+    # guarantee for an extra per-run job).
+    cnt = T.token_counts(docs)
     return T.token_entropy_from_counts(cnt)
 
 
@@ -1180,8 +1180,8 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose numerator is provably negative.
 
     Scale: one (source, term) partial-agg shuffle; totals, vocabulary
-    marginals, and the grand total all derive from the checkpointed
-    vocab-sized counts (corpus explode runs once). The vocab marginal
+    marginals, and the grand total all derive from the counts aggregate's
+    reused Exchange (corpus explode runs once). The vocab marginal
     join is term-keyed (sort-merge/AQE; broadcastable while the vocab
     is); the per-source and grand totals broadcast. Same int64 bound as
     entropy: a single token type beyond ~1.8e11 occurrences per source
@@ -1192,5 +1192,8 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained counts matview with bit-identical results.
     """
     docs = _docs(spark, sf_dir)
-    cnt = T.token_counts(docs).localCheckpoint(eager=True)
+    # same ReuseExchange rationale as token_entropy above (r11): all four
+    # consumers (row chain, per-source totals, vocab marginal, grand total)
+    # read the counts aggregate's canonical Exchange — one corpus explode
+    cnt = T.token_counts(docs)
     return T.token_kl_from_counts(cnt)

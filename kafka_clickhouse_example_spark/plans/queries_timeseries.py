@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from kafka_clickhouse_example_spark.registry import register
 from kafka_clickhouse_example_spark.session import configure_runtime
-from kafka_clickhouse_example_spark.sources.catalog import load_compute_table
+from kafka_clickhouse_example_spark.sources.catalog import load_table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -57,7 +57,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     single partition at any data scale (a year is 8,760 rows).
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     hourly = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"))
@@ -109,7 +109,7 @@ def events_type_day_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     value (schema explosion); bounding it is the operator's scale contract.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     pivoted = (
         events.groupBy(F.date_trunc("day", "ts").alias("day"))
         .pivot("event_type", EVENT_TYPES)
@@ -138,7 +138,7 @@ def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-reduced partials.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     return (
         events.cube(F.col("event_type"), F.date_trunc("day", "ts").alias("day"))
         .agg(
@@ -175,7 +175,7 @@ def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     trail = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis("ts"))
@@ -228,7 +228,7 @@ def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFra
     data.
     """
     configure_runtime(spark)
-    ev = load_compute_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
     vdec = F.col("value").cast("decimal(18,2)")
 
@@ -281,7 +281,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-stage expressions (no pre-shuffle).
     """
     configure_runtime(spark)
-    ev = load_compute_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.dayofweek("ts").cast("int").alias("dow"),
@@ -333,7 +333,7 @@ def events_intraday_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cents go through DECIMAL(10,2) so 6.55 → 655 exactly (the
     events_value_outliers convention)."""
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     c = events.select(
         F.hour("ts").cast("long").alias("hh"),
         (F.col("value").cast("decimal(10,2)") * 100).cast("long").alias("cents"),
@@ -409,7 +409,7 @@ def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
     pair (gap semantics, mirrored in the oracle join).
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     hourly = (
         events.groupBy(
             "event_type", F.expr("unix_millis(ts) div 3600000").alias("h")
@@ -481,7 +481,7 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines on identical rational inputs. Scale: map + 9-row aggregate.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     vc = F.floor(F.col("value").cast("double") * 100).cast("bigint")
     digits = events.select(vc.alias("vc")).filter(F.col("vc") >= 1).select(
         F.substring(F.col("vc").cast("string"), 1, 1).cast("int").alias("d")
@@ -541,7 +541,7 @@ def events_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e16 per day-row at full scale and sums past LONG.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     daily = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy(F.expr("unix_millis(ts) div 86400000").alias("d"))
@@ -611,7 +611,7 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     lag 7 — cardinality is the time range, never the event count.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
     ).agg(F.count("*").cast("bigint").alias("n"))
@@ -664,7 +664,7 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly rollup (cardinality = weeks x types), never on raw events.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     weekly = events.groupBy(
         "event_type", F.expr("unix_millis(ts) div 604800000").alias("wk")
     ).agg(F.count("*").cast("bigint").alias("n"))
@@ -730,7 +730,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 to ~1e4 days x 1e12 events.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
     ).agg(F.count("*").cast("bigint").alias("n"))
@@ -796,7 +796,7 @@ def events_type_day_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement.
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     wide = (
         events.groupBy(F.date_trunc("day", "ts").alias("day"))
         .pivot("event_type", EVENT_TYPES)
@@ -841,7 +841,7 @@ def events_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic window skew cliff at full scale).
     """
     configure_runtime(spark)
-    events = load_compute_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
     gaps = events.select(

@@ -359,10 +359,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     |parts|-sized, not |lineitem|-sized, so the second pass is cheap.
     """
     t = _t(spark, sf_dir, "lineitem")
-    # The per-part aggregate feeds BOTH the global sum and the filter; an
-    # unmaterialized plan would rerun the full fact scan + agg for each
-    # consumer. localCheckpoint pins the |parts|-sized relation after ONE
-    # scan (persist-grade: parts ≪ lineitem at any SF).
+    # The per-part aggregate feeds BOTH the global sum and the filter; the
+    # two consumers share the aggregate's canonical Exchange, so
+    # ReuseExchange runs the fact scan + per-part shuffle ONCE (r11: the
+    # former eager localCheckpoint bought that same guarantee for an extra
+    # per-run job and a lineage break AQE can't see through).
     pv = (
         t["lineitem"]
         .groupBy("l_partkey")
@@ -370,7 +371,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_disc_price()).alias("val"),
             F.count("*").alias("n_lines"),
         )
-        .localCheckpoint(eager=True)
     )
     tot = pv.agg(F.sum("val").alias("total"))
     return (
@@ -611,11 +611,21 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    os_stats = lif.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Two-level aggregation instead of a double countDistinct (r11): Spark
+    # plans multi-distinct aggregates via Expand (3x the row volume through
+    # the shuffle); pre-reducing to one row per (order, supplier) — with
+    # max(late) deciding "supplier had a late line" — computes the same
+    # n_supp / n_late_supp from |order x supplier| rows with two plain
+    # partial-agg exchanges and no Expand. Equivalence: n_supp =
+    # countDistinct(supplier) = row count after the per-supplier reduce;
+    # n_late_supp = countDistinct(supplier with any late line) = sum of
+    # max(late) over per-supplier rows.
+    per_supp = lif.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    os_stats = per_supp.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
     )
     return (
         lif.filter(F.col("late") == 1)

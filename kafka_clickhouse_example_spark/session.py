@@ -142,9 +142,25 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # shingle/tokenize scans — observed in text_decontaminate's plan). The
     # rule only prunes empty arrays pre-explode, which the Generate does
     # anyway, so excluding it is semantics-free.
+    #
+    # InferFiltersFromConstraints (r11) pushes an inferred isnotnull(key)
+    # under the JOIN consumer of a shared subplan but not under its
+    # aggregate/scalar consumers, so the two Exchange subtrees stop being
+    # canonically equal and ReuseExchange dies exactly where this engine
+    # leans on it (view-consumed-twice shapes: Q15's revenue view, the
+    # chi-square cell matrix, the cardinality histograms — measured 8->4,
+    # 4->1, 2->1 table scans with the rule off). The inferred filters
+    # themselves buy nothing here: every join key in the engine is
+    # non-null by construction (synthetic ids / TPC-H keys), and queries
+    # over genuinely nullable columns (reach3's md5 spokes) already filter
+    # explicitly. Exclusion is semantics-free (the rule only ADDS
+    # redundant filters); the trade given up — early null-row pruning
+    # before a shuffle — applies only to corpora with null join keys,
+    # which this engine's sources never produce.
     spark.conf.set(
         "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ",org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
     )
     ship_package(spark)
     return spark

@@ -44,6 +44,19 @@ TIMESTAMP_COLS: dict[str, list[str]] = {
 
 _SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
+# Lazy-DataFrame memo keyed (applicationId, sf_dir, table): spark.read.
+# parquet + the timestamp-normalization projection costs ~80-130 ms of
+# driver time PER CALL (file listing, footer schema read, py4j round
+# trips), and the bench constructs every query fresh 3x per measurement —
+# ~20-40 s of a full sweep was spent rebuilding identical scan plans
+# (r11 measurement). The memo shares the immutable logical plan only:
+# every execution still scans the parquet files (no data or results are
+# cached), and split planning still reads session confs at execution
+# time, so relayout tests and AQE behave identically. A caller that
+# REWRITES files under a memoized path must clear() this (the captured
+# file listing would go stale) — no production path does.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def _parse_bytes(v: str, default: int = 134217728) -> int:
     """Spark size-string parser ('128m', '1g', '131072kb', '134217728b',
@@ -61,16 +74,24 @@ def _parse_bytes(v: str, default: int = 134217728) -> int:
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, min_partitions: int | None = None
 ) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    dtypes = dict(df.dtypes)
-    for c in TIMESTAMP_COLS.get(name, []):
-        if c in df.columns and dtypes[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    for c, dt in dtypes.items():
-        if dt == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+    except Exception:  # Spark Connect sessions without an SC
+        key = None
+    df = _LOAD_MEMO.get(key) if key is not None else None
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
+        for c in TIMESTAMP_COLS.get(name, []):
+            if c in df.columns and dtypes[c] == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        for c, dt in dtypes.items():
+            if dt == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        if key is not None:
+            _LOAD_MEMO[key] = df
     if min_partitions:
         # Per-row-expensive pipelines (hashing, vector math) ask for a floor
         # on scan parallelism: the test corpus is one single-row-group file

@@ -370,10 +370,8 @@ def test_broadcast_strategy_raises_on_corpus_proportional_new_side(spark):
     from pyspark.sql import functions as F
 
     def shingles(n, offset=0):
-        # (doc_id, sh): tiny fake shingle arrays. STRING elements: the
-        # below-floor broadcast path now eagerly materializes candidate
-        # generation (the round-11 fan-out guard), so the minhash kernel
-        # really runs over this fixture — int shingles would crash it
+        # (doc_id, sh): tiny fake shingle arrays. STRING elements so the
+        # minhash kernel can run over this fixture when executed
         return spark.range(n).select(
             (F.col("id") + offset).alias("doc_id"),
             F.array(
@@ -396,9 +394,7 @@ def test_broadcast_strategy_raises_on_corpus_proportional_new_side(spark):
         strategy="shuffle",
     )
     # a bounded batch below the floor never pays the corpus ROW count and
-    # never raises on ratio, whatever that ratio is (it does pay the
-    # round-11 candidate-fan-out count — an eager candidate materialization
-    # that decides the verify join's physical shape)
+    # never raises on ratio, whatever that ratio is
     D.incremental_minhash_pairs(
         None, None, 0.3, new_shingles=shingles(50),
         corpus_shingles=shingles(60, offset=10**6),
@@ -443,23 +439,17 @@ def test_verify_joins_never_broadcast_corpus_sides(spark, sf_dir):
         plan = emitters[name]._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, name
 
-    # stop-cut: the hot-shingle anti-join list is bounded (|shingles with
-    # freq > cut|, KBs) and broadcasts DELIBERATELY; everything else must
-    # still stay shuffle-side.
+    # stop-cut (r11 restructure): the hot-shingle cut is a window count
+    # over the hashpartitioning(shingle) exchange the self-join needs
+    # anyway — NO broadcast at all anymore (the pre-r11 hot-list
+    # broadcast + anti-join needed an eager inverted-index checkpoint to
+    # keep the kernel single-run; the window shape gets single-run via
+    # ReuseExchange instead). Pin: zero broadcasts, the window cut
+    # present, the SHJ pair join intact.
     stopcut = D.jaccard_pairs(None, 0.3, shingles=sh, max_shingle_freq=50)
     plan = stopcut._jdf.queryExecution().executedPlan().toString()
-    # the hot-list anti-join is the ONE deliberate broadcast: assert
-    # structurally (round-10 ADVICE — substring counts flip on exchange
-    # reuse / plan-printing changes) that every BroadcastExchange in the
-    # executed plan feeds a LeftAnti probe and nothing else
-    from kafka_clickhouse_example_spark.operators.planning import (
-        broadcast_parent_joins,
-    )
-
-    parents = broadcast_parent_joins(plan)
-    assert parents, "stop-cut lost its deliberate hot-list broadcast"
-    for parent in parents:
-        assert "LeftAnti" in parent, (parent, plan[:500])
+    assert "BroadcastExchange" not in plan
+    assert "Window" in plan, "stop-cut lost its window-based hot cut"
     assert "ShuffledHashJoin" in plan
 
 

@@ -174,32 +174,35 @@ def test_wired_sites_silent_at_test_scale(spark):
     assert not ours, [str(w.message) for w in ours]
 
 
-def test_verify_broadcast_fallback(spark, monkeypatch):
-    """Round-11 dedup-store probe finding: the broadcast strategy's verify
-    join carries |candidates| shingle-array rows, and candidate fan-out is
-    corpus-proportional on a dup-heavy store (measured: 350 MB broadcast
-    fine at 500k candidates, 1.05 GB dies at 1.5M). Past the cap the join
-    must auto-fall-back to SMJ with identical emitted pairs."""
+def test_verify_broadcast_carries_no_arrays(spark):
+    """r11 verify-join restructure: under strategy='broadcast' the verify
+    must broadcast only the SKINNY candidate pair list and the
+    batch-bounded new side — never corpus shingle arrays. The pre-r11
+    shape broadcast candidates⋈new_sh (an ARRAY per candidate row), whose
+    bytes grew corpus-proportionally on a dup-heavy store (measured: 350
+    MB at 500k candidates, death at spark.driver.maxResultSize at 1.5M)
+    and needed an eager per-call candidate count to guard. Structurally
+    array-free candidate broadcasts make that failure unreachable, so the
+    plan — not a fallback — is the safety mechanism now."""
+    from kafka_clickhouse_example_spark.operators.planning import (
+        broadcast_subtrees,
+    )
+
     sh_corpus = _shingles(spark, 30).localCheckpoint(eager=True)
     sh_new = _shingles(spark, 6, offset=10**6).localCheckpoint(eager=True)
-
-    def pairs():
-        return D.incremental_minhash_pairs(
-            None, None, 0.3,
-            new_shingles=sh_new, corpus_shingles=sh_corpus,
-            strategy="broadcast",
-        )
-
-    baseline = sorted(map(tuple, pairs().collect()))
-    assert baseline, "fixture must produce candidate pairs"
-
-    monkeypatch.setattr(D, "VERIFY_BROADCAST_CAP_BYTES", 1)
-    with pytest.warns(RuntimeWarning, match="verify broadcast.*sort-merge"):
-        df = pairs()
+    df = D.incremental_minhash_pairs(
+        None, None, 0.3,
+        new_shingles=sh_new, corpus_shingles=sh_corpus,
+        strategy="broadcast",
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
-    assert sorted(map(tuple, df.collect())) == baseline
-
-    monkeypatch.undo()
-    plan = pairs()._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan  # happy path keeps no-corpus-shuffle
+    subtrees = broadcast_subtrees(plan)
+    assert subtrees, "broadcast strategy must plan broadcast joins"
+    for sub in subtrees:
+        assert "sh_corp#" not in sub, (
+            "corpus shingle arrays must never ride a BroadcastExchange:\n"
+            + sub
+        )
+    # the intersect/verify projection still sees both array sides
+    assert "sh_corp#" in plan and "sh_new#" in plan
+    assert sorted(map(tuple, df.collect())), "fixture must produce pairs"
