@@ -873,11 +873,11 @@ def simhash_hamming_pairs(
 #   corpora); the floor also keeps the common bounded-batch path free of
 #   the corpus-side count entirely.
 #
-# The counts are cheap where the guard fires: the new side was just
-# eagerly checkpointed (count = O(partitions) over cached blocks), and the
-# corpus side is counted through whichever relation the caller supplied —
-# a parquet-backed store / memoized checkpoint in every production path,
-# and count() prunes the shingle kernel off a raw corpus_df scan.
+# The counts are cheap where the guard fires: the new side is either a
+# caller-precomputed relation (memoized checkpoint / parquet store in
+# every production path) or was just eagerly checkpointed from raw text,
+# and the corpus side is counted through whichever relation the caller
+# supplied — count() prunes the shingle kernel off a raw corpus_df scan.
 BROADCAST_NEW_RATIO_BOUND = 0.10
 BROADCAST_GUARD_MIN_NEW_ROWS = 10_000
 
@@ -964,14 +964,19 @@ def incremental_minhash_pairs(
         # key and the join never materializes a whole-relation hash table.
         return F.broadcast(df) if strategy == "broadcast" else df.hint("merge")
 
-    # The new batch's shingles are read by three consumers (banding,
-    # candidate join, verify join) — materialize once so the Arrow
-    # shingle/minhash kernels don't run three times.
+    # The new batch's shingles are read by two consumers (banding, verify);
+    # when built from RAW text here, materialize once so the Arrow
+    # shingle kernel doesn't run per consumer. A PRECOMPUTED new_shingles
+    # relation is the production shape (memoized checkpoint / parquet
+    # store in every registered caller) — re-reading it per consumer is a
+    # cached-blocks scan with no kernel, cheaper than paying an extra
+    # materialization job per call (r11 measurement; the pre-r11 eager
+    # checkpoint here cost ~0.3 s/run on the registered ingest query).
     new_sh = (
         new_shingles
         if new_shingles is not None
-        else with_shingles(new_df, text_col, id_col)
-    ).localCheckpoint(eager=True)
+        else with_shingles(new_df, text_col, id_col).localCheckpoint(eager=True)
+    )
     corp_sh = (
         corpus_shingles
         if corpus_shingles is not None

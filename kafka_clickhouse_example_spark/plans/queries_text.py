@@ -1095,12 +1095,16 @@ def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical results — pinned in tests/test_streaming.py.
     """
     docs = _docs(spark, sf_dir)
-    # Every consumer below derives from cnt AFTER its (source, term)
-    # aggregation Exchange, so ReuseExchange runs the corpus explode once
-    # and each consumer replays only the vocab-sized final aggregate (r11:
-    # replaced an eager localCheckpoint that bought the same single-explode
-    # guarantee for an extra per-run job).
-    cnt = T.token_counts(docs)
+    # Materialize the aggregated counts once. r11 measured the
+    # de-materialized (ReuseExchange) form of this query SLOWER
+    # (within-session best-of-3: none 2.12-2.88 s vs eager 1.60-2.08 s):
+    # the per-source totals consumer is a BROADCAST whose build must wait
+    # on the full counts shuffle, so the reuse form serializes
+    # shuffle -> broadcast-build -> final stage and replays the vocab
+    # final-aggregate per consumer — the memo job is cheaper. Contrast
+    # the diag/q15/chi2 family, where all consumers are plain shuffles
+    # and dropping the memo measured 2-3x faster.
+    cnt = T.token_counts(docs).localCheckpoint(eager=True)
     return T.token_entropy_from_counts(cnt)
 
 
@@ -1180,8 +1184,8 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose numerator is provably negative.
 
     Scale: one (source, term) partial-agg shuffle; totals, vocabulary
-    marginals, and the grand total all derive from the counts aggregate's
-    reused Exchange (corpus explode runs once). The vocab marginal
+    marginals, and the grand total all derive from the checkpointed
+    vocab-sized counts (corpus explode runs once). The vocab marginal
     join is term-keyed (sort-merge/AQE; broadcastable while the vocab
     is); the per-source and grand totals broadcast. Same int64 bound as
     entropy: a single token type beyond ~1.8e11 occurrences per source
@@ -1192,8 +1196,9 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained counts matview with bit-identical results.
     """
     docs = _docs(spark, sf_dir)
-    # same ReuseExchange rationale as token_entropy above (r11): all four
-    # consumers (row chain, per-source totals, vocab marginal, grand total)
-    # read the counts aggregate's canonical Exchange — one corpus explode
-    cnt = T.token_counts(docs)
+    # same memo rationale as token_entropy above (r11 re-measured): the
+    # totals/marginal consumers broadcast, so the de-materialized form
+    # serializes on the counts shuffle per consumer and measured slower
+    # (within-session eager 3.44-3.84 s vs none 3.62-4.78 s best-of-3)
+    cnt = T.token_counts(docs).localCheckpoint(eager=True)
     return T.token_kl_from_counts(cnt)
