@@ -160,6 +160,34 @@ def _data_fingerprints(sf_dir: str) -> dict:
     return out
 
 
+def _current_round() -> int:
+    """The round in progress, inferred from the driver-archived
+    BENCH_r{N}.json files: the driver archives its bench AFTER running it,
+    so during round N the max archived round is N-1. Returns 0 when no
+    archive exists (fresh checkout)."""
+    import glob
+    import re
+
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(str(here / "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def bench_local_archive_name(cpus: str) -> str:
+    """Per-round, per-core-count full-timings archive filename (round-11
+    verdict ask #1). Kept total on any cpus string so a malformed env var
+    can never sink the artifact write."""
+    try:
+        c = str(int(str(cpus).strip()))
+    except ValueError:
+        c = "x"
+    return f"BENCH_LOCAL_r{_current_round():02d}_c{c}.json"
+
+
 def _sf_label(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -474,6 +502,27 @@ def main() -> None:
         )
     except OSError as exc:
         print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    # Per-round, per-core-count archive (round-11 verdict ask #1): the
+    # driver's PERF comparison needs BOTH rounds' full per-query maps, but
+    # BENCH_LOCAL.json is overwritten by whoever ran bench.py last — the
+    # r11 driver's own 8-core scaling run clobbered its 32-core record
+    # before the round commit, leaving PERF_r11.per_query empty and the
+    # geomean uncomputable. A filename carrying the round number and core
+    # count is never clobbered by a later run at a different core count or
+    # in a different round, so the committed repo keeps every run's full
+    # timings. The round number is inferred from the driver-archived
+    # BENCH_r{N}.json files (max + 1 = the round in progress — the driver
+    # archives AFTER its runs), so bench.py needs no new env contract.
+    local_archive = bench_local_archive_name(CPUS)
+    try:
+        (Path(__file__).resolve().parent / local_archive).write_text(
+            json.dumps(
+                {"round": _current_round(), "cpus_env": CPUS, **payload}, indent=1
+            )
+            + "\n"
+        )
+    except OSError as exc:
+        print(f"bench: could not write {local_archive}: {exc}", file=sys.stderr)
     # The driver archives only a bounded TAIL of stdout (~2000 chars per
     # BENCH_r03's tail field); with 177 queries the full line above (~6 KB)
     # outgrew it in round 2 and the leading total was cut off (BENCH_r02
@@ -500,7 +549,7 @@ def main() -> None:
                 "queries_run": len(timings),
                 "queries_failed": sum(1 for t in timings.values() if t < 0),
                 "slowest": slowest,
-                "full_timings": "BENCH_LOCAL.json",
+                "full_timings": local_archive,
                 "streaming_rows_per_sec": streaming.get("rows_per_sec", -1.0),
                 "sf": _sf_label(SF_DIR),
             }
