@@ -91,7 +91,7 @@ def per_task_state_overflow(
 
 def warn_if_task_state_overflows(
     spark, n_rows: int, bytes_per_row: float, label: str
-) -> None:
+) -> dict | None:
     """Session-reading wrapper: estimate per-task state for an SHJ build /
     SMJ sort over ``n_rows`` state rows under the CURRENT session sizing
     and ``warnings.warn`` with the partitions arithmetic when it overflows
@@ -99,7 +99,13 @@ def warn_if_task_state_overflows(
     (operators/dedup.py BROADCAST_NEW_RATIO_BOUND), but a warning rather
     than a raise: an overflow estimate is a forecast from a bytes/row
     constant, not a contract violation, and the conf knob may already be
-    set correctly cluster-side in ways local arithmetic can't see."""
+    set correctly cluster-side in ways local arithmetic can't see.
+
+    Returns the overflow dict (None when the estimate fits) so callers can
+    also use the rule PRESCRIPTIVELY — e.g. the hot-shingle cut switches
+    from its window form to the sort-free aggregate-join form on overflow,
+    because a single hot key cannot be split by more partitions and must
+    not be buffered by a sort (round-11 ADVICE)."""
     try:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         slots = spark.sparkContext.defaultParallelism
@@ -132,6 +138,7 @@ def warn_if_task_state_overflows(
             RuntimeWarning,  # ResourceWarning is IGNORED by default filters — a guard no one sees is no guard (round-11 probe finding)
             stacklevel=3,
         )
+    return hit
 
 
 # ---------------------------------------------------------------------------

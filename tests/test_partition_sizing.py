@@ -206,3 +206,31 @@ def test_verify_broadcast_carries_no_arrays(spark):
     # the intersect/verify projection still sees both array sides
     assert "sh_corp#" in plan and "sh_new#" in plan
     assert sorted(map(tuple, df.collect())), "fixture must produce pairs"
+
+
+def test_stopcut_overflow_switches_to_sortfree_cut(spark, monkeypatch):
+    """Round-11 ADVICE (skew cliff): the window hot-shingle cut routes all
+    postings of a hot shingle through one partition where the WINDOW SORT
+    must buffer them before the filter drops them — and a single key
+    cannot be split by more partitions, so the guard's own prescription
+    cannot fix it. When the sizing rule predicts per-task overflow, the
+    cut must switch to the sort-free aggregate-join over the same
+    exchange: hash-agg state is O(distinct shingles), hot postings STREAM
+    through the join probe, nothing buffers. Pins: the overflow branch
+    has no Window and still no broadcast; emitted pairs are identical to
+    the window form's."""
+    sh = _shingles(spark, 20).localCheckpoint(eager=True)
+
+    monkeypatch.setattr(P, "TASK_STATE_SHARE", 1e-12)
+    with pytest.warns(RuntimeWarning, match="SHJ build"):
+        df_safe = D.jaccard_pairs(None, 0.05, shingles=sh, max_shingle_freq=15)
+    plan = df_safe._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "overflow branch must not sort-buffer hot keys"
+    assert "BroadcastExchange" not in plan, "hot list must never broadcast"
+    got = sorted(tuple(r) for r in df_safe.collect())
+
+    monkeypatch.undo()
+    df_win = D.jaccard_pairs(None, 0.05, shingles=sh, max_shingle_freq=15)
+    assert "Window" in df_win._jdf.queryExecution().executedPlan().toString()
+    want = sorted(tuple(r) for r in df_win.collect())
+    assert got == want
