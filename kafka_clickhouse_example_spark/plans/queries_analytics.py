@@ -2166,28 +2166,35 @@ def orders_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pair_orders = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-            F.col("a.l_orderkey").alias("l_orderkey"),
-        )
-        .distinct()
+    # r12 restructure (guide §2.3/§2.4 — the q21 pre-reduction trick):
+    # reduce to DISTINCT (order, part) ONCE before pairing. The pair
+    # self-join of distinct sides emits already-distinct (p1, p2, order)
+    # tuples — each (order, part) appears once per side — so the pre-r12
+    # post-explosion DISTINCT (an exchange carrying every pair row, ~2M at
+    # sf0.1, the plan's biggest shuffle) is gone, and the pair rollup's
+    # map-side partial agg absorbs the explosion before its exchange.
+    # part_n and tot read the same pre-reduced relation (per-part distinct
+    # order count ≡ row count after the reduce), so all four consumers
+    # hang off ONE canonical (order, part) exchange via ReuseExchange:
+    # lineitem is scanned once, not three times.
+    lid = li.distinct()
+    a = lid.alias("a")
+    b = lid.alias("b")
+    pair_orders = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"),
+        F.col("b.l_partkey").alias("p2"),
     )
     pair_n = pair_orders.groupBy("p1", "p2").agg(
         F.count("*").cast("bigint").alias("n_pair")
     )
-    part_n = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    part_n = lid.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").cast("bigint").alias("n")
     )
-    tot = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("t"))
+    tot = lid.agg(F.countDistinct("l_orderkey").cast("bigint").alias("t"))
     pa = part_n.alias("pa")
     pb = part_n.alias("pb")
     return (
