@@ -788,6 +788,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them). In the bench path the trainer memos are warm from the ladder
     # queries; on a cold standalone run two methods may redundantly train
     # the (deterministic) quantizer — identical values, benign race.
+    #
+    # r12 A/B, tried and REVERTED: tagging each method's (qid, vec_id)
+    # shortlist and unionByName-ing all five into ONE action (one collect,
+    # no pool) measured SLOWER within-session — union 4.02-4.51 s vs pool
+    # 2.60-3.18 s best-of-3 — because the union serializes the per-method
+    # driver-side construction (query-set collects, trainer memo lookups,
+    # five-subtree plan optimization) that the pool overlaps. The report's
+    # wall is construction-dominated, not action-count-dominated.
     with ThreadPoolExecutor(max_workers=1 + len(methods)) as ex:
         exact_fut = ex.submit(
             lambda: top_sets(sim_topk_bruteforce(spark, sf_dir))

@@ -1104,6 +1104,14 @@ def text_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final-aggregate per consumer — the memo job is cheaper. Contrast
     # the diag/q15/chi2 family, where all consumers are plain shuffles
     # and dropping the memo measured 2-3x faster.
+    #
+    # r12 A/B (verdict ask #7): the stop-cut trick — repartition('source')
+    # counts + totals as WINDOWS over that exchange, one job, no memo, no
+    # broadcast — measured a WASH within-session (window 1.64-1.88 s vs
+    # memo 1.65-2.17 best-of-3), and the window form funnels each source's
+    # whole vocabulary through one partition (the r11-ADVICE skew cliff)
+    # where the memo form keeps the totals consumer distributed. Equal
+    # locally + worse at scale = keep the memo.
     cnt = T.token_counts(docs).localCheckpoint(eager=True)
     return T.token_entropy_from_counts(cnt)
 
@@ -1199,6 +1207,11 @@ def text_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same memo rationale as token_entropy above (r11 re-measured): the
     # totals/marginal consumers broadcast, so the de-materialized form
     # serializes on the counts shuffle per consumer and measured slower
-    # (within-session eager 3.44-3.84 s vs none 3.62-4.78 s best-of-3)
+    # (within-session eager 3.44-3.84 s vs none 3.62-4.78 s best-of-3).
+    # r12 A/B (verdict ask #7): the window-over-source form (per-source
+    # totals as a window inside a repartition('source') counts exchange,
+    # vocab marginal still a broadcast join) also measured slower —
+    # memo 2.83-3.18 s vs window 3.23-3.84 best-of-3 — and adds the
+    # one-partition-per-source skew funnel. Kept the memo.
     cnt = T.token_counts(docs).localCheckpoint(eager=True)
     return T.token_kl_from_counts(cnt)
