@@ -79,6 +79,7 @@ def test_served_scan_is_partition_pruned(spark, sf_dir, ann_index):
     # below the scan (pruning happened at the partition level)
 
 
+@pytest.mark.slow
 def test_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
     """Appending a delta under the frozen quantizer must yield an index
     (rows, cells, ids) identical to a rebuild over the concatenated
@@ -128,6 +129,7 @@ def test_incremental_add_rejects_existing_ids(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS dup_ann{suffix}")
 
 
+@pytest.mark.slow
 def test_delete_masks_serving_and_compact_removes(spark, sf_dir, tmp_path):
     """The delete half of the "delete + re-add" contract: a tombstoned
     vector disappears from served results IMMEDIATELY (row-for-row parity
@@ -352,6 +354,7 @@ def test_labeled_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
         _drop(spark, "rep_ann")
 
 
+@pytest.mark.slow
 def test_streaming_sink_maintains_index(spark, sf_dir, tmp_path):
     """File-source stream of new vectors through start_ann_index_sink:
     the maintained index must serve row-for-row what a batch build over
@@ -421,6 +424,7 @@ def test_pq_incremental_add_matches_fresh_rebuild(spark, sf_dir, tmp_path):
         _drop(spark, "ipq_ann", "fpq_ann")
 
 
+@pytest.mark.slow
 def test_ann_index_random_lifecycle_matches_rebuild(spark, tmp_path_factory):
     """Property test over the ANN index lifecycle: under ANY interleaving
     of curated adds, labeled (replay-idempotent) merges, tombstone

@@ -53,6 +53,7 @@ def _run(spark, p, ckpt):
     q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_gate_lands_novel_and_quarantines_dups(spark, paths):
     # batch 1: one doc + an exact in-batch copy; batch 2: a near-dup of
     # batch 1's doc (one word changed), plus a genuinely novel doc
@@ -114,6 +115,7 @@ def _gate_result_key(survivors, rejects):
     )
 
 
+@pytest.mark.slow
 def test_served_gate_matches_live_gate(spark, tmp_path):
     """Row-for-row parity: gating against the materialized store must equal
     gating against the corpus text — exact leg, near leg, short docs, NULL
@@ -147,6 +149,7 @@ def test_served_gate_empty_store(spark, tmp_path):
     assert rejects.count() == 0
 
 
+@pytest.mark.slow
 def test_store_update_is_replay_idempotent(spark, tmp_path):
     """Landing the same labeled delta twice leaves every relation
     row-identical to landing it once."""
@@ -167,6 +170,7 @@ def test_store_update_is_replay_idempotent(spark, tmp_path):
     assert snapshot() == once
 
 
+@pytest.mark.slow
 def test_served_gate_excludes_own_crash_debris(spark, tmp_path):
     """A replayed batch must gate as if its own half-landed store rows do
     not exist: with exclude_label they are invisible; without it the
@@ -186,6 +190,7 @@ def test_served_gate_excludes_own_crash_debris(spark, tmp_path):
     assert s2.count() == 0 and r2.count() == 1
 
 
+@pytest.mark.slow
 def test_served_stream_matches_live_stream_and_fresh_build(spark, paths, tmp_path):
     """End-to-end: the served streaming gate lands the same corpus content
     as the live gate on the same input; afterwards the incrementally
@@ -332,6 +337,7 @@ def test_null_text_docs_never_dedup_against_each_other(spark, tmp_path):
     assert sorted(r.doc_id for r in s2.collect()) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_unified_gate_serves_from_store_without_corpus_rescan(
     spark, paths, tmp_path, monkeypatch
 ):
@@ -446,6 +452,7 @@ def test_hashes_lost_with_live_siblings_refused(spark, tmp_path):
     assert rejects.count() == 0
 
 
+@pytest.mark.slow
 def test_check_store_servable_covers_sibling_consistency_directly(
     spark, tmp_path
 ):

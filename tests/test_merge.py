@@ -3,6 +3,8 @@ partition pruning (untouched partition files byte-identical), idempotency."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 from pathlib import Path
 
@@ -308,6 +310,7 @@ def test_cli_forget_coerces_to_key_column_type(spark, tmp_path):
     assert run(["--forget", table, "nope", "7", "day"]) == 2
 
 
+@pytest.mark.slow
 def test_partitioned_lake_random_upserts_and_forgets(spark, tmp_path_factory):
     """Property test over the partitioned-lake lifecycle: ANY interleaving
     of upsert merges (inserts, updates, exact replays, intra-batch

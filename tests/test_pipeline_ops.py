@@ -3,6 +3,8 @@ decontamination, repetition filters, and sequence packing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -317,6 +319,7 @@ def test_write_training_shards_caps_rows_per_file(spark, tmp_path):
         assert b1 < a2
 
 
+@pytest.mark.slow
 def test_incremental_minhash_equals_batch_on_random_ingest(spark):
     """Property test for the incremental-vs-batch dedup contract: over a
     randomly grown corpus (mutation families planted so near-dups

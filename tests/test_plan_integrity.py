@@ -46,6 +46,8 @@ PRUNABLE = (
     "ArrowEvalPython",
     "BatchEvalPython",
     "MapInPandas",
+    "MapInArrow",  # printed bare in formatted plans, PythonMapInArrow in some modes
+    "PythonMapInArrow",
     "FlatMapGroupsInPandas",
     "Generate",
     "HashAggregate",
@@ -73,6 +75,7 @@ def _ends_in_sort(df) -> bool:
         return name == "Sort"
 
 
+@pytest.mark.slow
 def test_every_registry_query_keeps_its_plan_under_the_bench_action(spark, sf_dir):
     simple = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"

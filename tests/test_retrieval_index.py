@@ -365,6 +365,7 @@ def test_delete_masks_serving_and_compact_matches_rebuild(spark, sf_dir):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
+@pytest.mark.slow
 def test_term_index_random_lifecycle_matches_rebuild(spark, tmp_path_factory):
     """Property test over the index's whole delete + re-add lifecycle:
     under ANY interleaving of delta merges, tombstone deletes (including

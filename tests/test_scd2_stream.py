@@ -5,6 +5,8 @@ the interval view) the only lossless rebuild source."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from kafka_clickhouse_example_spark.operators.temporal import scd2_intervals
@@ -124,6 +126,7 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
     assert _table(spark, path) == want
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch_on_random_change_streams(spark, tmp_path_factory):
     """Property test: for ANY sequence of change batches — out-of-order
     timestamps, exact replays of already-delivered changes, equal-value

@@ -934,6 +934,7 @@ def test_inactivity_alerts_end_to_end(spark, flow_dir, tmp_path):
         assert alerts["10.0.0.1"][0] == t0 + 600_000
 
 
+@pytest.mark.slow
 def test_token_count_matview_matches_batch_and_serves_entropy(spark, sf_dir, tmp_path):
     """The streamed (source, term, n) counts are row-identical to a batch
     build over the full corpus; entropy SERVED from the matview equals
@@ -1151,6 +1152,7 @@ def test_compact_partials_missing_path_is_noop(spark, tmp_path):
     assert not os.path.exists(missing)
 
 
+@pytest.mark.slow
 def test_matview_manifest_protocol_random_crashes(spark, tmp_path_factory):
     """Property test over the manifest protocol's whole state space: under
     ANY interleaving of landings and compactions, with a crash injected

@@ -27,6 +27,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 AUDIT_ARTIFACT = (
     Path(__file__).resolve().parent.parent
     / "contrib"
@@ -81,6 +83,7 @@ def test_valley_parser_detects_the_hazard_shape():
     assert valley_flags(_SYNTHETIC_PLAN.replace("BroadcastExchange", "Exchange hashpartitioning")) == []
 
 
+@pytest.mark.slow
 def test_no_new_valley_broadcasts(spark):
     from kafka_clickhouse_example_spark.operators.planning import valley_flags
     from kafka_clickhouse_example_spark.registry import all_queries
